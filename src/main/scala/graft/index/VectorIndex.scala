@@ -1,0 +1,109 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.filters.MetaFilter
+import graft.functions.VectorFunctions._
+
+/** Spark-native re-expression of the reference's LocalIndex
+  * (reference: local_index.py:18-223).
+  *
+  * The reference stores an index as a folder with one `index.json`
+  * holding every item `{id, metadata, vector, norm}` and loads it all
+  * into memory. Here an index IS a DataFrame with columns
+  * `(<id>, <vector>, norm, ...metadata columns)` backed by parquet:
+  * columnar pruning replaces the reference's `metadata_config.indexed`
+  * side-file split (only the queried metadata columns are ever read),
+  * and partition-parallel scan replaces the in-memory list. All
+  * mutation APIs are batch-functional (return a new index), which is
+  * the Spark-idiomatic equivalent of begin_update/end_update.
+  */
+final class VectorIndex private (
+    val items: DataFrame,
+    val idCol: String,
+    val vecCol: String) {
+
+  import VectorIndex.NORM
+
+  /** Top-k cosine query (reference: local_index.py:126-151
+    * query_items): optional metadata filter first, then score, then
+    * top-k. The plan is Filter(pushed) → Project(score) →
+    * TakeOrderedAndProject: per-partition heaps of size k, no global
+    * sort, no shuffle of the table — the 100 TB-safe shape.
+    * Ties broken by id for determinism.
+    */
+  def queryItems(query: Seq[Double], k: Int,
+      filter: Option[MetaFilter] = None): DataFrame = {
+    val qv = array(query.map(lit): _*)
+    val filtered = filter.map(f => items.filter(f.toColumn)).getOrElse(items)
+    filtered
+      .withColumn("score", cosinePreNorm(col(vecCol), col(NORM), qv, normD(qv)))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** reference: local_index.py:121-124 list_items_by_metadata. */
+  def listItemsByMetadata(filter: MetaFilter): DataFrame =
+    items.filter(filter.toColumn)
+
+  /** reference: local_index.py:100-103 get_item. */
+  def getItem(id: Any): DataFrame = items.filter(col(idCol) === lit(id))
+
+  /** Batch upsert, latest wins per id (reference:
+    * local_index.py:153-161 upsert_item, re-expressed as a window
+    * dedup instead of a per-item list scan).
+    */
+  def upsertItems(updates: DataFrame): VectorIndex = {
+    val tagged = items.withColumn("_v", lit(0))
+      .unionByName(VectorIndex.withNorm(updates, vecCol).withColumn("_v", lit(1)))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("_v"))
+    val merged = tagged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_v", "_rn")
+    new VectorIndex(merged, idCol, vecCol)
+  }
+
+  /** Batch delete by id set (reference: local_index.py:68-77
+    * delete_item) — left_anti join, broadcast when the delete set is
+    * small.
+    */
+  def deleteItems(ids: DataFrame): VectorIndex = {
+    val idName = ids.columns.head
+    val remaining = items.join(
+      broadcast(ids.withColumnRenamed(idName, idCol)), Seq(idCol), "left_anti")
+    new VectorIndex(remaining, idCol, vecCol)
+  }
+
+  /** reference: local_index.py:90-97 get_index_stats. */
+  def stats: DataFrame =
+    items.agg(
+      count(lit(1)).as("items"),
+      min(size(col(vecCol))).cast("long").as("min_dim"),
+      max(size(col(vecCol))).cast("long").as("max_dim"))
+
+  /** Persist as parquet — the scale-out analogue of index.json. */
+  def save(path: String): Unit =
+    items.write.mode(SaveMode.Overwrite).parquet(path)
+}
+
+object VectorIndex {
+  private[index] val NORM = "norm"
+
+  private def withNorm(df: DataFrame, vecCol: String): DataFrame =
+    if (df.columns.contains(NORM)) df
+    else df.withColumn(NORM, normD(col(vecCol)))
+
+  /** Build from any DataFrame with an id and a vector column; caches
+    * the L2 norm as a column like the reference caches `item.norm`
+    * (reference: local_index.py:201-207).
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String): VectorIndex =
+    new VectorIndex(withNorm(df, vecCol), idCol, vecCol)
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String): VectorIndex =
+    build(spark.read.parquet(path), idCol, vecCol)
+}

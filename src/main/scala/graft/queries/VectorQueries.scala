@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.filters.MetaFilter
+import graft.functions.VectorFunctions._
+import graft.index.VectorIndex
+
+import QueryUtil._
+
+/** The vectra LocalIndex surface re-expressed as Spark queries over
+  * the `embeddings` table (vec_id, embedding: array<float>, label).
+  * The query vector is the embedding of vec_id=0, joined in via a
+  * broadcast single-row DataFrame — declarative, no driver collect, so
+  * the same plan serves 1 or 10^6 query vectors.
+  */
+object VectorQueries {
+
+  /** Single-row (qv) DataFrame: the query vector. */
+  private def qdf(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qv"))
+
+  /** embeddings × query vector with raw cosine score. */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").crossJoin(broadcast(qdf(s, dir)))
+      .withColumn("score_raw", cosine(col("embedding"), col("qv")))
+
+  /** Shared SQL fragment for the oracle side. */
+  private val sqlScored =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT vec_id, label,
+      |    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) /
+      |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))) AS score_raw
+      |  FROM embeddings, q)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // reference: local_index.py:126-151 query_items (no filter)
+    "v_topk" -> ((s, dir) => {
+      scored(s, dir)
+        .orderBy(desc("score_raw"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), r6(col("score_raw")).as("score"))
+    }),
+
+    // reference: local_index.py:126-151 query_items with Mongo filter
+    "v_topk_filtered" -> ((s, dir) => {
+      val f = MetaFilter.parse("""{"label":{"$in":[2,4,6]}}""")
+      scored(s, dir)
+        .filter(f.toColumn)
+        .orderBy(desc("score_raw"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), r6(col("score_raw")).as("score"))
+    }),
+
+    // reference: local_index.py:121-124 list_items_by_metadata with
+    // nested $or/$and/$in/$gte/$lt
+    "v_meta_filter" -> ((s, dir) => {
+      val f = MetaFilter.parse(
+        """{"$or":[{"label":{"$in":[1,3]}},
+          |        {"$and":[{"label":{"$gte":7}},{"label":{"$lt":9}}]}]}""".stripMargin)
+      VectorIndex.build(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .listItemsByMetadata(f)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // reference: local_index.py:100-103 get_item
+    "v_get_item" -> ((s, dir) => {
+      VectorIndex.build(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .getItem(42L)
+        .select(col("vec_id"), col("label"), r6(col("norm")).as("norm"))
+    }),
+
+    // reference: local_index.py:90-97 get_index_stats
+    "v_index_stats" -> ((s, dir) => {
+      VectorIndex.build(t(s, dir, "embeddings"), "vec_id", "embedding").stats
+    }),
+
+    // reference: local_index.py:153-161 upsert (latest wins by id)
+    "v_upsert" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = VectorIndex.build(emb, "vec_id", "embedding")
+      val updates = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("label", col("label") + 100)
+      idx.upsertItems(updates).items
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // reference: local_index.py:68-77 delete_item (batch)
+    "v_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = VectorIndex.build(emb, "vec_id", "embedding")
+      val ids = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      idx.deleteItems(ids).items
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // reference: item_selector.py:9-52 scoring kernels as columns
+    "v_dot_norm" -> ((s, dir) => {
+      scored(s, dir)
+        .select(
+          col("vec_id"),
+          r6(dotD(col("embedding"), col("qv"))).as("dot"),
+          r6(normD(col("embedding"))).as("norm"),
+          r6(col("score_raw")).as("cos"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // scale path: one top-k per metadata group in a single window pass
+    "v_topk_pergroup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("label"))
+        .orderBy(desc("score_raw"), col("vec_id"))
+      scored(s, dir)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("label"), col("vec_id"), r6(col("score_raw")).as("score"), col("rk"))
+        .orderBy(col("label"), col("rk"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "v_topk" ->
+      s"""$sqlScored
+         |SELECT vec_id, round(score_raw, 6) AS score
+         |FROM scored ORDER BY score_raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    "v_topk_filtered" ->
+      s"""$sqlScored
+         |SELECT vec_id, label, round(score_raw, 6) AS score
+         |FROM scored WHERE label IN (2, 4, 6)
+         |ORDER BY score_raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    "v_meta_filter" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE label IN (1, 3) OR (label >= 7 AND label < 9)
+        |ORDER BY vec_id""".stripMargin,
+
+    "v_get_item" ->
+      """SELECT vec_id, label,
+        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm
+        |FROM embeddings WHERE vec_id = 42""".stripMargin,
+
+    "v_index_stats" ->
+      """SELECT count(*) AS items,
+        |  CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+        |  CAST(max(len(embedding)) AS BIGINT) AS max_dim
+        |FROM embeddings""".stripMargin,
+
+    "v_upsert" ->
+      """SELECT vec_id, label FROM (
+        |  SELECT vec_id, label,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY v DESC) AS rn
+        |  FROM (
+        |    SELECT vec_id, label, 0 AS v FROM embeddings
+        |    UNION ALL
+        |    SELECT vec_id, label + 100 AS label, 1 AS v FROM embeddings WHERE vec_id % 10 = 0))
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "v_delete" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 3)
+        |ORDER BY vec_id""".stripMargin,
+
+    "v_dot_norm" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS dot,
+        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cos
+        |FROM embeddings, q ORDER BY vec_id""".stripMargin,
+
+    "v_topk_pergroup" ->
+      s"""$sqlScored
+         |SELECT label, vec_id, round(score_raw, 6) AS score,
+         |  CAST(row_number() OVER (PARTITION BY label ORDER BY score_raw DESC, vec_id) AS BIGINT) AS rk
+         |FROM scored QUALIFY rk <= 3
+         |ORDER BY label, rk""".stripMargin)
+}
