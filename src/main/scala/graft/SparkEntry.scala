@@ -7,11 +7,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * aggregates them.
   */
 object SparkEntry {
-  import graft.queries.{QueryUtil, RelationalQueries, VectorQueries}
+  import graft.queries.{AnnQueries, DedupQueries, QueryUtil, RelationalQueries, TextQueries, VectorQueries}
 
   private val modules: Seq[(Map[String, QueryUtil.Q], Map[String, String])] = Seq(
     (RelationalQueries.defs, RelationalQueries.oracles),
-    (VectorQueries.defs, VectorQueries.oracles))
+    (VectorQueries.defs, VectorQueries.oracles),
+    (DedupQueries.defs, DedupQueries.oracles),
+    (TextQueries.defs, TextQueries.oracles),
+    (AnnQueries.defs, AnnQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,148 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.portableHash
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * The reference scores every item against the query in a Python loop
+  * (reference: local_index.py:126-151 + item_selector.py:9-52); these
+  * operators keep the same exact-cosine semantics but restructure the
+  * search for a cluster:
+  *   - brute force is the baseline: a broadcast of the (small) query
+  *     set against a narrow scan of the corpus — exact, one pass;
+  *   - IVF prunes the scan to `nprobe` of `nlist` cells; on disk the
+  *     cell id is a partition column, so probing is partition pruning
+  *     (only nprobe/nlist of a 100 TB corpus is read);
+  *   - hyperplane LSH prunes to one bucket of 2^nPlanes; planes are
+  *     md5-derived so index build is reproducible on any engine.
+  */
+object Ann {
+
+  /** Exact top-k per query vector: broadcast the query set, score in
+    * one narrow pass over the corpus, keep k per query via a window
+    * partitioned by query id (the shuffle moves only
+    * (qid, id, score) triples, never vectors).
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("score_raw", cosine(col(vecCol), col("qv")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("score_raw"), col(idCol))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col(idCol), round(col("score_raw"), 6).as("score"), col("rk"))
+  }
+
+  /** IVF cell assignment: nearest centroid by L2 distance (ties →
+    * lowest centroid id). Centroids are broadcast; the window that
+    * picks the argmin partitions by vector id, so the shuffle carries
+    * (id, cid, dist) triples only. At write time `partitionBy("cell")`
+    * turns probing into partition pruning.
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val crossed = corpus
+      .crossJoin(broadcast(centroids.select(col(cidCol).as("cell"), col(cvecCol).as("cv"))))
+      .withColumn("_dist", l2SqD(col(vecCol), col("cv")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_dist"), col("cell"))
+    crossed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_dist", "cv")
+  }
+
+  /** IVF probe: rank cells by centroid distance to the query vector,
+    * search only the top `nprobe` cells, exact top-k inside them.
+    * The query arrives as a one-row DataFrame (col `qv`) so the whole
+    * search is one declarative plan — no driver-side collect.
+    */
+  def ivfSearch(assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      query: DataFrame, qvecCol: String, nprobe: Int, k: Int): DataFrame = {
+    val q = broadcast(query.select(col(qvecCol).as("qv")))
+    val probeCells = centroids
+      .crossJoin(q)
+      .select(col(cidCol).as("cell"), l2SqD(col(cvecCol), col("qv")).as("_qd"))
+      .orderBy(col("_qd"), col("cell"))
+      .limit(nprobe)
+      .select(col("cell"))
+    assigned
+      .join(broadcast(probeCells), "cell")
+      .crossJoin(q)
+      .withColumn("score_raw", cosine(col(vecCol), col("qv")))
+      .orderBy(desc("score_raw"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cell"), round(col("score_raw"), 6).as("score"))
+  }
+
+  /** The j-th component of md5-derived hyperplane p: a deterministic
+    * pseudo-uniform value in [-1, 1] with three decimal digits —
+    * reproducible in any engine with md5 (SURVEY.md §5).
+    */
+  private def planeComponent(p: Int, j: Column): Column =
+    (portableHash(concat(lit(p.toString), lit(","), j.cast("string"))) % 2001 - 1000)
+      .cast("double") / 1000.0
+
+  /** Signed projection of a vector column onto hyperplane p. The fold
+    * is sequential in both Spark and DuckDB, so the IEEE sum is
+    * bit-identical across engines.
+    */
+  private def planeDot(vec: Column, p: Int, dim: Int): Column =
+    aggregate(
+      zip_with(vec, sequence(lit(0), lit(dim - 1)),
+        (x, j) => x.cast("double") * planeComponent(p, j)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** LSH bucket key: one sign bit per hyperplane. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    concat((0 until nPlanes).map(p => when(planeDot(vec, p, dim) >= 0, "1").otherwise("0")): _*)
+
+  /** Bucketed ANN: candidates share the query's bucket; exact cosine
+    * rerank of that bucket only. One narrow pass to bucket the corpus
+    * (bucketing is also the on-disk layout at scale), then a pruned
+    * exact search of ~n/2^nPlanes rows.
+    */
+  def lshSearch(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      nPlanes: Int, dim: Int, k: Int): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
+    val qb = queries.select(
+      col(qidCol).as("qid"), col(qvecCol).as("qv"),
+      lshBucket(col(qvecCol), nPlanes, dim).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("score_raw"), col(idCol))
+    bucketed
+      .join(broadcast(qb), "bucket")
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("score_raw", cosine(col(vecCol), col("qv")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col(idCol), col("bucket"),
+        round(col("score_raw"), 6).as("score"), col("rk"))
+  }
+
+  /** k-nearest-neighbor self-join inside a blocking column: each
+    * vector gets its k nearest same-block neighbors. The block bounds
+    * the join (|block|² pairs per block, not n²); at 100 TB the block
+    * is an IVF cell instead of a given label.
+    */
+  def knnJoin(vecs: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, k: Int): DataFrame = {
+    val l = vecs.select(col(blockCol).as("blk"), col(idCol), col(vecCol))
+    val r = vecs.select(col(blockCol).as("blk"), col(idCol).as("nbr_id"), col(vecCol).as("nv"))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("score_raw"), col("nbr_id"))
+    l.join(r, Seq("blk"))
+      .filter(col(idCol) =!= col("nbr_id"))
+      .withColumn("score_raw", cosine(col(vecCol), col("nv")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("nbr_id"), round(col("score_raw"), 6).as("score"), col("rk"))
+  }
+}

@@ -1,0 +1,147 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Large-scale corpus deduplication operators.
+  *
+  * The reference engine (vectra-py) holds a corpus in one in-memory
+  * JSON file, so dedup there is a Python loop; these re-express the
+  * standard LLM-pipeline dedup family as distributed Spark plans.
+  * Design rules at 100 TB:
+  *   - signatures (md5 / minhash / simhash) are computed in a single
+  *     narrow projection — no explode before the grouping that needs it;
+  *   - all-pairs comparisons never happen: exact dedup groups by
+  *     digest, near-dup candidates come from band/bucket joins whose
+  *     keys bound the pair explosion, and every candidate set is
+  *     blocked (lang / label) so skew stays bounded;
+  *   - verification (exact jaccard / cosine / hamming) runs only on
+  *     the candidate pairs, which are ≪ n².
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest of normalized text, keep the
+    * lowest doc id per group. One shuffle on the 60-bit digest.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(normText(col(textCol))))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("content_hash"), col("n_copies"))
+
+  /** Word n-gram (shingle) Jaccard near-dup pairs within a blocking
+    * key. Shuffles (block, shingle, id) postings — never full texts.
+    * Word shingles keep postings short (see TextFunctions.wordShingles)
+    * so the candidate join stays near-linear; at 100 TB additionally
+    * drop shingles whose document frequency exceeds a cutoff.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val ng = docs
+      .select(col(idCol), col(blockCol),
+        explode(wordShingles(wsTokens(normText(col(textCol))), n)).as("g"))
+    val sz = ng.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+    val a = ng.select(col(blockCol), col(idCol).as("ida"), col("g"))
+    val b = ng.select(col(blockCol).as("blk_b"), col(idCol).as("idb"), col("g").as("g_b"))
+    val inter = a
+      .join(b, col("g") === col("g_b") && col(blockCol) === col("blk_b") &&
+        col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col(idCol).as("ida"), col("c").as("ca")), "ida")
+      .join(sz.select(col(idCol).as("idb"), col("c").as("cb")), "idb")
+      .withColumn("jaccard", round(col("i") / (col("ca") + col("cb") - col("i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  /** MinHash + LSH candidate pairs: signature and band keys are one
+    * projection per row; the only shuffle is the groupBy on
+    * (band, key) — each band bucket emits its pairs. Distinct-ness of
+    * pairs is enforced after the union of bands.
+    */
+  def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, nHashes: Int, nBands: Int): DataFrame = {
+    val rowsPerBand = nHashes / nBands
+    val sigs = docs.select(
+      col(idCol),
+      lshBandKeys(
+        minHashSignature(
+          wordShingles(wsTokens(normText(col(textCol))), shingleLen), nHashes),
+        nBands, rowsPerBand).as("bands"))
+    val banded = sigs.select(col(idCol), posexplode(col("bands")).as(Seq("band", "bkey")))
+    val l = banded.select(col("band"), col("bkey"), col(idCol).as("ida"))
+    val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"), col(idCol).as("idb"))
+    l.join(r, col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
+        col("ida") < col("idb"))
+      .select(col("ida"), col("idb"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash fingerprint per doc. Uses xxhash64 for the token
+    * hash (engine-internal only — simhash has a rows-only oracle).
+    * The fold over 64 bit positions runs inside one projection.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withTokens = docs.withColumn("_toks", wsTokens(normText(col(textCol))))
+    // For each bit i: sign of sum over tokens of (bit i of hash ? +1 : -1);
+    // pack sign bits back into one long. Expressed as SQL higher-order
+    // functions (dynamic shift amounts need the SQL form — the Scala
+    // shiftright() only takes a literal shift).
+    val simhashExpr =
+      """aggregate(
+        |  sequence(0, 63),
+        |  0L,
+        |  (acc, i) -> acc + IF(
+        |    aggregate(_hashes, 0L, (a, h) -> a + (shiftright(h, i) & 1L) * 2L - 1L) > 0L,
+        |    shiftleft(1L, i), 0L))""".stripMargin
+    withTokens
+      .withColumn("_hashes", expr("transform(_toks, t -> xxhash64(t))"))
+      .withColumn("simhash", expr(simhashExpr))
+      .drop("_toks", "_hashes")
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, blocked by a
+    * key and by 16-bit simhash chunks (pigeonhole: hamming ≤ 3 ⇒ at
+    * least one of 4 chunks matches exactly) — the candidate join is on
+    * (block, chunk index, chunk value), never all-pairs.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, maxHamming: Int): DataFrame = {
+    val fp = simHash(docs, idCol, textCol).select(col(idCol), col(blockCol), col("simhash"))
+    val chunked = fp.select(col(idCol), col(blockCol), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0,3), c -> shiftright(simhash, c*16) & 65535L)"))
+        .as(Seq("chunk_i", "chunk_v")))
+    val l = chunked.select(col(blockCol), col("chunk_i"), col("chunk_v"),
+      col(idCol).as("ida"), col("simhash").as("sh_a"))
+    val r = chunked.select(col(blockCol).as("blk_r"), col("chunk_i").as("ci_r"),
+      col("chunk_v").as("cv_r"), col(idCol).as("idb"), col("simhash").as("sh_b"))
+    l.join(r, col("chunk_i") === col("ci_r") && col("chunk_v") === col("cv_r") &&
+        col(blockCol) === col("blk_r") && col("ida") < col("idb"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("ida"), col("idb"), col("hamming"))
+      .distinct()
+  }
+
+  /** Embedding-cosine near-dup pairs above a threshold, blocked by a
+    * label/cluster column so the join is (block)-partitioned instead
+    * of all-pairs. At 100 TB the block key would be an IVF cell
+    * (graft.ann.Ivf) rather than a given label.
+    */
+  def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val a = vecs.select(col(blockCol), col(idCol).as("ida"), col(vecCol).as("va"))
+    val b = vecs.select(col(blockCol).as("blk_b"), col(idCol).as("idb"), col(vecCol).as("vb"))
+    a.join(b, col(blockCol) === col("blk_b") && col("ida") < col("idb"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("ida"), col("idb"), col("cos"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import QueryUtil._
+
+/** ANN suite over the `embeddings` table — see graft.ann.Ann for the
+  * operator semantics and the 100 TB pruning story. Query vectors are
+  * always rows of the table itself (vec_id predicates) so the oracle
+  * can reproduce them; the md5-derived LSH planes are likewise
+  * engine-portable.
+  */
+object AnnQueries {
+
+  private val Dim = 64
+
+  /** DuckDB: cosine between two DOUBLE[] lists. */
+  private def sqlCos(a: String, b: String): String =
+    s"""list_dot_product($a, $b) /
+       |(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "ann_brute_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cent, "cid", "cv")
+      Ann.ivfSearch(assigned, "vec_id", "embedding", cent, "cid", "cv",
+          emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv")), "qv",
+          nprobe = 3, k = 10)
+        .orderBy(desc("score"), col("vec_id"))
+    }),
+
+    "ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshSearch(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          nPlanes = 4, dim = Dim, k = 5)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "knn_join" -> ((s, dir) => {
+      Ann.knnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
+          blockCol = "label", k = 3)
+        .orderBy(col("vec_id"), col("rk"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute_batch" ->
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT qid, vec_id,
+         |    ${sqlCos("CAST(embedding AS DOUBLE[])", "qv")} AS score_raw
+         |  FROM embeddings, q WHERE vec_id <> qid)
+         |SELECT qid, vec_id, round(score_raw, 6) AS score,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_raw DESC, vec_id) AS BIGINT) AS rk
+         |FROM scored QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+         |         FROM embeddings WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT vec_id, embedding, cell,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY list_distance(CAST(embedding AS DOUBLE[]), cv), cell) AS rn
+         |  FROM embeddings, cent),
+         |probe AS (SELECT cell FROM cent, q ORDER BY list_distance(cv, qv), cell LIMIT 3)
+         |SELECT vec_id, cell, round(${sqlCos("CAST(embedding AS DOUBLE[])", "qv")}, 6) AS score
+         |FROM assign JOIN probe USING (cell), q
+         |WHERE rn = 1
+         |ORDER BY ${sqlCos("CAST(embedding AS DOUBLE[])", "qv")} DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT p, [(((('0x'||substr(md5(p::VARCHAR||','||j::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
+         |             for j in range(0, $Dim)] AS plane
+         |  FROM range(0, 4) AS rp(p)),
+         |bucketed AS (
+         |  SELECT vec_id, v,
+         |    string_agg(
+         |      CASE WHEN list_reduce(
+         |        list_prepend(0.0, [v[j+1] * plane[j+1] for j in range(0, $Dim)]),
+         |        (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), planes
+         |  GROUP BY vec_id, v),
+         |qs AS (SELECT b.vec_id AS qid, b.v AS qv, b.bucket FROM bucketed b WHERE b.vec_id < 4),
+         |cand AS (
+         |  SELECT qs.qid, c.vec_id, qs.bucket,
+         |    ${sqlCos("c.v", "qs.qv")} AS score_raw
+         |  FROM bucketed c JOIN qs ON c.bucket = qs.bucket AND c.vec_id <> qs.qid)
+         |SELECT qid, vec_id, bucket, round(score_raw, 6) AS score,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_raw DESC, vec_id) AS BIGINT) AS rk
+         |FROM cand QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "knn_join" ->
+      s"""WITH scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |    ${sqlCos("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")} AS score_raw
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nbr_id, round(score_raw, 6) AS score,
+         |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY score_raw DESC, nbr_id) AS BIGINT) AS rk
+         |FROM scored QUALIFY rk <= 3 ORDER BY vec_id, rk""".stripMargin)
+}

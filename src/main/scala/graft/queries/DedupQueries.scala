@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import QueryUtil._
+
+/** Dedup suite over the `documents` / `embeddings` tables — see
+  * graft.dedup.Dedup for the operator semantics and scale notes.
+  * Oracle SQL mirrors each computation in DuckDB (portable md5-derived
+  * hashes; SURVEY.md §5).
+  */
+object DedupQueries {
+
+  /** Shared DuckDB normal-form CTE (the 'g' flag makes DuckDB's
+    * regexp_replace global like Spark's).
+    */
+  private val sqlNorm =
+    """WITH norm AS (
+      |  SELECT doc_id, lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "dd_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          blockCol = "lang", n = 3, threshold = 0.5)
+        .orderBy(col("ida"), col("idb"))
+    }),
+
+    "dd_minhash" -> ((s, dir) => {
+      Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          shingleLen = 3, nHashes = 16, nBands = 4)
+        .orderBy(col("ida"), col("idb"))
+    }),
+
+    "dd_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+          blockCol = "lang", maxHamming = 3)
+        .orderBy(col("ida"), col("idb"))
+    }),
+
+    "dd_embed_cosine" -> ((s, dir) => {
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          blockCol = "label", threshold = 0.35)
+        .orderBy(col("ida"), col("idb"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      s"""$sqlNorm
+         |SELECT min(doc_id) AS doc_id, md5(t) AS content_hash,
+         |  count(*) AS n_copies
+         |FROM norm GROUP BY md5(t) ORDER BY doc_id""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      s"""$sqlNorm,
+         |tok AS (SELECT doc_id, lang, string_split(t, ' ') AS toks FROM norm),
+         |ng AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_distinct([array_to_string(toks[i : i+2], ' ')
+         |      for i in range(1, greatest(len(toks)-1, 2))])) AS g
+         |  FROM tok),
+         |sz AS (SELECT doc_id, count(*) AS c FROM ng GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+         |  FROM ng a JOIN ng b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT ida, idb, round(i * 1.0 / (sa.c + sb.c - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON ida = sa.doc_id
+         |JOIN sz sb ON idb = sb.doc_id
+         |WHERE round(i * 1.0 / (sa.c + sb.c - i), 6) >= 0.5
+         |ORDER BY ida, idb""".stripMargin,
+
+    "dd_minhash" ->
+      s"""$sqlNorm,
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i : i+2], ' ')
+         |      for i in range(1, greatest(len(toks)-1, 2))]) AS shingles
+         |  FROM tok),
+         |sig AS (
+         |  SELECT doc_id,
+         |    [list_min([('0x'||substr(md5(seed::VARCHAR||'|'||s), 1, 15))::BIGINT for s in shingles])
+         |     for seed in range(0, 16)] AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bkey
+         |  FROM sig, unnest(range(0, 4)) AS u(b))
+         |SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |FROM bands a JOIN bands b
+         |  ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |ORDER BY ida, idb""".stripMargin,
+
+    "dd_embed_cosine" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT ida, idb, cos FROM p WHERE cos >= 0.35
+        |ORDER BY ida, idb""".stripMargin)
+    // dd_simhash: rows-only oracle (bit-level simhash is not portably
+    // SQL-expressible; semantics covered by SimHashSpec).
+}

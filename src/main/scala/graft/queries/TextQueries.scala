@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+import QueryUtil._
+
+/** Text-analysis suite over `documents` — see graft.text.TextAnalysis.
+  * Every operator is a narrow projection; the oracles replicate the
+  * arithmetic in DuckDB.
+  */
+object TextQueries {
+
+  private val sqlNorm =
+    """WITH norm AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "ta_langid" -> ((s, dir) => {
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("pred_lang"), col("lang_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "ta_quality" -> ((s, dir) => {
+      TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"), col("n_words"),
+          col("mean_word_len"), col("stop_ratio"), col("punct_ratio"),
+          col("alpha_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "ta_tokens" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("ws_tokens"), col("re_tokens"),
+          col("chars_per_token"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "ta_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("fp_full"), col("fp_min"), col("fp_max"))
+        .orderBy(col("doc_id"))
+    }))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  import graft.functions.TextFunctions._
+
+  val oracles: Map[String, String] = Map(
+    "ta_langid" ->
+      s"""$sqlNorm,
+         |scored AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(t, ' '), x -> x IN ${inList(MarkersDe)})) AS s_de,
+         |    len(list_filter(string_split(t, ' '), x -> x IN ${inList(StopwordsEn)})) AS s_en,
+         |    len(list_filter(string_split(t, ' '), x -> x IN ${inList(MarkersEs)})) AS s_es,
+         |    len(list_filter(string_split(t, ' '), x -> x IN ${inList(MarkersFr)})) AS s_fr,
+         |    len(list_filter(string_split(t, ' '), x -> x IN ${inList(MarkersZh)})) AS s_zh,
+         |    CASE WHEN regexp_matches(t, '[\\x{4e00}-\\x{9fff}]')
+         |      THEN len(list_filter(string_split(t, ''), c -> regexp_matches(c, '[\\x{4e00}-\\x{9fff}]')))
+         |      ELSE 0 END AS n_cjk
+         |  FROM norm)
+         |SELECT doc_id,
+         |  CASE WHEN n_cjk > 0 THEN 'zh'
+         |    WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |    ELSE 'zh' END AS pred_lang,
+         |  greatest(s_de, s_en, s_es, s_fr, s_zh, n_cjk)::BIGINT AS lang_score
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "ta_quality" ->
+      s"""$sqlNorm
+         |SELECT doc_id,
+         |  len(t)::BIGINT AS n_chars,
+         |  len(string_split(t, ' '))::BIGINT AS n_words,
+         |  round((len(t) - (len(string_split(t, ' ')) - 1)) * 1.0
+         |    / len(string_split(t, ' ')), 6) AS mean_word_len,
+         |  round(len(list_filter(string_split(t, ' '), x -> x IN ${inList(StopwordsEn)})) * 1.0
+         |    / len(string_split(t, ' ')), 6) AS stop_ratio,
+         |  round(len(regexp_replace(t, '[a-z0-9 ]', '', 'g')) * 1.0 / len(t), 6) AS punct_ratio,
+         |  round(len(regexp_replace(t, '[^a-z]', '', 'g')) * 1.0 / len(t), 6) AS alpha_ratio
+         |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "ta_tokens" ->
+      s"""$sqlNorm
+         |SELECT doc_id,
+         |  len(string_split(t, ' '))::BIGINT AS ws_tokens,
+         |  len(regexp_extract_all(t, '$BpeishPattern'))::BIGINT AS re_tokens,
+         |  round(len(t) * 1.0 / len(regexp_extract_all(t, '$BpeishPattern')), 6) AS chars_per_token
+         |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "ta_fingerprint" ->
+      s"""$sqlNorm,
+         |fp AS (
+         |  SELECT doc_id, t,
+         |    [('0x'||substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
+         |     for i in range(1, greatest(len(t)-6, 2))] AS sh
+         |  FROM norm)
+         |SELECT doc_id,
+         |  ('0x'||substr(md5(t), 1, 15))::BIGINT AS fp_full,
+         |  list_min(sh) AS fp_min,
+         |  list_max(sh) AS fp_max
+         |FROM fp ORDER BY doc_id""".stripMargin)
+}
