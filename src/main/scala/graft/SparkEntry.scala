@@ -7,14 +7,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * aggregates them.
   */
 object SparkEntry {
-  import graft.queries.{AnnQueries, DedupQueries, QueryUtil, RelationalQueries, TextQueries, VectorQueries}
+  import graft.queries.{AnnQueries, DedupQueries, DocQueries, QueryUtil, RelationalQueries, TextQueries, VectorQueries}
 
   private val modules: Seq[(Map[String, QueryUtil.Q], Map[String, String])] = Seq(
     (RelationalQueries.defs, RelationalQueries.oracles),
     (VectorQueries.defs, VectorQueries.oracles),
     (DedupQueries.defs, DedupQueries.oracles),
     (TextQueries.defs, TextQueries.oracles),
-    (AnnQueries.defs, AnnQueries.oracles))
+    (AnnQueries.defs, AnnQueries.oracles),
+    (DocQueries.defs, DocQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,50 @@
+package graft.embed
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Embeddings plumbing.
+  *
+  * The reference calls external embedding APIs in batches
+  * (reference: openai_embeddings.py / oss_embeddings.py — network
+  * models this zero-egress build cannot reach). The engine only
+  * depends on the CONTRACT: text → fixed-dim float vector, identical
+  * input → identical output, batchable. `HashingEmbedder` satisfies it
+  * deterministically: a hashed bag-of-tokens projection (the classic
+  * feature-hashing trick), L2-normalized so cosine scores are
+  * well-behaved. Similar token multisets → nearby vectors, which is
+  * enough to exercise every index/query path end-to-end.
+  *
+  * A production deployment swaps in a real model behind the same
+  * trait (e.g. batch inference over `mapPartitions`); nothing else in
+  * the engine changes.
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  def embed(tokens: Seq[String]): Array[Float]
+}
+
+final class HashingEmbedder(val dim: Int = 64) extends Embedder {
+
+  private def hash64(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    // first 8 bytes, big-endian
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  def embed(tokens: Seq[String]): Array[Float] = {
+    val v = new Array[Double](dim)
+    tokens.foreach { t =>
+      val h = hash64(t)
+      val idx = java.lang.Long.remainderUnsigned(h, dim.toLong).toInt
+      val sign = if (((h >>> 32) & 1L) == 0L) 1.0 else -1.0
+      v(idx) += sign
+    }
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    val scale = if (norm == 0.0) 1.0 else norm
+    v.map(x => (x / scale).toFloat)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embed.{Embedder, HashingEmbedder}
+import graft.filters.MetaFilter
+import graft.functions.VectorFunctions._
+import graft.text.{SplitterConfig, TextSplitter}
+
+/** One chunk row of the document index. */
+final case class DocChunk(
+    chunk_id: String,
+    document_id: String,
+    uri: String,
+    start_pos: Int,
+    end_pos: Int,
+    n_tokens: Int,
+    vector: Array[Float])
+
+/** Spark-native re-expression of the reference's LocalDocumentIndex
+  * (reference: local_document_index.py:61-305).
+  *
+  * The reference keeps a catalog.json (uri↔id) plus one LocalIndex of
+  * chunk items per folder, ingesting one document per call. Here both
+  * halves are DataFrames — `catalog(document_id, uri)` and a
+  * `VectorIndex` of chunk rows — and ingestion is BULK: a whole corpus
+  * DataFrame is split + embedded in one `flatMap` pass on executors
+  * (reference: upsert_document splits and embeds driver-side, one doc
+  * at a time — the shape that cannot scale). document_id is the md5 of
+  * the uri, which keeps ids stable across re-ingestion (the reference
+  * uses uuid4; deterministic ids are strictly more useful and equally
+  * unique per uri).
+  */
+final class DocumentIndex private (
+    val catalog: DataFrame,
+    val chunks: VectorIndex,
+    val splitter: TextSplitter,
+    val embedder: Embedder) {
+
+  /** reference: local_document_index.py:76-78 get_document_id. */
+  def getDocumentId(uri: String): DataFrame =
+    catalog.filter(col("uri") === uri).select(col("document_id"))
+
+  /** reference: local_document_index.py:80-82 get_document_uri. */
+  def getDocumentUri(documentId: String): DataFrame =
+    catalog.filter(col("document_id") === documentId).select(col("uri"))
+
+  /** Bulk upsert of (uri, text) rows: latest wins per uri
+    * (reference: local_document_index.py:127-219 upsert_document,
+    * minus the per-document driver loop). Split + embed happen inside
+    * flatMap — narrow, no shuffle; the only shuffles are the two
+    * left_anti joins that retire previous versions.
+    */
+  def upsertDocuments(docs: DataFrame): DocumentIndex = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sp = splitter
+    val em = embedder
+    val newChunks: Dataset[DocChunk] =
+      docs.select(col("uri").cast("string"), col("text").cast("string"))
+        .as[(String, String)]
+        .flatMap { case (uri, text) =>
+          val docId = DocumentIndex.docIdFor(uri)
+          sp.split(text).zipWithIndex.map { case (c, i) =>
+            DocChunk(s"$docId-$i", docId, uri, c.startPos, c.endPos,
+              c.tokens.length, em.embed(c.tokens))
+          }
+        }
+    val newCatalog = docs.select(col("uri").cast("string"))
+      .distinct()
+      .withColumn("document_id", md5(col("uri")))
+      .select(col("document_id"), col("uri"))
+    val keptCatalog = catalog.join(newCatalog.select("uri"), Seq("uri"), "left_anti")
+      .select(col("document_id"), col("uri"))
+    val keptChunks = chunks.items.join(newCatalog.select("document_id"), Seq("document_id"), "left_anti")
+    val chunkDf = newChunks.toDF()
+      .withColumn("norm", normD(col("vector")))
+      .select(keptChunks.columns.map(col).toIndexedSeq: _*)
+    new DocumentIndex(
+      keptCatalog.unionByName(newCatalog),
+      VectorIndex.build(keptChunks.unionByName(chunkDf), "chunk_id", "vector"),
+      splitter, embedder)
+  }
+
+  /** reference: local_document_index.py:88-116 delete_document. */
+  def deleteDocument(uri: String): DocumentIndex = {
+    val docId = md5(lit(uri))
+    new DocumentIndex(
+      catalog.filter(col("uri") =!= uri),
+      VectorIndex.build(chunks.items.filter(col("document_id") =!= docId), "chunk_id", "vector"),
+      splitter, embedder)
+  }
+
+  /** Top-documents query (reference:
+    * local_document_index.py:221-254 query_documents): top `maxChunks`
+    * chunks by cosine → group by document → mean chunk score → top
+    * `maxDocuments`. The chunk top-k is a TakeOrderedAndProject (no
+    * global sort); the per-document aggregation then touches at most
+    * `maxChunks` rows.
+    */
+  def queryDocuments(queryText: String, maxDocuments: Int = 10, maxChunks: Int = 50,
+      filter: Option[MetaFilter] = None): DataFrame = {
+    val qv = embedder.embed(splitter.tokenizer.encode(queryText.replace('\n', ' ')))
+    val topChunks = chunks.queryItems(qv.map(_.toDouble).toIndexedSeq, maxChunks, filter)
+    topChunks
+      .groupBy(col("document_id"))
+      .agg(avg(col("score")).as("score"), count(lit(1)).as("n_chunks"))
+      .join(broadcast(catalog), Seq("document_id"))
+      .orderBy(desc("score"), col("document_id"))
+      .limit(maxDocuments)
+      .select(col("document_id"), col("uri"), col("score"), col("n_chunks"))
+  }
+
+  /** reference: local_document_index.py:118-125 get_catalog_stats. */
+  def catalogStats: DataFrame =
+    catalog.agg(count(lit(1)).as("documents"))
+      .crossJoin(chunks.items.agg(count(lit(1)).as("chunks")))
+      .withColumn("version", lit(1L))
+
+  def save(path: String): Unit = {
+    catalog.write.mode(SaveMode.Overwrite).parquet(s"$path/catalog")
+    chunks.save(s"$path/chunks")
+  }
+}
+
+object DocumentIndex {
+
+  def docIdFor(uri: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(uri.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Empty index (reference: create_index + catalog bootstrap,
+    * local_document_index.py:84-86/277-305).
+    */
+  def create(spark: SparkSession,
+      config: SplitterConfig = SplitterConfig(keepSeparators = true, chunkSize = 512, chunkOverlap = 0),
+      embedder: Embedder = new HashingEmbedder(64)): DocumentIndex = {
+    import spark.implicits._
+    val emptyCatalog = Seq.empty[(String, String)].toDF("document_id", "uri")
+    val emptyChunks = Seq.empty[DocChunk].toDF().withColumn("norm", lit(0.0))
+    new DocumentIndex(emptyCatalog,
+      VectorIndex.build(emptyChunks, "chunk_id", "vector"),
+      new TextSplitter(config), embedder)
+  }
+
+  def load(spark: SparkSession, path: String,
+      config: SplitterConfig = SplitterConfig(keepSeparators = true, chunkSize = 512, chunkOverlap = 0),
+      embedder: Embedder = new HashingEmbedder(64)): DocumentIndex =
+    new DocumentIndex(
+      spark.read.parquet(s"$path/catalog"),
+      VectorIndex.load(spark, s"$path/chunks", "chunk_id", "vector"),
+      new TextSplitter(config), embedder)
+}
