@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * aggregates them.
   */
 object SparkEntry {
-  import graft.queries.{AnnQueries, DedupQueries, DocQueries, QueryUtil, RelationalQueries, TextQueries, VectorQueries}
+  import graft.queries.{AnnQueries, DedupQueries, DocQueries, MultimodalQueries, QueryUtil, RelationalQueries, TextQueries, VectorQueries}
 
   private val modules: Seq[(Map[String, QueryUtil.Q], Map[String, String])] = Seq(
     (RelationalQueries.defs, RelationalQueries.oracles),
@@ -15,7 +15,8 @@ object SparkEntry {
     (DedupQueries.defs, DedupQueries.oracles),
     (TextQueries.defs, TextQueries.oracles),
     (AnnQueries.defs, AnnQueries.oracles),
-    (DocQueries.defs, DocQueries.oracles))
+    (DocQueries.defs, DocQueries.oracles),
+    (MultimodalQueries.defs, MultimodalQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

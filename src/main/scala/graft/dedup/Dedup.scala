@@ -60,21 +60,43 @@ object Dedup {
       .select(col("ida"), col("idb"), col("jaccard"))
   }
 
-  /** MinHash + LSH candidate pairs: signature and band keys are one
-    * projection per row; the only shuffle is the groupBy on
-    * (band, key) — each band bucket emits its pairs. Distinct-ness of
-    * pairs is enforced after the union of bands.
+  /** Modulus and mixing constant of the portable universal hash family
+    * h_s(x) = (base(x)·(2s+1) + 7919·s) mod P, base(x) = md5-hash(x)
+    * mod P. One md5 per shingle; the other nHashes-1 values are two
+    * codegen'd integer ops each, and every operand stays < 2^57 so the
+    * arithmetic is overflow-free (DuckDB raises on BIGINT overflow —
+    * the same expressions must run there as the oracle).
+    */
+  val MinHashP = 100000007L
+  val MinHashMix = 7919L
+
+  /** MinHash + LSH candidate pairs. Dataflow (all stages codegen'd):
+    *   1. explode distinct word shingles → (id, shingle) postings;
+    *   2. one portable md5 hash per shingle, then the universal-hash
+    *      family above gives all nHashes values arithmetically;
+    *   3. groupBy(id) with nHashes `min` aggregates — partial (map-side)
+    *      combine makes the shuffle O(docs × nHashes) longs, NOT
+    *      O(shingles);
+    *   4. band keys = md5 over rowsPerBand signature slots; explode to
+    *      (band, key) and self-join — docs sharing any band bucket are
+    *      candidates.
     */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, nHashes: Int, nBands: Int): DataFrame = {
     val rowsPerBand = nHashes / nBands
-    val sigs = docs.select(
-      col(idCol),
-      lshBandKeys(
-        minHashSignature(
-          wordShingles(wsTokens(normText(col(textCol))), shingleLen), nHashes),
-        nBands, rowsPerBand).as("bands"))
-    val banded = sigs.select(col(idCol), posexplode(col("bands")).as(Seq("band", "bkey")))
+    val postings = docs.select(col(idCol),
+      explode(wordShingles(wsTokens(normText(col(textCol))), shingleLen)).as("g"))
+      .withColumn("base", portableHash(col("g")) % MinHashP)
+    val minAggs = (0 until nHashes).map { s =>
+      min((col("base") * (2 * s + 1) + MinHashMix * s) % MinHashP).as(s"h$s")
+    }
+    val sigs = postings.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+    val bandKeys = (0 until nBands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(s => col(s"h$s").cast("string"))
+      md5(concat_ws(",", slots: _*))
+    }
+    val banded = sigs.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
     val l = banded.select(col("band"), col("bkey"), col(idCol).as("ida"))
     val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"), col(idCol).as("idb"))
     l.join(r, col("band") === col("band_r") && col("bkey") === col("bkey_r") &&

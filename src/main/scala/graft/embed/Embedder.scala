@@ -37,7 +37,10 @@ final class HashingEmbedder(val dim: Int = 64) extends Embedder {
 
   def embed(tokens: Seq[String]): Array[Float] = {
     val v = new Array[Double](dim)
-    tokens.foreach { t =>
+    // Tokens arrive with attached leading whitespace (RegexTokenizer
+    // preserves it for decode fidelity); hash the trimmed lowercase
+    // form so ' Word' and 'word' land in the same feature.
+    tokens.iterator.map(_.trim.toLowerCase).filter(_.nonEmpty).foreach { t =>
       val h = hash64(t)
       val idx = java.lang.Long.remainderUnsigned(h, dim.toLong).toInt
       val sign = if (((h >>> 32) & 1L) == 0L) 1.0 else -1.0

@@ -64,26 +64,6 @@ object TextFunctions {
     regexp_extract_all(t, lit(BpeishPattern), lit(0))
   }
 
-  /** MinHash signature: `nHashes` portable min-hashes over a shingle
-    * array column — computed entirely inside one projection
-    * (nHashes × |shingles| hash evals per row, no explode/shuffle).
-    */
-  def minHashSignature(shingles: Column, nHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(nHashes - 1)),
-      seed => array_min(
-        transform(shingles, s => portableHash(concat(seed.cast("string"), lit("|"), s)))))
-
-  /** LSH band keys over a MinHash signature: `nBands` md5 digests of
-    * comma-joined signature slices. Docs sharing any (band, key) are
-    * candidate near-duplicates.
-    */
-  def lshBandKeys(sig: Column, nBands: Int, rowsPerBand: Int): Column =
-    transform(
-      sequence(lit(0), lit(nBands - 1)),
-      b => md5(array_join(
-        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")), ",")))
-
   /** Small multilingual stopword/marker sets for the heuristic
     * language-ID operator. Deterministic, tiny, broadcast-free (they
     * compile into the expression tree as literals).

@@ -1,0 +1,92 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, processed per-partition on executors.
+  *
+  * Real image/audio decoding needs native libs absent from this
+  * container, so `decodeStub` is a clearly-marked deterministic fake —
+  * but everything Spark-side is real and load-bearing: the schema
+  * shape (binary payload + struct metadata), the `mapPartitions`
+  * batching (one decoder instance per partition, the same shape a
+  * JNI/FFmpeg/Pillow binding needs), byte-level feature extraction,
+  * and strided frame sampling. Swapping `decodeStub` for a real codec
+  * changes no plan.
+  */
+object Multimodal {
+
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, n_vowel_bytes: Long, mean_byte: Double)
+
+  final case class Frame(
+      doc_id: Long, frame_idx: Long, offset: Long, frame_len: Long, frame_md5: String)
+
+  /** STUB decode: identity over the payload bytes. A real build
+    * replaces this with an actual codec (e.g. JPEG → pixel array);
+    * everything downstream consumes only the returned bytes.
+    */
+  private def decodeStub(payload: Array[Byte]): Array[Byte] = payload
+
+  /** Attach a binary payload + typed metadata to a text table — the
+    * ingestion shape for media: payload is opaque, metadata is
+    * columnar (prunable, filterable) like the reference's indexed
+    * metadata (reference: local_index.py metadata_config.indexed).
+    */
+  def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        octet_length(col(textCol).cast("binary")).cast("long").as("n_bytes"),
+        lit("text/plain").as("mime")).as("media_meta"))
+
+  /** Byte-histogram features via mapPartitions: one decoder per
+    * partition, tight loop over payload bytes, no shuffle.
+    */
+  def byteFeatures(media: DataFrame, idCol: String): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val bytes = decodeStub(payload)
+          var vowels = 0L
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            if (b == 'a' || b == 'e' || b == 'i' || b == 'o' || b == 'u') vowels += 1
+            sum += b
+            i += 1
+          }
+          val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+          MediaFeatures(id, bytes.length.toLong, vowels,
+            BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+  }
+
+  /** Strided frame sampling: every `stride` bytes take a `frameLen`
+    * window — the byte-domain twin of video frame sampling. Emits
+    * (frame_idx, offset, md5) rows; narrow flatMap, no shuffle.
+    */
+  def frameSample(media: DataFrame, idCol: String, stride: Int, frameLen: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val bytes = decodeStub(payload)
+        Iterator.range(0, math.max(bytes.length - frameLen + 1, 0), stride).zipWithIndex
+          .map { case (off, k) =>
+            val frame = java.util.Arrays.copyOfRange(bytes, off, off + frameLen)
+            val digest = java.security.MessageDigest.getInstance("MD5").digest(frame)
+              .map(b => f"${b & 0xff}%02x").mkString
+            Frame(id, k.toLong, off.toLong, frameLen.toLong, digest)
+          }
+      }
+  }
+}

@@ -77,27 +77,35 @@ object DedupQueries {
          |WHERE round(i * 1.0 / (sa.c + sb.c - i), 6) >= 0.5
          |ORDER BY ida, idb""".stripMargin,
 
-    "dd_minhash" ->
+    "dd_minhash" -> {
+      import graft.dedup.Dedup.{MinHashMix, MinHashP}
+      val minCols = (0 until 16).map(s =>
+        s"min((base * ${2 * s + 1} + ${MinHashMix * s}) % $MinHashP) AS h$s").mkString(",\n    ")
+      val bandSelects = (0 until 4).map { b =>
+        val slots = (b * 4 until (b + 1) * 4).map(s => s"h$s::VARCHAR").mkString("||','||")
+        s"SELECT doc_id, $b AS band, md5($slots) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
       s"""$sqlNorm,
          |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
          |sh AS (
          |  SELECT doc_id,
-         |    list_distinct([array_to_string(toks[i : i+2], ' ')
-         |      for i in range(1, greatest(len(toks)-1, 2))]) AS shingles
+         |    unnest(list_distinct([array_to_string(toks[i : i+2], ' ')
+         |      for i in range(1, greatest(len(toks)-1, 2))])) AS g
          |  FROM tok),
+         |hashed AS (
+         |  SELECT doc_id, ('0x'||substr(md5(g), 1, 15))::BIGINT % $MinHashP AS base
+         |  FROM sh),
          |sig AS (
          |  SELECT doc_id,
-         |    [list_min([('0x'||substr(md5(seed::VARCHAR||'|'||s), 1, 15))::BIGINT for s in shingles])
-         |     for seed in range(0, 16)] AS sig
-         |  FROM sh),
+         |    $minCols
+         |  FROM hashed GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, b,
-         |    md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bkey
-         |  FROM sig, unnest(range(0, 4)) AS u(b))
+         |  $bandSelects)
          |SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
          |FROM bands a JOIN bands b
-         |  ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |ORDER BY ida, idb""".stripMargin,
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |ORDER BY ida, idb""".stripMargin
+    },
 
     "dd_embed_cosine" ->
       """WITH p AS (

@@ -1,0 +1,67 @@
+package graft
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpecBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "the quick  brown fox jumps over the lazy dog "), // ws-normalized dup of 1
+      (3L, "en", "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+      (4L, "en", "completely different content about spark engines and shuffles"),
+      (5L, "fr", "the quick brown fox jumps over the lazy dog"))   // dup text, other block
+      .toDF("doc_id", "lang", "text")
+  }
+
+  test("exact dedup groups whitespace-normalized duplicates, keeps min id") {
+    import spark.implicits._
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == 3) // 1≡2≡5 collapse into one survivor (global, unblocked)
+    val survivor = out.filter($"n_copies" === 3).select("doc_id").as[Long].head()
+    assert(survivor == 1L)
+  }
+
+  test("word-shingle jaccard finds the near-dup pair within its block") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", n = 3, threshold = 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical after normalization
+    assert(pairs.contains((1L, 3L))) // one word differs
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // fr block isolated
+  }
+
+  test("minhash LSH surfaces exact-dup candidates") {
+    import spark.implicits._
+    val cand = Dedup.minHashCandidates(docs, "doc_id", "text",
+        shingleLen = 3, nHashes = 16, nBands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)))
+    assert(cand.contains((1L, 5L))) // minhash has no block column — full-corpus candidates
+  }
+
+  test("simhash: identical docs hamming 0, near-dups close, pairs blocked") {
+    import spark.implicits._
+    val fp = Dedup.simHash(docs, "doc_id", "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 16)
+
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", "lang", maxHamming = 3)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 5L)) // fr block isolated
+  }
+
+  test("embedding cosine pairs above threshold within block") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.9f, 0.1f)),
+      (3L, 0, Array(0.0f, 1.0f)), (4L, 1, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", "label", 0.9)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // 1~2 similar; 3 orthogonal; 4 other block
+  }
+}
