@@ -105,27 +105,31 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash fingerprint per doc. Uses xxhash64 for the token
-    * hash (engine-internal only — simhash has a rows-only oracle).
-    * The fold over 64 bit positions runs inside one projection.
+  /** 64-bit SimHash fingerprint per doc: explode tokens, xxhash64 each
+    * (engine-internal only — simhash has a rows-only oracle), then 64
+    * codegen'd `sum(±1 per bit)` aggregates with map-side combine and
+    * a final sign-pack. The shuffle carries 64 longs per doc; every
+    * stage is whole-stage-codegen (the earlier HOF formulation ran
+    * ~19M interpreted lambda evals at sf0.1).
+    * Token multiplicity weights bits, like classic simhash.
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withTokens = docs.withColumn("_toks", wsTokens(normText(col(textCol))))
-    // For each bit i: sign of sum over tokens of (bit i of hash ? +1 : -1);
-    // pack sign bits back into one long. Expressed as SQL higher-order
-    // functions (dynamic shift amounts need the SQL form — the Scala
-    // shiftright() only takes a literal shift).
-    val simhashExpr =
-      """aggregate(
-        |  sequence(0, 63),
-        |  0L,
-        |  (acc, i) -> acc + IF(
-        |    aggregate(_hashes, 0L, (a, h) -> a + (shiftright(h, i) & 1L) * 2L - 1L) > 0L,
-        |    shiftleft(1L, i), 0L))""".stripMargin
-    withTokens
-      .withColumn("_hashes", expr("transform(_toks, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(simhashExpr))
-      .drop("_toks", "_hashes")
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame = {
+    val kept = keepCols.map(c => first(col(c)).as(c))
+    val toks = docs
+      .select((idCol +: textCol +: keepCols).distinct.map(col): _*)
+      .withColumn("_t", explode(wsTokens(normText(col(textCol)))))
+      .withColumn("_h", xxhash64(col("_t")))
+    val bitAggs = (0 until 64).map { i =>
+      sum(shiftright(col("_h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"_b$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _) // disjoint bit values: sum == bitwise OR
+    toks.groupBy(col(idCol))
+      .agg((bitAggs ++ kept).head, (bitAggs ++ kept).tail: _*)
+      .withColumn("simhash", packed)
+      .drop((0 until 64).map(i => s"_b$i"): _*)
   }
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming, blocked by a
@@ -135,7 +139,8 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, maxHamming: Int): DataFrame = {
-    val fp = simHash(docs, idCol, textCol).select(col(idCol), col(blockCol), col("simhash"))
+    val fp = simHash(docs, idCol, textCol, keepCols = Seq(blockCol))
+      .select(col(idCol), col(blockCol), col("simhash"))
     val chunked = fp.select(col(idCol), col(blockCol), col("simhash"),
       posexplode(expr(
         "transform(sequence(0,3), c -> shiftright(simhash, c*16) & 65535L)"))

@@ -43,13 +43,15 @@ object TextFunctions {
     * shingle space is high-entropy, so inverted postings stay short
     * and shingle-join dedup stays near-linear — char trigrams of
     * natural text are so common that postings (and the candidate-pair
-    * join) go quadratic.
+    * join) go quadratic. Generation is a native codegen expression
+    * (graft.functions.expr.WordShingles); the HOF formulation
+    * (transform + array_join + slice) is interpreted per element.
     */
-  def wordShingles(tokens: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
-        i => array_join(slice(tokens, i, lit(n)), " ")))
+  def wordShingles(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    array_distinct(ColumnBridge.column(
+      graft.functions.expr.WordShingles(ColumnBridge.expression(tokens), n)))
+  }
 
   /** BPE-ish regex tokens: letter runs / digit runs / single
     * punctuation marks — a deterministic, engine-portable stand-in for

@@ -7,22 +7,27 @@ import org.apache.spark.sql.functions._
   *
   * Re-expresses the scoring kernel of the reference's ItemSelector
   * (reference: item_selector.py:9-52 — dot_product / normalize /
-  * cosine_similarity / normalized_cosine_similarity) as codegen'd
-  * Catalyst higher-order functions: `zip_with` + `aggregate` stay
-  * inside WholeStageCodegen, so scoring 100 TB of vectors is a single
-  * narrow map stage with no shuffle and no UDF serialization.
+  * cosine_similarity / normalized_cosine_similarity). The hot kernels
+  * (`dotD`, `l2SqD`) are native Catalyst expressions with `doGenCode`
+  * (graft.functions.expr.VectorExpressions) — a tight primitive loop
+  * inside WholeStageCodegen; Spark's own higher-order functions are
+  * CodegenFallback and run an interpreted lambda per element, ~10×
+  * slower on the 64-dim scoring path. Scoring 100 TB of vectors stays
+  * a single narrow map stage: no shuffle, no UDF serialization.
   *
   * All arithmetic is double-precision regardless of input element
-  * type, matching the reference (Python floats are doubles).
+  * type, matching the reference (Python floats are doubles), with the
+  * same left-to-right accumulation order as DuckDB's
+  * list_dot_product (SURVEY.md §5 cross-engine determinism).
   */
 object VectorFunctions {
+  import org.apache.spark.sql.graftshim.{ColumnBridge => ExpressionUtils}
+  import graft.functions.expr.{VectorDot, VectorL2Sq}
 
-  /** Dot product in double precision. */
+  /** Dot product in double precision (codegen'd kernel). */
   def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    ExpressionUtils.column(
+      VectorDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** L2 norm (reference: item_selector.py:22-39 `normalize`). */
   def normD(a: Column): Column = sqrt(dotD(a, a))
@@ -43,13 +48,10 @@ object VectorFunctions {
     transform(a, x => x.cast("double") / n)
   }
 
-  /** Squared L2 distance — cheaper than cosine for IVF assignment. */
+  /** Squared L2 distance — cheaper than cosine for IVF assignment
+    * (codegen'd kernel).
+    */
   def l2SqD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0),
-      (acc, x) => acc + x)
+    ExpressionUtils.column(
+      VectorL2Sq(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
