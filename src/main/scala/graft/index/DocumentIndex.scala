@@ -67,12 +67,16 @@ final class DocumentIndex private (
               c.tokens.length, em.embed(c.tokens))
           }
         }
-    val newCatalog = docs.select(col("uri").cast("string"))
-      .distinct()
+    // Catalog keeps the document text (columnar, read only by section
+    // rendering) — the analogue of the reference's per-document
+    // `{id}.txt` files (reference: local_document_index.py:207-208).
+    val newCatalog = docs
+      .select(col("uri").cast("string"), col("text").cast("string"))
+      .dropDuplicates("uri")
       .withColumn("document_id", md5(col("uri")))
-      .select(col("document_id"), col("uri"))
+      .select(col("document_id"), col("uri"), col("text"))
     val keptCatalog = catalog.join(newCatalog.select("uri"), Seq("uri"), "left_anti")
-      .select(col("document_id"), col("uri"))
+      .select(col("document_id"), col("uri"), col("text"))
     val keptChunks = chunks.items.join(newCatalog.select("document_id"), Seq("document_id"), "left_anti")
     val chunkDf = newChunks.toDF()
       .withColumn("norm", normD(col("vector")))
@@ -106,11 +110,54 @@ final class DocumentIndex private (
     topChunks
       .groupBy(col("document_id"))
       .agg(avg(col("score")).as("score"), count(lit(1)).as("n_chunks"))
-      .join(broadcast(catalog), Seq("document_id"))
+      .join(broadcast(catalog.select("document_id", "uri")), Seq("document_id"))
       .orderBy(desc("score"), col("document_id"))
       .limit(maxDocuments)
       .select(col("document_id"), col("uri"), col("score"), col("n_chunks"))
   }
+
+  /** Render token-budgeted sections for the top documents of a query
+    * (reference: local_document_result.py:26-183 render_sections, as
+    * invoked by vectra-cli.py's `query --format sections`). The group
+    * work (one document's ≤ maxChunks chunks + its text) runs per-key
+    * in `flatMapGroups` on executors — no driver loop.
+    */
+  def renderSections(queryText: String, maxTokens: Int = 2000, maxSections: Int = 1,
+      maxDocuments: Int = 10, maxChunks: Int = 50): DataFrame = {
+    val spark = catalog.sparkSession
+    import spark.implicits._
+    val qv = embedder.embed(splitter.tokenizer.encode(queryText.replace('\n', ' ')))
+    val topChunks = chunks.queryItems(qv.map(_.toDouble).toIndexedSeq, maxChunks)
+      .select(col("document_id"), col("start_pos"), col("end_pos"), col("score"))
+    val tok = splitter.tokenizer
+    val topDocs = queryDocuments(queryText, maxDocuments, maxChunks)
+      .select(col("document_id"))
+    topChunks
+      .join(broadcast(topDocs), "document_id")
+      .join(catalog.select(col("document_id"), col("uri"), col("text")), "document_id")
+      .select(col("document_id"), col("uri"), col("text"),
+        col("start_pos"), col("end_pos"), col("score"))
+      .as[(String, String, String, Int, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (docId, rows) =>
+        val rs = rows.toVector.sortBy(r => (-r._6, r._4))
+        val uri = rs.head._2
+        val text = rs.head._3
+        graft.text.SectionRenderer.render(
+            text, rs.map(r => graft.text.ScoredChunk(r._4, r._5, r._6)),
+            maxTokens, maxSections, tok)
+          .zipWithIndex.map { case (sec, i) =>
+            (docId, uri, i, sec.text, sec.tokenCount, sec.score)
+          }
+      }
+      .toDF("document_id", "uri", "section_idx", "text", "token_count", "score")
+  }
+
+  /** reference: local_document_index.py:76-78/local_document.py — load
+    * a document's stored text (the `{id}.txt` analogue).
+    */
+  def loadText(uri: String): DataFrame =
+    catalog.filter(col("uri") === uri).select(col("text"))
 
   /** reference: local_document_index.py:118-125 get_catalog_stats. */
   def catalogStats: DataFrame =
@@ -118,8 +165,12 @@ final class DocumentIndex private (
       .crossJoin(chunks.items.agg(count(lit(1)).as("chunks")))
       .withColumn("version", lit(1L))
 
+  /** Temp-write + swap per component (see VectorIndex.writeSwap): an
+    * index re-saved over the path it was loaded from must not clobber
+    * its own lazily-read inputs.
+    */
   def save(path: String): Unit = {
-    catalog.write.mode(SaveMode.Overwrite).parquet(s"$path/catalog")
+    VectorIndex.writeSwap(catalog, s"$path/catalog")
     chunks.save(s"$path/chunks")
   }
 }
@@ -139,7 +190,7 @@ object DocumentIndex {
       config: SplitterConfig = SplitterConfig(keepSeparators = true, chunkSize = 512, chunkOverlap = 0),
       embedder: Embedder = new HashingEmbedder(64)): DocumentIndex = {
     import spark.implicits._
-    val emptyCatalog = Seq.empty[(String, String)].toDF("document_id", "uri")
+    val emptyCatalog = Seq.empty[(String, String, String)].toDF("document_id", "uri", "text")
     val emptyChunks = Seq.empty[DocChunk].toDF().withColumn("norm", lit(0.0))
     new DocumentIndex(emptyCatalog,
       VectorIndex.build(emptyChunks, "chunk_id", "vector"),

@@ -84,13 +84,32 @@ final class VectorIndex private (
       min(size(col(vecCol))).cast("long").as("min_dim"),
       max(size(col(vecCol))).cast("long").as("max_dim"))
 
-  /** Persist as parquet — the scale-out analogue of index.json. */
-  def save(path: String): Unit =
-    items.write.mode(SaveMode.Overwrite).parquet(path)
+  /** Persist as parquet — the scale-out analogue of index.json.
+    * Writes to a temp dir and swaps, so saving an index back over the
+    * path it was lazily loaded from cannot delete files mid-scan.
+    */
+  def save(path: String): Unit = VectorIndex.writeSwap(items, path)
 }
 
 object VectorIndex {
   private[index] val NORM = "norm"
+
+  /** Overwrite `dest` with `df` safely even when `df` reads from
+    * `dest` itself (lazy plans + Overwrite would otherwise delete the
+    * input mid-scan): write to a sibling temp dir, then swap via the
+    * Hadoop FileSystem so it also works on HDFS/object stores.
+    */
+  private[index] def writeSwap(df: DataFrame, dest: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val destPath = new Path(dest)
+    val tmpPath = new Path(dest + "__tmp")
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode(SaveMode.Overwrite).parquet(tmpPath.toString)
+    fs.delete(destPath, true)
+    if (!fs.rename(tmpPath, destPath))
+      throw new java.io.IOException(s"rename $tmpPath -> $destPath failed")
+  }
 
   private def withNorm(df: DataFrame, vecCol: String): DataFrame =
     if (df.columns.contains(NORM)) df

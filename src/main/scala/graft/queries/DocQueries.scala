@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.index.DocumentIndex
-import graft.text.{ScoredChunk, SectionRenderer, SplitterConfig, TextSplitter}
+import graft.text.{SplitterConfig, TextSplitter}
 import QueryUtil._
 
 /** Document-layer suite: the reference's chunk → embed → query →
@@ -84,36 +84,16 @@ object DocQueries {
     }),
 
     // reference: local_document_result.py:26-183 render_sections over
-    // the top-50 chunks of a corpus-wide query
+    // the top documents of a corpus-wide query
     "d_sections" -> ((s, dir) => {
-      import s.implicits._
       val docs = t(s, dir, "documents")
         .select(col("doc_id").cast("string").as("uri"), col("text"))
       val idx = DocumentIndex.create(s, ChunkCfg).upsertDocuments(docs)
-      val qv = idx.embedder
-        .embed(idx.splitter.tokenizer.encode("spark table join query"))
-        .map(_.toDouble).toIndexedSeq
-      val topChunks = idx.chunks.queryItems(qv, 50)
-        .select(col("uri"), col("start_pos"), col("end_pos"), col("score"))
-      val tok = idx.splitter.tokenizer
-      topChunks
-        .join(docs, "uri")
-        .select(col("uri"), col("text"), col("start_pos"), col("end_pos"), col("score"))
-        .as[(String, String, Int, Int, Double)]
-        .groupByKey(_._1)
-        .flatMapGroups { (uri, rows) =>
-          val rs = rows.toVector.sortBy(r => (-r._5, r._3))
-          val text = rs.head._2
-          SectionRenderer.render(
-              text, rs.map(r => ScoredChunk(r._3, r._4, r._5)),
-              maxTokens = 120, maxSections = 2, tok)
-            .zipWithIndex.map { case (sec, i) =>
-              (uri, i.toLong, sec.tokenCount.toLong,
-                BigDecimal(sec.score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-                sec.text.length.toLong)
-            }
-        }
-        .toDF("uri", "section_idx", "token_count", "score", "text_len")
+      idx.renderSections("spark table join query",
+          maxTokens = 120, maxSections = 2, maxDocuments = 50)
+        .select(col("uri"), col("section_idx").cast("long"),
+          col("token_count").cast("long"), round(col("score"), 6).as("score"),
+          length(col("text")).cast("long").as("text_len"))
         .orderBy(col("uri"), col("section_idx"))
     }))
 

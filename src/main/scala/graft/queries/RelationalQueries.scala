@@ -95,6 +95,15 @@ object RelationalQueries {
           count(lit(1)).as("n"),
           dsum(col("value")).as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Batch twin of graft.streaming.Sessionize (30-min gap sessions);
+    // the streaming twin (flatMapGroupsWithState) is equivalence-tested
+    // in StreamingSpec.
+    "q_sessionize" -> ((s, dir) => {
+      graft.streaming.Sessionize.batch(t(s, dir, "events"), gapMinutes = 30)
+        .withColumn("session_id", col("session_id").cast("long"))
+        .orderBy(col("user_id"), col("session_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -159,5 +168,24 @@ object RelationalQueries {
         |  count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_value
         |FROM events
-        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id::BIGINT AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_value
+        |FROM s GROUP BY user_id, s.session_id
+        |ORDER BY user_id, session_id""".stripMargin)
 }

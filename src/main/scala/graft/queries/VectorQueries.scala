@@ -113,6 +113,16 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // reference: item_selector.py:41-52 normalized_cosine_similarity —
+    // the norm-cached scoring path VectorIndex.queryItems uses (norms
+    // precomputed at build, only the dot product per row at query time)
+    "v_topk_prenorm" -> ((s, dir) => {
+      val q = Seq.tabulate(64)(j => (((j * 37) % 19) - 9) / 10.0)
+      VectorIndex.build(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .queryItems(q, 10)
+        .select(col("vec_id"), col("label"), r6(col("score")).as("score"))
+    }),
+
     // scale path: one top-k per metadata group in a single window pass
     "v_topk_pergroup" -> ((s, dir) => {
       val w = Window.partitionBy(col("label"))
@@ -176,6 +186,17 @@ object VectorQueries {
         |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
         |     sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6) AS cos
         |FROM embeddings, q ORDER BY vec_id""".stripMargin,
+
+    "v_topk_prenorm" ->
+      """WITH q AS (SELECT [((j*37)%19 - 9)/10.0 for j in range(0, 64)] AS qv),
+        |scored AS (
+        |  SELECT vec_id, label,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(qv, qv))) AS score_raw
+        |  FROM embeddings, q)
+        |SELECT vec_id, label, round(score_raw, 6) AS score
+        |FROM scored ORDER BY score_raw DESC, vec_id LIMIT 10""".stripMargin,
 
     "v_topk_pergroup" ->
       s"""$sqlScored

@@ -29,9 +29,28 @@ object FileFetcher {
         col("content").cast("string").as("text"),
         col("length").as("n_bytes"))
 
+  /** HTML → plain text as a pure column expression
+    * (reference: web_fetcher.py htmlToMarkdown via BeautifulSoup +
+    * markdownify — external libs; the engine contract is "markup in,
+    * indexable text out", which a codegen'd regexp chain satisfies):
+    * drop script/style blocks, strip tags, decode the common entities,
+    * collapse whitespace.
+    */
+  def htmlToText(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noBlocks = regexp_replace(html, "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Zero-egress stand-in for the reference's WebFetcher: same output
-    * schema, fed from a local mirror directory instead of HTTP.
+    * schema (uri, doc_type, text), fed from a local mirror directory
+    * instead of HTTP, with the HTML stripped to indexable text.
     */
   def fetchWebMirror(spark: SparkSession, mirrorDir: String): DataFrame =
     fetchDir(spark, mirrorDir, "*.html")
+      .withColumn("text", htmlToText(col("text")))
 }

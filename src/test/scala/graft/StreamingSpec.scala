@@ -48,6 +48,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.length == 4) // (10h click, 10h view, 11h click, 11h view)
   }
 
+  test("stateful sessionization: stream twin matches batch twin") {
+    import spark.implicits._
+    import graft.streaming.{Session, SessionEvent, Sessionize}
+    implicit val sqlCtx = spark.sqlContext
+
+    def ev(uid: Long, ts: String, v: Double) =
+      SessionEvent(uid, Timestamp.valueOf(ts), v)
+    val real = Seq(
+      ev(1, "2024-01-01 10:00:00", 1.0), ev(1, "2024-01-01 10:10:00", 2.0),
+      ev(1, "2024-01-01 12:00:00", 3.0), // >30min gap → new session
+      ev(2, "2024-01-01 10:05:00", 4.0))
+
+    val stream = MemoryStream[SessionEvent]
+    val q = Sessionize.stream(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(real)
+      q.processAllAvailable()
+      // sentinel events push the watermark past every open session's
+      // timeout; two micro-batches so the timeout fires after the
+      // watermark advances
+      stream.addData(Seq(ev(99, "2024-01-01 20:00:00", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(99, "2024-01-01 20:01:00", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sessions_out").as[Session].collect()
+      .filter(_.user_id != 99L)
+      .map(s => (s.user_id, s.session_start.toString, s.session_end.toString,
+        s.n_events, s.sum_value))
+      .toSet
+
+    val batchIn = real.toDF().withColumn("event_id", monotonically_increasing_id())
+    val want = Sessionize.batch(batchIn, gapMinutes = 30)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got == want)
+    assert(got.size == 3) // user1 × 2 sessions + user2 × 1
+  }
+
   test("batch twin matches the q_events_window query shape on testdata") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val viaModule = EventWindows.hourly(events)
