@@ -1,0 +1,87 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Persistent IVF index: cell-partitioned parquet layout.
+  *
+  * `build` assigns every vector to its nearest centroid (Ann.ivfAssign)
+  * and `save` writes the corpus `partitionBy("cell")` — on disk each
+  * cell is its own directory. A probe then filters on the `cell`
+  * column, which Spark turns into PARTITION PRUNING: searching
+  * nprobe of nlist cells on a 100 TB corpus reads nprobe/nlist of the
+  * files and nothing else (IvfIndexSpec asserts the pruned plan).
+  * Centroids are a tiny side parquet, always broadcast.
+  *
+  * This is the batch-Spark answer to "online ANN serving needs special
+  * structures": the structure IS the storage layout, maintained by the
+  * same engine that populates it.
+  */
+final class IvfIndex private (
+    val spark: SparkSession,
+    val path: String,
+    val idCol: String,
+    val vecCol: String) {
+
+  def centroids: DataFrame = spark.read.parquet(s"$path/centroids")
+
+  def cells: DataFrame = spark.read.parquet(s"$path/cells")
+
+  /** Exact top-k within the `nprobe` cells nearest to the query —
+    * query arrives as a one-row DataFrame (col qv), everything stays
+    * declarative.
+    */
+  def search(query: DataFrame, qvecCol: String, nprobe: Int, k: Int): DataFrame = {
+    val q = broadcast(query.select(col(qvecCol).as("qv")))
+    val probeCells = centroids
+      .crossJoin(q)
+      .select(col("cell"), l2SqD(col("cv"), col("qv")).as("_qd"))
+      .orderBy(col("_qd"), col("cell"))
+      .limit(nprobe)
+      .select(col("cell"))
+    cells
+      .join(broadcast(probeCells), "cell") // partition pruning via DPP/broadcast
+      .crossJoin(q)
+      .withColumn("score_raw", cosine(col(vecCol), col("qv")))
+      .orderBy(desc("score_raw"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cell"), round(col("score_raw"), 6).as("score"))
+  }
+
+  /** Probe with a driver-known cell list — compiles to static
+    * partition pruning (PartitionFilters in the scan).
+    */
+  def searchCells(cellIds: Seq[Long], query: DataFrame, qvecCol: String, k: Int): DataFrame = {
+    val q = broadcast(query.select(col(qvecCol).as("qv")))
+    cells
+      .filter(col("cell").isin(cellIds: _*))
+      .crossJoin(q)
+      .withColumn("score_raw", cosine(col(vecCol), col("qv")))
+      .orderBy(desc("score_raw"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cell"), round(col("score_raw"), 6).as("score"))
+  }
+}
+
+object IvfIndex {
+
+  /** Assign + write the cell-partitioned layout. `centroids` must have
+    * (cid, cv) columns; rule of thumb nlist ≈ √n cells.
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String, path: String): IvfIndex = {
+    val spark = corpus.sparkSession
+    val cents = centroids.select(col(cidCol).as("cell"), col(cvecCol).as("cv"))
+    Ann.ivfAssign(corpus, idCol, vecCol, cents, "cell", "cv")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/cells")
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    new IvfIndex(spark, path, idCol, vecCol)
+  }
+
+  def load(spark: SparkSession, path: String, idCol: String, vecCol: String): IvfIndex =
+    new IvfIndex(spark, path, idCol, vecCol)
+}

@@ -66,6 +66,31 @@ final class VectorIndex private (
     new VectorIndex(merged, idCol, vecCol)
   }
 
+  /** Strict insert: fails if any incoming id already exists
+    * (reference: local_index.py:163-171 insert_item raises on
+    * duplicate, vs upsert's replace). The duplicate probe is one
+    * broadcast semi-join count — a cheap action, run once per batch.
+    */
+  def insertItems(inserts: DataFrame): VectorIndex = {
+    val dupes = items.join(
+      broadcast(inserts.select(col(idCol))), Seq(idCol), "left_semi").count()
+    require(dupes == 0, s"insertItems: $dupes id(s) already exist (use upsertItems)")
+    new VectorIndex(
+      items.unionByName(VectorIndex.withNorm(inserts, vecCol)), idCol, vecCol)
+  }
+
+  /** The reference's `metadata_config.indexed` as a projection
+    * (reference: local_index.py — indexed metadata keys live in
+    * index.json, the rest spill to side files). In columnar storage
+    * the side file is unnecessary: this narrows the index to
+    * (id, vector, norm, indexedKeys...) and parquet column pruning
+    * makes the non-indexed metadata literally unread at query time.
+    */
+  def withIndexedMetadata(indexedKeys: Seq[String]): VectorIndex = {
+    val keep = (Seq(idCol, vecCol, VectorIndex.NORM) ++ indexedKeys).distinct
+    new VectorIndex(items.select(keep.map(col): _*), idCol, vecCol)
+  }
+
   /** Batch delete by id set (reference: local_index.py:68-77
     * delete_item) — left_anti join, broadcast when the delete set is
     * small.

@@ -51,6 +51,18 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(st.getAs[Long]("min_dim") == 3L && st.getAs[Long]("max_dim") == 3L)
   }
 
+  test("insertItems is strict on duplicates; metadata config projects") {
+    import spark.implicits._
+    val idx = mkIndex
+    val fresh = Seq((9L, Array(0.2f, 0.2f, 0.2f), "c")).toDF("id", "vec", "tag")
+    assert(idx.insertItems(fresh).items.count() == 5)
+    val dup = Seq((1L, Array(0.2f, 0.2f, 0.2f), "c")).toDF("id", "vec", "tag")
+    assertThrows[IllegalArgumentException](idx.insertItems(dup))
+
+    val projected = idx.withIndexedMetadata(Nil)
+    assert(projected.items.columns.toSet == Set("id", "vec", "norm"))
+  }
+
   test("save/load parquet round-trip preserves query results") {
     import spark.implicits._
     val dir = Files.createTempDirectory("vidx").toString
