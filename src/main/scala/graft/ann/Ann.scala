@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.portableHash
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -34,11 +33,14 @@ object Ann {
       .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
       .filter(col(idCol) =!= col("qid"))
       .withColumn("score_raw", cosine(col(vecCol), col("qv")))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("score_raw"), col(idCol))
+    // bounded-heap aggregate, not a window: the shuffle carries ≤ k
+    // pairs per (query × map partition) instead of every scored row
     scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col(idCol), round(col("score_raw"), 6).as("score"), col("rk"))
+      .groupBy(col("qid"))
+      .agg(topK(col("score_raw"), col(idCol), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), col("_t.id").as(idCol),
+        round(col("_t.score"), 6).as("score"), (col("_pos") + 1).cast("long").as("rk"))
   }
 
   /** IVF cell assignment: nearest centroid by L2 distance (ties →
@@ -85,21 +87,29 @@ object Ann {
 
   /** The j-th component of md5-derived hyperplane p: a deterministic
     * pseudo-uniform value in [-1, 1] with three decimal digits —
-    * reproducible in any engine with md5 (SURVEY.md §5).
+    * reproducible in any engine with md5 (SURVEY.md §5). Computed
+    * DRIVER-SIDE once (the planes are constants); embedding them as
+    * literal arrays keeps the per-row work a pure codegen'd dot
+    * product — the earlier column-expression formulation re-ran
+    * nPlanes×dim md5 digests on every row.
     */
-  private def planeComponent(p: Int, j: Column): Column =
-    (portableHash(concat(lit(p.toString), lit(","), j.cast("string"))) % 2001 - 1000)
-      .cast("double") / 1000.0
+  private[ann] def planeComponent(p: Int, j: Int): Double = {
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p,$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val h = java.lang.Long.parseLong(md5hex.substring(0, 15), 16)
+    (h % 2001 - 1000).toDouble / 1000.0
+  }
 
-  /** Signed projection of a vector column onto hyperplane p. The fold
-    * is sequential in both Spark and DuckDB, so the IEEE sum is
-    * bit-identical across engines.
+  private[ann] def plane(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(j => planeComponent(p, j))
+
+  /** Signed projection onto hyperplane p: codegen'd VectorDot against
+    * the literal plane. The fold is sequential in both Spark and
+    * DuckDB, so the IEEE sum is bit-identical across engines.
     */
   private def planeDot(vec: Column, p: Int, dim: Int): Column =
-    aggregate(
-      zip_with(vec, sequence(lit(0), lit(dim - 1)),
-        (x, j) => x.cast("double") * planeComponent(p, j)),
-      lit(0.0), (acc, x) => acc + x)
+    dotD(vec, array(plane(p, dim).map(lit): _*))
 
   /** LSH bucket key: one sign bit per hyperplane. */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
@@ -117,15 +127,15 @@ object Ann {
     val qb = queries.select(
       col(qidCol).as("qid"), col(qvecCol).as("qv"),
       lshBucket(col(qvecCol), nPlanes, dim).as("bucket"))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("score_raw"), col(idCol))
     bucketed
       .join(broadcast(qb), "bucket")
       .filter(col(idCol) =!= col("qid"))
       .withColumn("score_raw", cosine(col(vecCol), col("qv")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col(idCol), col("bucket"),
-        round(col("score_raw"), 6).as("score"), col("rk"))
+      .groupBy(col("qid"), col("bucket"))
+      .agg(topK(col("score_raw"), col(idCol), k).as("top"))
+      .select(col("qid"), col("bucket"), posexplode(col("top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), col("_t.id").as(idCol), col("bucket"),
+        round(col("_t.score"), 6).as("score"), (col("_pos") + 1).cast("long").as("rk"))
   }
 
   /** k-nearest-neighbor self-join inside a blocking column: each
@@ -137,12 +147,13 @@ object Ann {
       blockCol: String, k: Int): DataFrame = {
     val l = vecs.select(col(blockCol).as("blk"), col(idCol), col(vecCol))
     val r = vecs.select(col(blockCol).as("blk"), col(idCol).as("nbr_id"), col(vecCol).as("nv"))
-    val w = Window.partitionBy(col(idCol)).orderBy(desc("score_raw"), col("nbr_id"))
     l.join(r, Seq("blk"))
       .filter(col(idCol) =!= col("nbr_id"))
       .withColumn("score_raw", cosine(col(vecCol), col("nv")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col(idCol), col("nbr_id"), round(col("score_raw"), 6).as("score"), col("rk"))
+      .groupBy(col(idCol))
+      .agg(topK(col("score_raw"), col("nbr_id"), k).as("top"))
+      .select(col(idCol), posexplode(col("top")).as(Seq("_pos", "_t")))
+      .select(col(idCol), col("_t.id").as("nbr_id"),
+        round(col("_t.score"), 6).as("score"), (col("_pos") + 1).cast("long").as("rk"))
   }
 }

@@ -48,6 +48,18 @@ object VectorFunctions {
     transform(a, x => x.cast("double") / n)
   }
 
+  /** Per-group top-k aggregate (graft.functions.expr.TopKAgg): use as
+    * `df.groupBy(g).agg(topK(score, id, k))` then posexplode — the
+    * map-side-combining replacement for `row_number().over(...) <= k`.
+    * Returns array<struct<score,id>> strongest-first, ties by low id.
+    */
+  def topK(score: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      graft.functions.expr.TopKAgg(
+        ExpressionUtils.expression(score.cast("double")),
+        ExpressionUtils.expression(id.cast("long")),
+        k).toAggregateExpression())
+
   /** Squared L2 distance — cheaper than cosine for IVF assignment
     * (codegen'd kernel).
     */

@@ -123,14 +123,16 @@ object VectorQueries {
         .select(col("vec_id"), col("label"), r6(col("score")).as("score"))
     }),
 
-    // scale path: one top-k per metadata group in a single window pass
+    // scale path: one top-k per metadata group via the bounded-heap
+    // aggregate (graft.functions.expr.TopKAgg) — map-side combine
+    // ships ≤ k rows per group per partition, vs a window sort of all
     "v_topk_pergroup" -> ((s, dir) => {
-      val w = Window.partitionBy(col("label"))
-        .orderBy(desc("score_raw"), col("vec_id"))
       scored(s, dir)
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 3)
-        .select(col("label"), col("vec_id"), r6(col("score_raw")).as("score"), col("rk"))
+        .groupBy(col("label"))
+        .agg(topK(col("score_raw"), col("vec_id"), 3).as("top"))
+        .select(col("label"), posexplode(col("top")).as(Seq("_pos", "_t")))
+        .select(col("label"), col("_t.id").as("vec_id"),
+          r6(col("_t.score")).as("score"), (col("_pos") + 1).cast("long").as("rk"))
         .orderBy(col("label"), col("rk"))
     }))
 
