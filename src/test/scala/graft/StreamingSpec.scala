@@ -93,6 +93,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.size == 3) // user1 × 2 sessions + user2 × 1
   }
 
+  test("streaming exact dedup matches batch survivors' hashes") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "the quick brown fox"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "the  quick brown fox "), // normalized dup
+      (Timestamp.valueOf("2024-01-01 10:02:00"), "something else entirely"))
+
+    val stream = MemoryStream[(Timestamp, String)]
+    stream.addData(rows)
+    val q = StreamingDedup.exact(
+        stream.toDF().toDF("ts", "text"), "text")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("dedup_out").select("content_hash")
+      .as[String].collect().toSet
+    val want = graft.dedup.Dedup.exact(
+        rows.toDF("ts", "text").withColumn("doc_id", monotonically_increasing_id()),
+        "doc_id", "text")
+      .select("content_hash").as[String].collect().toSet
+    assert(got == want)
+    assert(got.size == 2)
+  }
+
   test("batch twin matches the q_events_window query shape on testdata") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val viaModule = EventWindows.hourly(events)
