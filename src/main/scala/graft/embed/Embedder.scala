@@ -27,7 +27,9 @@ trait Embedder extends Serializable {
 final class HashingEmbedder(val dim: Int = 64) extends Embedder {
 
   private def hash64(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    val md = HashingEmbedder.digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
     // first 8 bytes, big-endian
     var h = 0L
     var i = 0
@@ -50,4 +52,12 @@ final class HashingEmbedder(val dim: Int = 64) extends Embedder {
     val scale = if (norm == 0.0) 1.0 else norm
     v.map(x => (x / scale).toFloat)
   }
+}
+
+object HashingEmbedder {
+  // MessageDigest.getInstance per token is an allocation + provider
+  // lookup on the embed hot loop; one reusable instance per executor
+  // thread instead.
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }

@@ -150,4 +150,18 @@ object VectorIndex {
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String): VectorIndex =
     build(spark.read.parquet(path), idCol, vecCol)
+
+  /** reference: local_index.py:114-115 is_index_created. */
+  def isIndexCreated(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** reference: local_index.py:61-66 delete_index (folder removal). */
+  def deleteIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+  }
 }
