@@ -138,6 +138,37 @@ object Ann {
         round(col("_t.score"), 6).as("score"), (col("_pos") + 1).cast("long").as("rk"))
   }
 
+  /** Multi-probe LSH: search the query's bucket plus every bucket at
+    * hamming distance 1 (one sign bit flipped) — the standard recall
+    * lever that avoids doubling the plane count. Probing B buckets
+    * scans B/2^nPlanes of the corpus; buckets are disjoint so no
+    * candidate dedup is needed.
+    */
+  def lshSearchMultiProbe(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      nPlanes: Int, dim: Int, k: Int): DataFrame = {
+    def flip(b: Column, p: Int): Column = concat(
+      substring(b, 1, p),
+      when(substring(b, p + 1, 1) === "1", "0").otherwise("1"),
+      substring(b, p + 2, nPlanes - p - 1))
+    val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
+    val qb = queries.select(
+        col(qidCol).as("qid"), col(qvecCol).as("qv"),
+        lshBucket(col(qvecCol), nPlanes, dim).as("_b0"))
+      .select(col("qid"), col("qv"),
+        explode(array(col("_b0") +: (0 until nPlanes).map(p => flip(col("_b0"), p)): _*))
+          .as("bucket"))
+    bucketed
+      .join(broadcast(qb), "bucket")
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("score_raw", cosine(col(vecCol), col("qv")))
+      .groupBy(col("qid"))
+      .agg(topK(col("score_raw"), col(idCol), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), col("_t.id").as(idCol),
+        round(col("_t.score"), 6).as("score"), (col("_pos") + 1).cast("long").as("rk"))
+  }
+
   /** k-nearest-neighbor self-join inside a blocking column: each
     * vector gets its k nearest same-block neighbors. The block bounds
     * the join (|block|² pairs per block, not n²); at 100 TB the block

@@ -22,6 +22,18 @@ import java.security.MessageDigest
 trait Embedder extends Serializable {
   def dim: Int
   def embed(tokens: Seq[String]): Array[Float]
+
+  /** Token budget per model call (reference:
+    * local_document_index.py:160-171 batches chunks until
+    * `embeddings.max_tokens` then flushes). Drives the batch grouping
+    * in DocumentIndex's ingestion.
+    */
+  def maxBatchTokens: Int = 8000
+
+  /** One model call for many chunk token-lists — override for real
+    * batch-inference models; the default delegates per element.
+    */
+  def embedBatch(batch: Seq[Seq[String]]): Seq[Array[Float]] = batch.map(embed)
 }
 
 final class HashingEmbedder(val dim: Int = 64) extends Embedder {

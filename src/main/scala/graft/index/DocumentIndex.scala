@@ -57,14 +57,37 @@ final class DocumentIndex private (
     import spark.implicits._
     val sp = splitter
     val em = embedder
+    // Per partition: split every document, then group chunks into
+    // token-budgeted batches for the embedder — one model call per
+    // batch, the shape a real batch-inference backend needs
+    // (reference: local_document_index.py:156-184 batches by
+    // max_tokens before calling create_embeddings).
     val newChunks: Dataset[DocChunk] =
       docs.select(col("uri").cast("string"), col("text").cast("string"))
         .as[(String, String)]
-        .flatMap { case (uri, text) =>
-          val docId = DocumentIndex.docIdFor(uri)
-          sp.split(text).zipWithIndex.map { case (c, i) =>
-            DocChunk(s"$docId-$i", docId, uri, c.startPos, c.endPos,
-              c.tokens.length, em.embed(c.tokens))
+        .mapPartitions { it =>
+          val pending = it.flatMap { case (uri, text) =>
+            val docId = DocumentIndex.docIdFor(uri)
+            sp.split(text).zipWithIndex.map { case (c, i) =>
+              (s"$docId-$i", docId, uri, c)
+            }
+          }
+          pending.grouped(1024).flatMap { group =>
+            // flush a batch when its token total would exceed the budget
+            val batches = group.foldLeft(Vector(Vector.empty[(String, String, String, graft.text.TextChunk)])) {
+              case (acc, item) =>
+                val cur = acc.last
+                val curTokens = cur.map(_._4.tokens.length).sum
+                if (cur.nonEmpty && curTokens + item._4.tokens.length > em.maxBatchTokens)
+                  acc :+ Vector(item)
+                else acc.init :+ (cur :+ item)
+            }
+            batches.filter(_.nonEmpty).flatMap { batch =>
+              val vecs = em.embedBatch(batch.map(_._4.tokens))
+              batch.zip(vecs).map { case ((cid, docId, uri, c), v) =>
+                DocChunk(cid, docId, uri, c.startPos, c.endPos, c.tokens.length, v)
+              }
+            }
           }
         }
     // Catalog keeps the document text (columnar, read only by section
