@@ -42,6 +42,24 @@ object TextQueries {
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("fp_full"), col("fp_min"), col("fp_max"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BM25 lexical retrieval (graft.text.Bm25) — hybrid-search twin of
+    // the vector top-k
+    "ta_bm25" -> ((s, dir) => {
+      graft.text.Bm25.score(t(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("spark", "join", "window"))
+        .orderBy(desc("score"), col("doc_id"))
+    }),
+
+    // deterministic hash-based stratified sampling
+    // (graft.operators.Sampling) — the reproducible data-recipe mixer
+    "ta_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratified(
+          t(s, dir, "documents"), "doc_id", "lang",
+          rates = Map("en" -> 0.3, "zh" -> 0.8), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     }))
 
   private def inList(words: Seq[String]): String =
@@ -94,6 +112,32 @@ object TextQueries {
          |  len(regexp_extract_all(t, '$BpeishPattern'))::BIGINT AS re_tokens,
          |  round(len(t) * 1.0 / len(regexp_extract_all(t, '$BpeishPattern')), 6) AS chars_per_token
          |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "ta_bm25" ->
+      s"""$sqlNorm,
+         |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n_docs FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         |w AS (
+         |  SELECT tf.doc_id,
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf /
+         |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS w
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats)
+         |SELECT doc_id, round(sum(w), 6) AS score
+         |FROM w GROUP BY doc_id
+         |ORDER BY sum(w) DESC, doc_id LIMIT 10""".stripMargin,
+
+    "ta_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
+        |  CASE WHEN lang = 'en' THEN 300000
+        |       WHEN lang = 'zh' THEN 800000
+        |       ELSE 100000 END
+        |ORDER BY doc_id""".stripMargin,
 
     "ta_fingerprint" ->
       s"""$sqlNorm,

@@ -33,6 +33,18 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(got.contains(1L)) // the query vector itself lives in a probed cell
   }
 
+  test("kmeans-learned centroids build a working pruned index") {
+    import spark.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val kdir = Files.createTempDirectory("ivfkm").toString
+    val kidx = IvfIndex.buildWithKMeans(emb, "vec_id", "embedding", nlist = 8, kdir)
+    assert(kidx.centroids.count() == 8)
+    assert(kidx.cells.count() == emb.count())
+    val q = emb.filter(col("vec_id") === 5L).select(col("embedding").as("qv"))
+    val got = kidx.search(q, "qv", nprobe = 2, k = 5).select("vec_id").as[Long].collect()
+    assert(got.length == 5 && got.contains(5L))
+  }
+
   test("static cell probe compiles to partition pruning") {
     import spark.implicits._
     val q = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
