@@ -52,6 +52,30 @@ object TextQueries {
         .orderBy(desc("score"), col("doc_id"))
     }),
 
+    // hybrid retrieval: vector top-20 ∪ BM25 top-20 fused by
+    // reciprocal-rank fusion (graft.search.HybridSearch). Ranks are
+    // computed on ROUNDED scores so cross-engine fp noise cannot
+    // reorder them.
+    "ta_hybrid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.cosine
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val vtop = emb.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(cosine(col("embedding"), col("qv")), 6).as("s"))
+        .orderBy(desc("s"), col("doc_id"))
+        .limit(20)
+      val vrank = vtop.withColumn("rank",
+        row_number().over(Window.orderBy(desc("s"), col("doc_id"))))
+      val brank = graft.text.Bm25.score(t(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("spark", "join", "window"), topN = 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+      graft.search.HybridSearch.rrf(Seq(vrank, brank), "doc_id")
+        .orderBy(desc("score"), col("doc_id"))
+    }),
+
     // deterministic hash-based stratified sampling
     // (graft.operators.Sampling) — the reproducible data-recipe mixer
     "ta_sample" -> ((s, dir) => {
@@ -130,6 +154,40 @@ object TextQueries {
          |SELECT doc_id, round(sum(w), 6) AS score
          |FROM w GROUP BY doc_id
          |ORDER BY sum(w) DESC, doc_id LIMIT 10""".stripMargin,
+
+    "ta_hybrid" ->
+      s"""$sqlNorm,
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |vscored AS (
+         |  SELECT vec_id AS doc_id,
+         |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+         |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(qv, qv))), 6) AS s
+         |  FROM embeddings, q),
+         |vtop AS (SELECT doc_id, s FROM vscored ORDER BY s DESC, doc_id LIMIT 20),
+         |vrank AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank FROM vtop),
+         |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n_docs FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         |w AS (
+         |  SELECT tf.doc_id,
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf /
+         |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS w
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats),
+         |btop AS (
+         |  SELECT doc_id, round(sum(w), 6) AS score FROM w GROUP BY doc_id
+         |  ORDER BY sum(w) DESC, doc_id LIMIT 20),
+         |brank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM btop),
+         |contrib AS (
+         |  SELECT doc_id, 1.0 / (60 + rank) AS c FROM vrank
+         |  UNION ALL SELECT doc_id, 1.0 / (60 + rank) AS c FROM brank)
+         |SELECT doc_id, round(sum(c), 6) AS score, count(*) AS n_lists
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY sum(c) DESC, doc_id LIMIT 10""".stripMargin,
 
     "ta_sample" ->
       """SELECT doc_id, lang FROM documents
