@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * Null semantics match the reference: a missing/null field never
   * matches any comparison (SQL three-valued logic drops null rows at
   * the Filter, same outcome as the reference's `return False`).
+  *
+  * Deliberate divergence: the reference's `$in`/`$nin` guard on
+  * `isinstance(value, bool)` (reference: item_selector.py:119-124),
+  * which makes them match only boolean fields — plainly a bug (the
+  * comparison ops' int guard was copy-edited wrong). Implemented here
+  * with the intended membership semantics for any comparable value.
   */
 sealed trait MetaFilter {
   def toColumn: Column = MetaFilter.compile(this)

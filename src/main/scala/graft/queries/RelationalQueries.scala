@@ -97,6 +97,30 @@ object RelationalQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // distinct aggregation (count(distinct) expands to a two-phase
+    // partial-distinct plan; the scale path swaps in
+    // approx_count_distinct's HLL sketch with identical plan shape)
+    "q_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
+    // exact discrete quantiles per group (at 100 TB the
+    // approx_percentile t-digest sketch replaces this plan-compatibly)
+    "q_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("_li")
+      s.sql(
+        """SELECT l_returnflag,
+          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+          |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+          |  percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
+          |FROM _li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // Batch twin of graft.streaming.Sessionize (30-min gap sessions);
     // the streaming twin (flatMapGroupsWithState) is equivalence-tested
     // in StreamingSpec.
@@ -169,6 +193,19 @@ object RelationalQueries {
         |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+        |  percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (
