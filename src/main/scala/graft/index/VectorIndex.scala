@@ -44,6 +44,14 @@ final class VectorIndex private (
       .limit(k)
   }
 
+  /** Many query vectors in one plan: broadcast the query set, score
+    * once, bounded-heap top-k per query (Ann.bruteForceTopK) — the
+    * same cost profile serving 1 or 10^6 queries.
+    */
+  def queryItemsBatch(queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame =
+    graft.ann.Ann.bruteForceTopK(items, idCol, vecCol, queries, qidCol, qvecCol, k)
+
   /** reference: local_index.py:121-124 list_items_by_metadata. */
   def listItemsByMetadata(filter: MetaFilter): DataFrame =
     items.filter(filter.toColumn)

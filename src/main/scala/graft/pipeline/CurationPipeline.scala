@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.operators.Sampling
+import graft.text.TextAnalysis
+
+/** The standard pretraining-corpus curation flow, composed from the
+  * engine's operators — the end-to-end shape a training-data pipeline
+  * actually runs, kept as one declarative plan chain (each stage is a
+  * DataFrame transform; nothing materializes until the sink):
+  *
+  *   1. quality gate (word count, alpha ratio);
+  *   2. language gate (heuristic lang-id ∈ allowed set);
+  *   3. exact dedup (normalized-text digest, keep lowest id);
+  *   4. MinHash near-dedup (LSH candidates; keep-lowest-id rule:
+  *      a doc is dropped iff it has ANY lower-id candidate among
+  *      stage-3 survivors — one pass, deterministic, no transitive
+  *      chasing);
+  *   5. deterministic stratified sampling (per-language data recipe).
+  *
+  * Every stage is SQL-expressible, so the whole pipeline is
+  * hash-checked against DuckDB end-to-end (dd_pipeline).
+  */
+object CurationPipeline {
+
+  final case class Config(
+      minWords: Int = 20,
+      minAlphaRatio: Double = 0.7,
+      allowedLangs: Set[String] = Set("en", "und"),
+      shingleLen: Int = 3,
+      nHashes: Int = 16,
+      nBands: Int = 4,
+      sampleRates: Map[String, Double] = Map("en" -> 0.5),
+      defaultRate: Double = 0.2)
+
+  def run(docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      cfg: Config = Config()): DataFrame = {
+    // 1. quality gate
+    val quality = TextAnalysis.quality(docs, idCol, textCol)
+      .filter(col("n_words") >= cfg.minWords && col("alpha_ratio") >= cfg.minAlphaRatio)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    // 2. language gate (predicted, not the metadata column)
+    val langed = TextAnalysis.langId(quality, idCol, textCol)
+      .filter(col("pred_lang").isInCollection(cfg.allowedLangs))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    // 3. exact dedup: survivors are the min id of each digest group
+    val exactKeep = Dedup.exact(langed, idCol, textCol).select(col(idCol))
+    val exact = langed.join(exactKeep, Seq(idCol), "left_semi")
+    // 4. near-dedup: drop the higher id of every candidate pair whose
+    // lower id survived stage 3 (greedy, deterministic)
+    val cand = Dedup.minHashCandidates(exact, idCol, textCol,
+      cfg.shingleLen, cfg.nHashes, cfg.nBands)
+    val dropIds = cand.select(col("idb").as(idCol)).distinct()
+    val nearDeduped = exact.join(dropIds, Seq(idCol), "left_anti")
+    // 5. data-recipe sampling
+    Sampling.stratified(nearDeduped, idCol, langCol, cfg.sampleRates, cfg.defaultRate)
+  }
+}

@@ -48,6 +48,16 @@ object DedupQueries {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           blockCol = "label", threshold = 0.35)
         .orderBy(col("ida"), col("idb"))
+    }),
+
+    // end-to-end curation: quality gate → lang gate → exact dedup →
+    // minhash near-dedup → stratified sample, one declarative chain
+    // (graft.pipeline.CurationPipeline)
+    "dd_pipeline" -> ((s, dir) => {
+      graft.pipeline.CurationPipeline.run(
+          t(s, dir, "documents"), "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -105,6 +115,69 @@ object DedupQueries {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |ORDER BY ida, idb""".stripMargin
+    },
+
+    "dd_pipeline" -> {
+      import graft.dedup.Dedup.{MinHashMix, MinHashP}
+      import graft.functions.TextFunctions._
+      def inList(words: Seq[String]): String = words.map(w => s"'$w'").mkString("(", ", ", ")")
+      def score(set: Seq[String]): String =
+        s"len(list_filter(string_split(t, ' '), x -> x IN ${inList(set)}))"
+      val g = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+      val minCols = (0 until 16).map(s =>
+        s"min((base * ${2 * s + 1} + ${MinHashMix * s}) % $MinHashP) AS h$s").mkString(",\n    ")
+      val bandSelects = (0 until 4).map { b =>
+        val slots = (b * 4 until (b + 1) * 4).map(s => s"h$s::VARCHAR").mkString("||','||")
+        s"SELECT doc_id, $b AS band, md5($slots) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""$sqlNorm,
+         |feat AS (
+         |  SELECT doc_id, lang, t,
+         |    len(string_split(t, ' ')) AS n_words,
+         |    round(len(regexp_replace(t, '[^a-z]', '', 'g')) * 1.0 / len(t), 6) AS alpha_ratio,
+         |    ${score(MarkersDe)} AS s_de,
+         |    ${score(StopwordsEn)} AS s_en,
+         |    ${score(MarkersEs)} AS s_es,
+         |    ${score(MarkersFr)} AS s_fr,
+         |    ${score(MarkersZh)} AS s_zh,
+         |    CASE WHEN regexp_matches(t, '[\\x{4e00}-\\x{9fff}]') THEN 1 ELSE 0 END AS has_cjk
+         |  FROM norm),
+         |s2 AS (
+         |  SELECT doc_id, lang, t FROM feat
+         |  WHERE n_words >= 20 AND alpha_ratio >= 0.7
+         |    AND (CASE WHEN has_cjk = 1 THEN 'zh'
+         |          WHEN $g = 0 THEN 'und'
+         |          WHEN s_de = $g THEN 'de'
+         |          WHEN s_en = $g THEN 'en'
+         |          WHEN s_es = $g THEN 'es'
+         |          WHEN s_fr = $g THEN 'fr'
+         |          ELSE 'zh' END) IN ('en', 'und')),
+         |s3 AS (
+         |  SELECT doc_id, lang, t FROM s2
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM s2 GROUP BY md5(t))),
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM s3),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([array_to_string(toks[i : i+2], ' ')
+         |      for i in range(1, greatest(len(toks)-1, 2))])) AS g
+         |  FROM tok),
+         |hashed AS (
+         |  SELECT doc_id, ('0x'||substr(md5(g), 1, 15))::BIGINT % $MinHashP AS base
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $minCols
+         |  FROM hashed GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |dropped AS (
+         |  SELECT DISTINCT b.doc_id AS did FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_id, lang FROM s3
+         |WHERE doc_id NOT IN (SELECT did FROM dropped)
+         |  AND ('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
+         |    CASE WHEN lang = 'en' THEN 500000 ELSE 200000 END
+         |ORDER BY doc_id""".stripMargin
     },
 
     "dd_embed_cosine" ->
