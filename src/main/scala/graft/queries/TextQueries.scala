@@ -76,6 +76,21 @@ object TextQueries {
         .orderBy(desc("score"), col("doc_id"))
     }),
 
+    // PII redaction (graft.text.Redact). The synthetic corpus carries
+    // no PII, so deterministic PII-ish suffixes are injected first —
+    // both engines build the identical string, scrub it, and the
+    // redacted-text digest plus per-rule hit counts are hash-compared.
+    "ta_redact" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents")
+        .withColumn("text2", concat(
+          col("text"), lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 or 555-123-4567")))
+      graft.text.Redact.scrubWithCounts(withPii, "doc_id", "text2")
+        .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_card"),
+          col("n_phone"), md5(col("redacted")).as("redacted_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic hash-based stratified sampling
     // (graft.operators.Sampling) — the reproducible data-recipe mixer
     "ta_sample" -> ((s, dir) => {
@@ -188,6 +203,30 @@ object TextQueries {
          |SELECT doc_id, round(sum(c), 6) AS score, count(*) AS n_lists
          |FROM contrib GROUP BY doc_id
          |ORDER BY sum(c) DESC, doc_id LIMIT 10""".stripMargin,
+
+    "ta_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com via 10.0.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.7 or 555-123-4567' AS t2
+        |  FROM documents),
+        |scrubbed AS (
+        |  SELECT doc_id, t2,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(t2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |        '\b[0-9]{16}\b', '<CARD>', 'g'),
+        |      '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        |  FROM pii)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ip,
+        |  len(regexp_extract_all(t2, '\b[0-9]{16}\b'))::BIGINT AS n_card,
+        |  len(regexp_extract_all(t2, '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b'))::BIGINT AS n_phone,
+        |  md5(redacted) AS redacted_hash
+        |FROM scrubbed ORDER BY doc_id""".stripMargin,
 
     "ta_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -127,4 +127,24 @@ class StreamingSpec extends SparkSpecBase {
       .agg(sum("n")).collect().head.getLong(0)
     assert(viaModule == events.count())
   }
+
+  test("file-source stream (readStream.parquet) matches batch totals") {
+    // the real ingest shape: a parquet directory consumed as a stream
+    val batchEvents = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventWindows.hourlyStream(streamed, watermark = "365 days")
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("file_stream_out")
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(got == batchEvents.count())
+  }
 }
