@@ -44,6 +44,51 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // sequence packing for pretraining: shard by lang, pack docs into
+    // fixed 4096-token bins via running token count — the parallel
+    // unit at 100 TB is the shard key; packing inside a shard is the
+    // inherently-sequential window
+    "ta_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(graft.functions.TextFunctions.wsTokens(
+            graft.functions.TextFunctions.normText(col("text")))).cast("long").as("n_tokens"))
+      toks
+        .withColumn("cum", sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / 4096).cast("long"))
+        .withColumn("pack_offset", (col("cum") - col("n_tokens")) % 4096)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"), col("pack_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // benchmark decontamination: which held-out docs (doc_id%100==0 as
+    // the stand-in benchmark) share 5-word shingles with the training
+    // pool — the standard train/test contamination scan as a blocked
+    // shingle join
+    "ta_contaminate" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val docs = t(s, dir, "documents")
+      def shingles(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          explode(wordShingles(wsTokens(normText(col("text"))), 5)).as("g"))
+      val bench = shingles(docs.filter(col("doc_id") % 100 === 0))
+        .withColumnRenamed("doc_id", "bench_id")
+      val train = shingles(docs.filter(col("doc_id") % 100 =!= 0))
+      val sizes = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("n_shingles"))
+      bench.join(train, "g")
+        .groupBy(col("bench_id"))
+        .agg(countDistinct(col("doc_id")).as("n_train_docs"),
+          countDistinct(col("g")).as("n_hit_shingles"))
+        .join(sizes, "bench_id")
+        .withColumn("contamination", round(col("n_hit_shingles") / col("n_shingles"), 6))
+        .select(col("bench_id"), col("n_train_docs"), col("n_hit_shingles"),
+          col("n_shingles"), col("contamination"))
+        .orderBy(col("bench_id"))
+    }),
+
     // BM25 lexical retrieval (graft.text.Bm25) — hybrid-search twin of
     // the vector top-k
     "ta_bm25" -> ((s, dir) => {
@@ -151,6 +196,42 @@ object TextQueries {
          |  len(regexp_extract_all(t, '$BpeishPattern'))::BIGINT AS re_tokens,
          |  round(len(t) * 1.0 / len(regexp_extract_all(t, '$BpeishPattern')), 6) AS chars_per_token
          |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "ta_pack" ->
+      s"""$sqlNorm,
+         |toks AS (
+         |  SELECT n.doc_id, d.lang, len(string_split(n.t, ' '))::BIGINT AS n_tokens
+         |  FROM norm n JOIN documents d USING (doc_id)),
+         |packed AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM toks)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS pack_id,
+         |  (cum - n_tokens) % 4096 AS pack_offset
+         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    "ta_contaminate" ->
+      s"""$sqlNorm,
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([array_to_string(toks[i : i+4], ' ')
+         |      for i in range(1, greatest(len(toks)-3, 2))])) AS g
+         |  FROM tok),
+         |bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 100 = 0),
+         |train AS (SELECT doc_id, g FROM sh WHERE doc_id % 100 <> 0),
+         |sizes AS (SELECT bench_id, count(*) AS n_shingles FROM bench GROUP BY 1),
+         |hits AS (
+         |  SELECT bench_id,
+         |    count(DISTINCT t.doc_id) AS n_train_docs,
+         |    count(DISTINCT b.g) AS n_hit_shingles
+         |  FROM bench b JOIN train t USING (g) GROUP BY 1)
+         |SELECT h.bench_id, h.n_train_docs, h.n_hit_shingles, s.n_shingles,
+         |  round(h.n_hit_shingles * 1.0 / s.n_shingles, 6) AS contamination
+         |FROM hits h JOIN sizes s USING (bench_id)
+         |ORDER BY bench_id""".stripMargin,
 
     "ta_bm25" ->
       s"""$sqlNorm,
