@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions._
 import graft.text.TextAnalysis
 import QueryUtil._
 
@@ -44,32 +45,35 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // sequence packing for pretraining: shard by lang, pack docs into
-    // fixed 4096-token bins via running token count — the parallel
-    // unit at 100 TB is the shard key; packing inside a shard is the
-    // inherently-sequential window
+    // sequence packing for pretraining (concat-then-chunk layout):
+    // shard by lang, lay docs head-to-tail, cut fixed 4096-token bins.
+    // Each row records the doc's start bin/offset AND end bin, so a
+    // doc spanning a bin boundary is visible (end_pack_id > pack_id).
+    // The parallel unit at 100 TB is the shard key; packing inside a
+    // shard is the inherently-sequential window.
     "ta_pack" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          size(graft.functions.TextFunctions.wsTokens(
-            graft.functions.TextFunctions.normText(col("text")))).cast("long").as("n_tokens"))
+          size(wsTokens(normText(col("text")))).cast("long").as("n_tokens"))
       toks
         .withColumn("cum", sum(col("n_tokens"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / 4096).cast("long"))
+        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / 4096))
         .withColumn("pack_offset", (col("cum") - col("n_tokens")) % 4096)
-        .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"), col("pack_offset"))
+        .withColumn("end_pack_id", floor((col("cum") - 1) / 4096))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"),
+          col("pack_offset"), col("end_pack_id"))
         .orderBy(col("doc_id"))
     }),
 
     // benchmark decontamination: which held-out docs (doc_id%100==0 as
     // the stand-in benchmark) share 5-word shingles with the training
     // pool — the standard train/test contamination scan as a blocked
-    // shingle join
+    // shingle join. Clean bench docs appear with zero counts (a
+    // missing row must mean "absent", never "clean").
     "ta_contaminate" -> ((s, dir) => {
-      import graft.functions.TextFunctions._
       val docs = t(s, dir, "documents")
       def shingles(df: org.apache.spark.sql.DataFrame) =
         df.select(col("doc_id"),
@@ -78,11 +82,13 @@ object TextQueries {
         .withColumnRenamed("doc_id", "bench_id")
       val train = shingles(docs.filter(col("doc_id") % 100 =!= 0))
       val sizes = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("n_shingles"))
-      bench.join(train, "g")
+      val hits = bench.join(train, "g")
         .groupBy(col("bench_id"))
         .agg(countDistinct(col("doc_id")).as("n_train_docs"),
           countDistinct(col("g")).as("n_hit_shingles"))
-        .join(sizes, "bench_id")
+      sizes.join(hits, Seq("bench_id"), "left")
+        .withColumn("n_train_docs", coalesce(col("n_train_docs"), lit(0L)))
+        .withColumn("n_hit_shingles", coalesce(col("n_hit_shingles"), lit(0L)))
         .withColumn("contamination", round(col("n_hit_shingles") / col("n_shingles"), 6))
         .select(col("bench_id"), col("n_train_docs"), col("n_hit_shingles"),
           col("n_shingles"), col("contamination"))
@@ -149,8 +155,6 @@ object TextQueries {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  import graft.functions.TextFunctions._
-
   val oracles: Map[String, String] = Map(
     "ta_langid" ->
       s"""$sqlNorm,
@@ -209,7 +213,8 @@ object TextQueries {
          |  FROM toks)
          |SELECT doc_id, lang, n_tokens,
          |  CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS pack_id,
-         |  (cum - n_tokens) % 4096 AS pack_offset
+         |  (cum - n_tokens) % 4096 AS pack_offset,
+         |  CAST(floor((cum - 1) / 4096.0) AS BIGINT) AS end_pack_id
          |FROM packed ORDER BY doc_id""".stripMargin,
 
     "ta_contaminate" ->
@@ -228,9 +233,12 @@ object TextQueries {
          |    count(DISTINCT t.doc_id) AS n_train_docs,
          |    count(DISTINCT b.g) AS n_hit_shingles
          |  FROM bench b JOIN train t USING (g) GROUP BY 1)
-         |SELECT h.bench_id, h.n_train_docs, h.n_hit_shingles, s.n_shingles,
-         |  round(h.n_hit_shingles * 1.0 / s.n_shingles, 6) AS contamination
-         |FROM hits h JOIN sizes s USING (bench_id)
+         |SELECT s.bench_id,
+         |  coalesce(h.n_train_docs, 0) AS n_train_docs,
+         |  coalesce(h.n_hit_shingles, 0) AS n_hit_shingles,
+         |  s.n_shingles,
+         |  round(coalesce(h.n_hit_shingles, 0) * 1.0 / s.n_shingles, 6) AS contamination
+         |FROM sizes s LEFT JOIN hits h USING (bench_id)
          |ORDER BY bench_id""".stripMargin,
 
     "ta_bm25" ->
