@@ -144,13 +144,16 @@ object Ann {
     * scans B/2^nPlanes of the corpus; buckets are disjoint so no
     * candidate dedup is needed.
     */
+  /** Bucket string with bit p flipped (hamming-1 probe). */
+  private def flipBit(b: Column, p: Int, nPlanes: Int): Column = concat(
+    substring(b, 1, p),
+    when(substring(b, p + 1, 1) === "1", "0").otherwise("1"),
+    substring(b, p + 2, nPlanes - p - 1))
+
   def lshSearchMultiProbe(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       nPlanes: Int, dim: Int, k: Int): DataFrame = {
-    def flip(b: Column, p: Int): Column = concat(
-      substring(b, 1, p),
-      when(substring(b, p + 1, 1) === "1", "0").otherwise("1"),
-      substring(b, p + 2, nPlanes - p - 1))
+    def flip(b: Column, p: Int): Column = flipBit(b, p, nPlanes)
     val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
     val qb = queries.select(
         col(qidCol).as("qid"), col(qvecCol).as("qv"),
@@ -169,10 +172,39 @@ object Ann {
         round(col("_t.score"), 6).as("score"), (col("_pos") + 1).cast("long").as("rk"))
   }
 
-  /** k-nearest-neighbor self-join inside a blocking column: each
-    * vector gets its k nearest same-block neighbors. The block bounds
-    * the join (|block|² pairs per block, not n²); at 100 TB the block
-    * is an IVF cell instead of a given label.
+  /** Approximate k-nearest-neighbor self-join: candidates come from
+    * the same (block × LSH bucket), multi-probed at hamming distance
+    * 1 — candidate count per vector is |block|·(nPlanes+1)/2^nPlanes,
+    * so the pair join is bounded by the bucket geometry instead of
+    * |block|² (the exact `knnJoin` went quadratic at a 10× scale-up).
+    * Grow nPlanes with the corpus to hold per-vector candidate counts
+    * constant. No dedup needed: each neighbor lives in exactly one
+    * bucket, and probe buckets are distinct.
+    */
+  def knnJoinLsh(vecs: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val bucketed = vecs.select(col(blockCol).as("blk"), col(idCol), col(vecCol))
+      .withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
+    val probes = bucketed.select(col("blk"), col(idCol), col(vecCol),
+      explode(array(col("bucket") +:
+        (0 until nPlanes).map(p => flipBit(col("bucket"), p, nPlanes)): _*)).as("pb"))
+    val nbrs = bucketed.select(col("blk").as("blk_r"), col(idCol).as("nbr_id"),
+      col(vecCol).as("nv"), col("bucket").as("b_r"))
+    probes
+      .join(nbrs, col("pb") === col("b_r") && col("blk") === col("blk_r") &&
+        col(idCol) =!= col("nbr_id"))
+      .withColumn("score_raw", cosine(col(vecCol), col("nv")))
+      .groupBy(col(idCol))
+      .agg(topK(col("score_raw"), col("nbr_id"), k).as("top"))
+      .select(col(idCol), posexplode(col("top")).as(Seq("_pos", "_t")))
+      .select(col(idCol), col("_t.id").as("nbr_id"),
+        round(col("_t.score"), 6).as("score"), (col("_pos") + 1).cast("long").as("rk"))
+  }
+
+  /** EXACT k-nearest-neighbor self-join inside a blocking column: each
+    * vector gets its k nearest same-block neighbors. |block|² pairs
+    * per block — use only where blocks are known-bounded (e.g. an IVF
+    * cell); for corpus-growing blocks use knnJoinLsh.
     */
   def knnJoin(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, k: Int): DataFrame = {

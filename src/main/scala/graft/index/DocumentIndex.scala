@@ -72,21 +72,27 @@ final class DocumentIndex private (
               (s"$docId-$i", docId, uri, c)
             }
           }
-          pending.grouped(1024).flatMap { group =>
-            // flush a batch when its token total would exceed the budget
-            val batches = group.foldLeft(Vector(Vector.empty[(String, String, String, graft.text.TextChunk)])) {
-              case (acc, item) =>
-                val cur = acc.last
-                val curTokens = cur.map(_._4.tokens.length).sum
-                if (cur.nonEmpty && curTokens + item._4.tokens.length > em.maxBatchTokens)
-                  acc :+ Vector(item)
-                else acc.init :+ (cur :+ item)
-            }
-            batches.filter(_.nonEmpty).flatMap { batch =>
-              val vecs = em.embedBatch(batch.map(_._4.tokens))
-              batch.zip(vecs).map { case ((cid, docId, uri, c), v) =>
-                DocChunk(cid, docId, uri, c.startPos, c.endPos, c.tokens.length, v)
+          // flush a batch when its token total would exceed the budget
+          // (single linear pass; an earlier fold re-copied the batch
+          // vector per element — quadratic per batch)
+          new Iterator[Seq[(String, String, String, graft.text.TextChunk)]] {
+            private val it = pending.buffered
+            def hasNext: Boolean = it.hasNext
+            def next(): Seq[(String, String, String, graft.text.TextChunk)] = {
+              val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, graft.text.TextChunk)]
+              var tokens = 0
+              while (it.hasNext && (batch.isEmpty ||
+                  tokens + it.head._4.tokens.length <= em.maxBatchTokens)) {
+                val item = it.next()
+                tokens += item._4.tokens.length
+                batch += item
               }
+              batch.toSeq
+            }
+          }.flatMap { batch =>
+            val vecs = em.embedBatch(batch.map(_._4.tokens))
+            batch.zip(vecs).map { case ((cid, docId, uri, c), v) =>
+              DocChunk(cid, docId, uri, c.startPos, c.endPos, c.tokens.length, v)
             }
           }
         }

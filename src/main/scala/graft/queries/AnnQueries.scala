@@ -49,9 +49,12 @@ object AnnQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // approximate kNN: (label × 6-plane bucket) blocking, multi-probe
+    // hamming-1 — the exact label-blocked join is quadratic in block
+    // size (162s at a 10× scale-up)
     "knn_join" -> ((s, dir) => {
-      Ann.knnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
-          blockCol = "label", k = 3)
+      Ann.knnJoinLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+          blockCol = "label", k = 3, nPlanes = 6, dim = Dim)
         .orderBy(col("vec_id"), col("rk"))
     }))
 
@@ -105,11 +108,31 @@ object AnnQueries {
          |FROM cand QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "knn_join" ->
-      s"""WITH scored AS (
+      s"""WITH planes AS (
+         |  SELECT p, [(((('0x'||substr(md5(p::VARCHAR||','||j::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
+         |             for j in range(0, $Dim)] AS plane
+         |  FROM range(0, 6) AS rp(p)),
+         |bucketed AS (
+         |  SELECT vec_id, label, v,
+         |    string_agg(
+         |      CASE WHEN list_reduce(
+         |        list_prepend(0.0, [v[j+1] * plane[j+1] for j in range(0, $Dim)]),
+         |        (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), planes
+         |  GROUP BY vec_id, label, v),
+         |probes AS (
+         |  SELECT vec_id, label, v,
+         |    unnest(list_prepend(bucket,
+         |      [substr(bucket, 1, p) ||
+         |         (CASE WHEN substr(bucket, p+1, 1) = '1' THEN '0' ELSE '1' END) ||
+         |         substr(bucket, p+2, 5-p)
+         |       for p in range(0, 6)])) AS pb
+         |  FROM bucketed),
+         |scored AS (
          |  SELECT a.vec_id, b.vec_id AS nbr_id,
-         |    ${sqlCos("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")} AS score_raw
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |    ${sqlCos("a.v", "b.v")} AS score_raw
+         |  FROM probes a JOIN bucketed b
+         |    ON b.bucket = a.pb AND b.label = a.label AND b.vec_id <> a.vec_id)
          |SELECT vec_id, nbr_id, round(score_raw, 6) AS score,
          |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY score_raw DESC, nbr_id) AS BIGINT) AS rk
          |FROM scored QUALIFY rk <= 3 ORDER BY vec_id, rk""".stripMargin)

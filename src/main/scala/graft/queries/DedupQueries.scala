@@ -44,9 +44,15 @@ object DedupQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
+    // blocked by (label × 4-plane LSH bucket): label-only blocks grow
+    // linearly with the corpus and the pair join goes quadratic (42s at
+    // a 10× scale-up); the bucket bound keeps blocks O(block/2^planes)
     "dd_embed_cosine" -> ((s, dir) => {
-      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          blockCol = "label", threshold = 0.35)
+      val blocked = t(s, dir, "embeddings").withColumn("blk",
+        concat(col("label").cast("string"), lit("|"),
+          graft.ann.Ann.lshBucket(col("embedding"), nPlanes = 4, dim = 64)))
+      Dedup.embeddingPairs(blocked, "vec_id", "embedding",
+          blockCol = "blk", threshold = 0.35)
         .orderBy(col("ida"), col("idb"))
     }),
 
@@ -67,25 +73,49 @@ object DedupQueries {
          |  count(*) AS n_copies
          |FROM norm GROUP BY md5(t) ORDER BY doc_id""".stripMargin,
 
-    "dd_ngram_jaccard" ->
+    "dd_ngram_jaccard" -> {
+      import graft.dedup.Dedup.{MinHashMix, MinHashP}
+      val minCols = (0 until 32).map(s =>
+        s"min((base * ${2 * s + 1} + ${MinHashMix * s}) % $MinHashP) AS h$s").mkString(",\n    ")
+      val bandSelects = (0 until 8).map { b =>
+        val slots = (b * 4 until (b + 1) * 4).map(s => s"h$s::VARCHAR").mkString("||','||")
+        s"SELECT doc_id, $b AS band, md5($slots) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
       s"""$sqlNorm,
          |tok AS (SELECT doc_id, lang, string_split(t, ' ') AS toks FROM norm),
-         |ng AS (
+         |sh AS (
          |  SELECT doc_id, lang,
-         |    unnest(list_distinct([array_to_string(toks[i : i+2], ' ')
-         |      for i in range(1, greatest(len(toks)-1, 2))])) AS g
+         |    list_distinct([array_to_string(toks[i : i+2], ' ')
+         |      for i in range(1, greatest(len(toks)-1, 2))]) AS shingles
          |  FROM tok),
-         |sz AS (SELECT doc_id, count(*) AS c FROM ng GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
-         |  FROM ng a JOIN ng b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT ida, idb, round(i * 1.0 / (sa.c + sb.c - i), 6) AS jaccard
-         |FROM inter
-         |JOIN sz sa ON ida = sa.doc_id
-         |JOIN sz sb ON idb = sb.doc_id
-         |WHERE round(i * 1.0 / (sa.c + sb.c - i), 6) >= 0.5
-         |ORDER BY ida, idb""".stripMargin,
+         |hashed AS (
+         |  SELECT doc_id, unnest(shingles) AS g FROM sh),
+         |hb AS (
+         |  SELECT doc_id, ('0x'||substr(md5(g), 1, 15))::BIGINT % $MinHashP AS base
+         |  FROM hashed),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $minCols
+         |  FROM hb GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT c.ida, c.idb,
+         |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS i,
+         |    len(sa.shingles) AS ca, len(sb.shingles) AS cb
+         |  FROM cand c
+         |  JOIN sh sa ON c.ida = sa.doc_id
+         |  JOIN sh sb ON c.idb = sb.doc_id
+         |  WHERE sa.lang = sb.lang)
+         |SELECT ida, idb, round(i * 1.0 / (ca + cb - i), 6) AS jaccard
+         |FROM verified
+         |WHERE round(i * 1.0 / (ca + cb - i), 6) >= 0.5
+         |ORDER BY ida, idb""".stripMargin
+    },
 
     "dd_minhash" -> {
       import graft.dedup.Dedup.{MinHashMix, MinHashP}
@@ -181,13 +211,24 @@ object DedupQueries {
     },
 
     "dd_embed_cosine" ->
-      """WITH p AS (
+      """WITH planes AS (
+        |  SELECT p, [(((('0x'||substr(md5(p::VARCHAR||','||j::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
+        |             for j in range(0, 64)] AS plane
+        |  FROM range(0, 4) AS rp(p)),
+        |bucketed AS (
+        |  SELECT vec_id, label, v,
+        |    string_agg(
+        |      CASE WHEN list_reduce(
+        |        list_prepend(0.0, [v[j+1] * plane[j+1] for j in range(0, 64)]),
+        |        (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), planes
+        |  GROUP BY vec_id, label, v),
+        |p AS (
         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
-        |    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-        |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-        |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM bucketed a JOIN bucketed b
+        |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT ida, idb, cos FROM p WHERE cos >= 0.35
         |ORDER BY ida, idb""".stripMargin)
     // dd_simhash: rows-only oracle (bit-level simhash is not portably
