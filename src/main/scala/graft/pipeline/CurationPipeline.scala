@@ -38,22 +38,36 @@ object CurationPipeline {
 
   def run(docs: DataFrame, idCol: String, textCol: String, langCol: String,
       cfg: Config = Config()): DataFrame = {
-    // 1. quality gate
-    val quality = TextAnalysis.quality(docs, idCol, textCol)
-      .filter(col("n_words") >= cfg.minWords && col("alpha_ratio") >= cfg.minAlphaRatio)
-      .select(docs.columns.map(col).toIndexedSeq: _*)
-    // 2. language gate (predicted, not the metadata column)
-    val langed = TextAnalysis.langId(quality, idCol, textCol)
-      .filter(col("pred_lang").isInCollection(cfg.allowedLangs))
-      .select(docs.columns.map(col).toIndexedSeq: _*)
+    // All per-row text signals in ONE projection: Spark re-derives a
+    // DataFrame per join branch, so stages must not each re-tokenize —
+    // a stage is a predicate over this single derived frame, and what
+    // crosses between stages is id sets, never texts.
+    val sigs = TextAnalysis.langId(
+        TextAnalysis.quality(docs, idCol, textCol), idCol, textCol)
+      .withColumn("content_hash", org.apache.spark.sql.functions.md5(
+        graft.functions.TextFunctions.normText(col(textCol))))
+      .select(col(idCol), col("n_words"), col("alpha_ratio"),
+        col("pred_lang"), col("content_hash"))
+    // 1+2. quality + language gates
+    val gated = sigs.filter(
+      col("n_words") >= cfg.minWords && col("alpha_ratio") >= cfg.minAlphaRatio &&
+        col("pred_lang").isInCollection(cfg.allowedLangs))
     // 3. exact dedup: survivors are the min id of each digest group
-    val exactKeep = Dedup.exact(langed, idCol, textCol).select(col(idCol))
-    val exact = langed.join(exactKeep, Seq(idCol), "left_semi")
+    // The survivor id set is tiny (one long per doc) — lazily
+    // localCheckpoint it so downstream branches reuse one materialized
+    // copy instead of re-deriving the whole signal pass per branch.
+    // (On a long-lived cluster swap for a reliable checkpoint; local
+    // is per-executor and recomputes on executor loss.)
+    val keepIds = gated
+      .groupBy(col("content_hash")).agg(org.apache.spark.sql.functions.min(col(idCol)).as(idCol))
+      .select(col(idCol))
+      .localCheckpoint(false)
+    val exact = docs.join(keepIds, Seq(idCol), "left_semi")
     // 4. near-dedup: drop the higher id of every candidate pair whose
-    // lower id survived stage 3 (greedy, deterministic)
+    // lower id is a stage-3 survivor (one pass, deterministic)
     val cand = Dedup.minHashCandidates(exact, idCol, textCol,
       cfg.shingleLen, cfg.nHashes, cfg.nBands)
-    val dropIds = cand.select(col("idb").as(idCol)).distinct()
+    val dropIds = cand.select(col("idb").as(idCol)).distinct().localCheckpoint(false)
     val nearDeduped = exact.join(dropIds, Seq(idCol), "left_anti")
     // 5. data-recipe sampling
     Sampling.stratified(nearDeduped, idCol, langCol, cfg.sampleRates, cfg.defaultRate)
