@@ -128,6 +128,41 @@ object RelationalQueries {
       graft.streaming.Sessionize.batch(t(s, dir, "events"), gapMinutes = 30)
         .withColumn("session_id", col("session_id").cast("long"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // as-of join (graft.operators.TemporalJoins): each purchase gets
+    // the user's most recent prior-or-simultaneous click — union +
+    // carry-forward, one shuffle on user_id; DuckDB's native ASOF JOIN
+    // is the oracle
+    "q_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.TemporalJoins
+        .asOf(purchases, Seq("event_id"), clicks, Seq("event_id"),
+          keyCol = "user_id", tsCol = "ts", prefix = "click_")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("click_event_id").as("click_id"), col("click_ts"),
+          when(col("click_ts").isNotNull,
+            unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // interval range join: error events matched to the 30-min-gap
+    // sessions containing them (errors broadcast; at two-large-sides
+    // scale add a coarse time-bin equality to the join)
+    "q_range" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sessions = graft.streaming.Sessionize.batch(ev, gapMinutes = 30)
+        .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+          col("session_start"), col("session_end"))
+      val errors = broadcast(ev.filter(col("event_type") === "error").select(col("ts")))
+      graft.operators.TemporalJoins
+        .rangeJoin(errors, "ts", sessions, "session_start", "session_end")
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_errors"))
+        .orderBy(col("user_id"), col("session_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -208,21 +243,54 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events),
-        |g AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM g)
-        |SELECT user_id, session_id::BIGINT AS session_id,
-        |  min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events,
-        |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_value
-        |FROM s GROUP BY user_id, s.session_id
-        |ORDER BY user_id, session_id""".stripMargin)
+      s"""WITH $SqlSessionCtes
+         |SELECT user_id, session_id::BIGINT AS session_id,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  count(*) AS n_events,
+         |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_value
+         |FROM s GROUP BY user_id, s.session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |c0 AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events
+        |  WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts, max(event_id) AS event_id FROM c0 GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id, p.ts,
+        |  c.event_id AS click_id, c.ts AS click_ts,
+        |  CASE WHEN c.event_id IS NOT NULL
+        |    THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_range" ->
+      s"""WITH $SqlSessionCtes,
+         |sess AS (
+         |  SELECT user_id, session_id::BIGINT AS session_id,
+         |    min(ts) AS session_start, max(ts) AS session_end
+         |  FROM s GROUP BY user_id, s.session_id),
+         |err AS (SELECT ts::TIMESTAMP AS ts FROM events WHERE event_type = 'error')
+         |SELECT sess.user_id, sess.session_id, count(*) AS n_errors
+         |FROM sess JOIN err
+         |  ON err.ts BETWEEN sess.session_start AND sess.session_end
+         |GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)
+
+  /** Shared 30-min-gap session CTE chain (ends with CTE `s`);
+    * a def — it is referenced during `oracles` initialization.
+    */
+  private def SqlSessionCtes =
+    """e AS (
+      |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)""".stripMargin
 }
