@@ -93,6 +93,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.size == 3) // user1 × 2 sessions + user2 × 1
   }
 
+  test("streaming ANN serve: stream-static join matches batch top-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queryRows = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    stream.addData(queryRows)
+    val scored = graft.streaming.AnnServe.scoreStream(
+      stream.toDF().toDF("qid", "qv"), "qid", "qv",
+      corpus, "vec_id", "embedding")
+    val q = scored.writeStream.format("memory").queryName("ann_serve_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // per-query top-3 from the streamed scores == batch brute force
+    val got = spark.table("ann_serve_out")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val want = graft.ann.Ann.bruteForceTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 3), "vec_id", "embedding", k = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("streaming exact dedup matches batch survivors' hashes") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
