@@ -60,10 +60,34 @@ object TemporalJoins {
   }
 
   /** Rows joined to the (inclusive) intervals containing them;
-    * broadcast the smaller side at call site.
+    * broadcast the smaller side at call site. Plans a nested-loop
+    * join — use only when one side is tiny; otherwise rangeJoinBinned.
     */
   def rangeJoin(events: DataFrame, tsCol: String,
       intervals: DataFrame, startCol: String, endCol: String): DataFrame =
     intervals.join(events,
       col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+
+  /** Bin-bucketed range join: intervals explode over the time bins
+    * they cover, events map to their bin, and the join gains a bin
+    * EQUALITY key — a hash join whose per-bin work is |bin events| ×
+    * |bin intervals| instead of a full nested loop. Each matching
+    * (interval, event) pair meets in exactly one bin (the event's), so
+    * no dedup is needed. Pick binSeconds ≳ the typical interval length
+    * so intervals explode to O(1) bins.
+    */
+  def rangeJoinBinned(events: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(
+        floor(unix_micros(col(startCol)) / binUs).cast("long"),
+        floor(unix_micros(col(endCol)) / binUs).cast("long"))))
+    val ev = events.withColumn("_bin",
+      floor(unix_micros(col(tsCol)) / binUs).cast("long"))
+    iv.join(ev, Seq("_bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_bin")
+  }
 }

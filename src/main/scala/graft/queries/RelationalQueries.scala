@@ -150,16 +150,17 @@ object RelationalQueries {
     }),
 
     // interval range join: error events matched to the 30-min-gap
-    // sessions containing them (errors broadcast; at two-large-sides
-    // scale add a coarse time-bin equality to the join)
+    // sessions containing them — bin-bucketed (2-hour bins) so the join
+    // is a hash join on the bin key, not a nested loop
     "q_range" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val sessions = graft.streaming.Sessionize.batch(ev, gapMinutes = 30)
         .select(col("user_id"), col("session_id").cast("long").as("session_id"),
           col("session_start"), col("session_end"))
-      val errors = broadcast(ev.filter(col("event_type") === "error").select(col("ts")))
+      val errors = ev.filter(col("event_type") === "error").select(col("ts"))
       graft.operators.TemporalJoins
-        .rangeJoin(errors, "ts", sessions, "session_start", "session_end")
+        .rangeJoinBinned(errors, "ts", sessions, "session_start", "session_end",
+          binSeconds = 7200L)
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_errors"))
         .orderBy(col("user_id"), col("session_id"))

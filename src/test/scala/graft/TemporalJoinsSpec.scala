@@ -60,4 +60,24 @@ class TemporalJoinsSpec extends SparkSpecBase {
     val n = TemporalJoins.rangeJoin(events, "ts", intervals, "start", "end").count()
     assert(n == 2)
   }
+
+  test("binned range join equals the nested-loop range join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val intervals = (1 to 80).map { i =>
+      val s = base + rnd.nextInt(14 * 86400) * 1000L
+      (i.toLong, new Timestamp(s), new Timestamp(s + rnd.nextInt(6 * 3600) * 1000L))
+    }.toDF("iv_id", "start", "end")
+    val events = (1 to 500)
+      .map(_ => new Timestamp(base + rnd.nextInt(14 * 86400) * 1000L))
+      .toDF("ts")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("iv_id", "ts").as[(Long, Timestamp)].collect().toSet
+    val simple = pairs(TemporalJoins.rangeJoin(events, "ts", intervals, "start", "end"))
+    val binned = pairs(TemporalJoins.rangeJoinBinned(
+      events, "ts", intervals, "start", "end", binSeconds = 3600L))
+    assert(binned == simple)
+    assert(simple.nonEmpty)
+  }
 }
