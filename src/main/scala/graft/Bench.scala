@@ -10,10 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one untimed query to absorb JVM/codegen/classload warmup so the
-    // first timed query isn't charged ~5s of session bring-up
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // untimed warmup queries (one relational, one vector-kernel) to
+    // absorb JVM/codegen/classload bring-up before timing starts
+    Seq("q1_agg", "v_topk").foreach { w =>
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
