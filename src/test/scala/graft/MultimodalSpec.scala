@@ -1,0 +1,43 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpecBase {
+
+  private lazy val media = {
+    import spark.implicits._
+    val docs = Seq((1L, "aeiou xyz"), (2L, ""), (3L, "a" * 200))
+      .toDF("doc_id", "text")
+    Multimodal.asMedia(docs, "doc_id", "text")
+  }
+
+  test("asMedia carries payload bytes + typed metadata") {
+    import spark.implicits._
+    val row = media.filter($"doc_id" === 1L).collect().head
+    assert(new String(row.getAs[Array[Byte]]("payload")) == "aeiou xyz")
+    val meta = row.getStruct(row.fieldIndex("media_meta"))
+    assert(meta.getAs[Long]("n_bytes") == 9L)
+    assert(meta.getAs[String]("mime") == "text/plain")
+  }
+
+  test("byteFeatures: counts and mean, empty payload safe") {
+    import spark.implicits._
+    val f = Multimodal.byteFeatures(media, "doc_id").collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(f(1L).n_bytes == 9L)
+    assert(f(1L).n_vowel_bytes == 5L) // a e i o u
+    assert(f(2L).n_bytes == 0L && f(2L).mean_byte == 0.0)
+    assert(f(3L).mean_byte == 'a'.toInt.toDouble)
+  }
+
+  test("frameSample: strided offsets, tail shorter than frame dropped") {
+    import spark.implicits._
+    val frames = Multimodal.frameSample(media, "doc_id", stride = 64, frameLen = 16)
+      .collect().filter(_.doc_id == 3L)
+    // 200 bytes → offsets 0, 64, 128 (176+16 > 200 ⇒ stop at 184 cap)
+    assert(frames.map(_.offset).toSeq.sorted == Seq(0L, 64L, 128L))
+    assert(frames.forall(_.frame_len == 16L))
+    // identical frames ("a"*16) share the digest
+    assert(frames.map(_.frame_md5).distinct.length == 1)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpecBase {
+
+  private lazy val df = {
+    import spark.implicits._
+    (0L until 10000L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "grp")
+  }
+
+  test("hash sample hits the rate within tolerance and is reproducible") {
+    val n1 = Sampling.hashSample(df, "id", 0.2).count()
+    assert(math.abs(n1 / 10000.0 - 0.2) < 0.02)
+    // same rows regardless of partitioning (hash-of-id, no RNG state)
+    val ids1 = Sampling.hashSample(df, "id", 0.2).select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.hashSample(df.repartition(13), "id", 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("nested rates: a lower-rate sample is a subset of a higher-rate one") {
+    val small = Sampling.hashSample(df, "id", 0.1).select("id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(df, "id", 0.5).select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratified rates apply per stratum") {
+    import spark.implicits._
+    val out = Sampling.stratified(df, "id", "grp", Map("a" -> 0.5), defaultRate = 0.05)
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    val aTotal = df.filter($"grp" === "a").count().toDouble
+    val bTotal = df.filter($"grp" === "b").count().toDouble
+    assert(math.abs(byGrp("a") / aTotal - 0.5) < 0.05)
+    assert(math.abs(byGrp.getOrElse("b", 0L) / bTotal - 0.05) < 0.02)
+  }
+}
