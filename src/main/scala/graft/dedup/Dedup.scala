@@ -89,6 +89,8 @@ object Dedup {
     */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, nHashes: Int, nBands: Int): DataFrame = {
+    require(nBands > 0 && nHashes % nBands == 0,
+      s"nBands ($nBands) must divide nHashes ($nHashes)")
     val rowsPerBand = nHashes / nBands
     val postings = docs.select(col(idCol),
       explode(wordShingles(wsTokens(normText(col(textCol))), shingleLen)).as("g"))
@@ -164,9 +166,10 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs above a threshold, blocked by a
-    * label/cluster column so the join is (block)-partitioned instead
-    * of all-pairs. At 100 TB the block key would be an IVF cell
-    * (graft.ann.Ivf) rather than a given label.
+    * caller-chosen column so the join is (block)-partitioned instead
+    * of all-pairs. The block must stay bounded as the corpus grows:
+    * compose it from a label × LSH bucket (dd_embed_cosine does) or an
+    * IVF cell (graft.ann.IvfIndex), never a corpus-growing key alone.
     */
   def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
