@@ -97,6 +97,19 @@ object RelationalQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // grouping sets: rollup to (flag, status) → (flag) → grand total;
+    // group keys coalesced to 'ALL' so the oracle compare is null-free
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("flag"), col("status"))
+    }),
+
     // distinct aggregation (count(distinct) expands to a two-phase
     // partial-distinct plan; the scale path swaps in
     // approx_count_distinct's HLL sketch with identical plan shape)
@@ -229,6 +242,15 @@ object RelationalQueries {
         |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
 
     "q_distinct" ->
       """SELECT event_type,
