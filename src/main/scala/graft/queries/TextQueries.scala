@@ -127,6 +127,18 @@ object TextQueries {
         .orderBy(desc("score"), col("doc_id"))
     }),
 
+    // corpus vocabulary statistics: top-25 word bigrams with document
+    // frequency — the diagnostic that sizes dedup/shingle decisions
+    "ta_ngram_freq" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs
+        .select(col("doc_id"), explode(wordShingles(wsTokens(normText(col("text"))), 2)).as("g"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), col("g"))
+        .limit(25)
+    }),
+
     // PII redaction (graft.text.Redact). The synthetic corpus carries
     // no PII, so deterministic PII-ish suffixes are injected first —
     // both engines build the identical string, scrub it, and the
@@ -292,6 +304,17 @@ object TextQueries {
          |SELECT doc_id, round(sum(c), 6) AS score, count(*) AS n_lists
          |FROM contrib GROUP BY doc_id
          |ORDER BY sum(c) DESC, doc_id LIMIT 10""".stripMargin,
+
+    "ta_ngram_freq" ->
+      s"""$sqlNorm,
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+         |ng AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([array_to_string(toks[i : i+1], ' ')
+         |      for i in range(1, greatest(len(toks), 2))])) AS g
+         |  FROM tok)
+         |SELECT g, count(*) AS df FROM ng
+         |GROUP BY g ORDER BY df DESC, g LIMIT 25""".stripMargin,
 
     "ta_redact" ->
       """WITH pii AS (

@@ -18,6 +18,12 @@ class CliSpec extends SparkSpecBase {
 
     val bUri = idx1.catalog.filter($"uri".endsWith("b.txt"))
       .select("uri").as[String].head()
+    // query formats execute end-to-end (output goes to stdout)
+    Cli.run(spark, List("query", index, "spark joins", "--format", "stats"))
+    Cli.run(spark, List("query", index, "spark joins", "--format", "chunks"))
+    Cli.run(spark, List("query", index, "spark joins",
+      "--format", "sections", "--tokens", "50"))
+
     Cli.run(spark, List("remove", index, "--uri", bUri))
     val idx2 = graft.index.DocumentIndex.load(spark, index)
     assert(idx2.catalog.count() == 1)
