@@ -12,15 +12,26 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects;
-    // read nanos as long and rebuild a (micros) timestamp with integer
-    // arithmetic — `div` keeps it in long (a double round-trip would
-    // lose precision on ~1.7e18 ns epoch values).
+    // The driver's events.ts is TIMESTAMP(NANOS) parquet, which Spark
+    // rejects; read nanos as long and rebuild a (micros) timestamp with
+    // integer arithmetic — `div` keeps it in long (a double round-trip
+    // would lose precision on ~1.7e18 ns epoch values). Only applies
+    // when the column actually arrives as long: re-written corpora
+    // (e.g. stress copies) already carry proper timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts div 1000 AS BIGINT))"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts div 1000 AS BIGINT))"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // session timezone is UTC everywhere in graft, so ntz→ltz is
+          // value-preserving; ltz is what unix_micros/windows expect
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => df
+      }
     else df
   }
 }
