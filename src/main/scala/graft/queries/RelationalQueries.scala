@@ -75,16 +75,23 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // per-group top-3 via the bounded-heap TopKAgg (map-side partial
+    // top-k: ≤ 3 pairs per (nation × partition) cross the shuffle) —
+    // a window row_number would sort every supplier of every nation,
+    // and suppliers grow with scale factor. Same total order as the
+    // window idiom (score desc, id asc), so the oracle is unchanged.
     "q_topk_group" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.topK
       val rev = t(s, dir, "lineitem")
         .groupBy(col("l_suppkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       val sup = t(s, dir, "supplier")
-      val w = Window.partitionBy(col("s_nationkey")).orderBy(desc("revenue"), col("s_suppkey"))
       rev.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 3)
-        .select(col("s_nationkey"), col("s_suppkey"), col("revenue"), col("rk"))
+        .groupBy(col("s_nationkey"))
+        .agg(topK(col("revenue"), col("s_suppkey"), 3).as("top"))
+        .select(col("s_nationkey"), posexplode(col("top")).as(Seq("_pos", "_t")))
+        .select(col("s_nationkey"), col("_t.id").as("s_suppkey"),
+          col("_t.score").as("revenue"), (col("_pos") + 1).cast("long").as("rk"))
         .orderBy(col("s_nationkey"), col("rk"))
     }),
 

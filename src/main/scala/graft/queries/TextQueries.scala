@@ -46,25 +46,21 @@ object TextQueries {
     }),
 
     // sequence packing for pretraining (concat-then-chunk layout):
-    // shard by lang, lay docs head-to-tail, cut fixed 4096-token bins.
+    // lay docs head-to-tail per lang, cut fixed 4096-token bins.
     // Each row records the doc's start bin/offset AND end bin, so a
     // doc spanning a bin boundary is visible (end_pack_id > pack_id).
-    // The parallel unit at 100 TB is the shard key; packing inside a
-    // shard is the inherently-sequential window.
+    //
+    // Scale shape: a two-phase parallel prefix sum. Phase 1 cumsums
+    // inside (lang, shard) where shard = md5(doc_id) % nShards, so the
+    // window parallelism is nLangs × nShards, not nLangs (~5 — one
+    // core per language would serialize the 100 TB corpus). Phase 2
+    // offsets each shard by the token totals of the shards before it —
+    // an nLangs × nShards-row aggregate, broadcast back. Raise nShards
+    // with corpus size; the layout stays deterministic because the
+    // concat order is (lang, shard, doc_id).
     "ta_pack" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(wsTokens(normText(col("text")))).cast("long").as("n_tokens"))
-      toks
-        .withColumn("cum", sum(col("n_tokens"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / 4096))
-        .withColumn("pack_offset", (col("cum") - col("n_tokens")) % 4096)
-        .withColumn("end_pack_id", floor((col("cum") - 1) / 4096))
-        .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"),
-          col("pack_offset"), col("end_pack_id"))
+      TextQueries.pack(t(s, dir, "documents"), nShards = PackShards)
         .orderBy(col("doc_id"))
     }),
 
@@ -164,6 +160,49 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }))
 
+  /** Shard fan-out for ta_pack. 8 at test scale; at 100 TB set this to
+    * ~(corpus tokens / executor-core budget) — the layout changes with
+    * nShards (concat order is (lang, shard, doc_id)) but every value
+    * is deterministic for a fixed nShards.
+    */
+  val PackShards = 8
+
+  /** Two-phase parallel sequence packing (see the ta_pack entry).
+    * Input needs (doc_id, lang, text); output is one row per doc with
+    * its bin coordinates in the concat-then-chunk layout.
+    */
+  def pack(docs: org.apache.spark.sql.DataFrame, nShards: Int,
+      binTokens: Int = 4096): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        size(wsTokens(normText(col("text")))).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(nShards.toLong)))
+    // phase 1: local prefix sums, parallel across (lang, shard)
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    val local = toks.withColumn("local_cum", sum(col("n_tokens"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // phase 2: per-shard token totals → exclusive prefix over shards
+    // within each lang (nLangs × nShards rows — broadcast back)
+    val offsets = local
+      .groupBy(col("lang"), col("shard"))
+      .agg(max(col("local_cum")).as("shard_total"))
+      .withColumn("shard_offset",
+        coalesce(sum(col("shard_total")).over(
+          Window.partitionBy(col("lang")).orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("shard"), col("shard_offset"))
+    local.join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("cum", col("shard_offset") + col("local_cum"))
+      .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / binTokens))
+      .withColumn("pack_offset", (col("cum") - col("n_tokens")) % binTokens)
+      .withColumn("end_pack_id", floor((col("cum") - 1) / binTokens))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"),
+        col("pack_offset"), col("end_pack_id"))
+  }
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -213,19 +252,25 @@ object TextQueries {
          |  round(len(t) * 1.0 / len(regexp_extract_all(t, '$BpeishPattern')), 6) AS chars_per_token
          |FROM norm ORDER BY doc_id""".stripMargin,
 
+    // single-window re-statement of the two-phase shard layout: cum
+    // over (lang ORDER BY shard, doc_id) ≡ shard_offset + local_cum.
+    // pack_offset is CAST to BIGINT — DuckDB's windowed sum is HUGEINT
+    // and the raw modulo would hash as float64 vs Spark's int64.
     "ta_pack" ->
       s"""$sqlNorm,
          |toks AS (
-         |  SELECT n.doc_id, d.lang, len(string_split(n.t, ' '))::BIGINT AS n_tokens
+         |  SELECT n.doc_id, d.lang,
+         |    len(string_split(n.t, ' '))::BIGINT AS n_tokens,
+         |    ('0x'||substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 15))::BIGINT % $PackShards AS shard
          |  FROM norm n JOIN documents d USING (doc_id)),
          |packed AS (
          |  SELECT doc_id, lang, n_tokens,
-         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY shard, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM toks)
          |SELECT doc_id, lang, n_tokens,
          |  CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS pack_id,
-         |  (cum - n_tokens) % 4096 AS pack_offset,
+         |  CAST((cum - n_tokens) % 4096 AS BIGINT) AS pack_offset,
          |  CAST(floor((cum - 1) / 4096.0) AS BIGINT) AS end_pack_id
          |FROM packed ORDER BY doc_id""".stripMargin,
 

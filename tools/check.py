@@ -60,6 +60,14 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
+        # the driver hashes pandas-rendered values, so int64 vs float64
+        # is a hash mismatch even when values are equal (round-1 ta_pack)
+        dt_bad = [(c, got[c].dtype, want[c].dtype) for c in got.columns
+                  if got[c].dtype != want[c].dtype]
+        if dt_bad:
+            print(f"FAIL {name}: dtypes differ (spark vs duckdb): {dt_bad}")
+            n_fail += 1
+            continue
         bad = None
         for i in range(len(got)):
             for c in got.columns:
