@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.embed.{Embedder, HashingEmbedder}
@@ -46,40 +46,64 @@ final class DocumentIndex private (
   def getDocumentUri(documentId: String): DataFrame =
     catalog.filter(col("document_id") === documentId).select(col("uri"))
 
-  /** Bulk upsert of (uri, text) rows: latest wins per uri
-    * (reference: local_document_index.py:127-219 upsert_document,
+  /** Bulk upsert of (uri, text, ...metadata) rows: latest wins per
+    * uri (reference: local_document_index.py:127-219 upsert_document,
     * minus the per-document driver loop). Split + embed happen inside
     * flatMap — narrow, no shuffle; the only shuffles are the two
     * left_anti joins that retire previous versions.
+    *
+    * Every column beyond (uri, text) is per-document metadata. The
+    * reference merges the metadata dict into each chunk item and
+    * writes a `{id}.json` side file
+    * (local_document_index.py:190-205, local_document.py:26-53); here
+    * the metadata rides as typed columns on BOTH the chunk rows (so
+    * MetaFilter predicates apply pre-similarity at query time, pushed
+    * to the parquet scan) and the catalog (so results are decorated
+    * without touching chunk payloads). Columnar pruning makes unused
+    * metadata free — the side-file split falls out of the format.
     */
   def upsertDocuments(docs: DataFrame): DocumentIndex = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types._
     val sp = splitter
     val em = embedder
+    val metaCols: Seq[String] =
+      docs.columns.toSeq.filterNot(c => c == "uri" || c == "text")
+    val chunkSchema = StructType(Seq(
+      StructField("chunk_id", StringType, nullable = false),
+      StructField("document_id", StringType, nullable = false),
+      StructField("uri", StringType, nullable = true),
+      StructField("start_pos", IntegerType, nullable = false),
+      StructField("end_pos", IntegerType, nullable = false),
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("vector", ArrayType(FloatType, containsNull = false), nullable = true))
+      ++ metaCols.map(c => docs.schema(c)))
     // Per partition: split every document, then group chunks into
     // token-budgeted batches for the embedder — one model call per
     // batch, the shape a real batch-inference backend needs
     // (reference: local_document_index.py:156-184 batches by
     // max_tokens before calling create_embeddings).
-    val newChunks: Dataset[DocChunk] =
-      docs.select(col("uri").cast("string"), col("text").cast("string"))
-        .as[(String, String)]
+    val newChunks: DataFrame =
+      docs.select((Seq(col("uri").cast("string"), col("text").cast("string"))
+          ++ metaCols.map(col)): _*)
         .mapPartitions { it =>
-          val pending = it.flatMap { case (uri, text) =>
+          val pending = it.flatMap { row =>
+            val uri = row.getString(0)
+            val text = row.getString(1)
+            val meta = Seq.tabulate(row.length - 2)(j => row.get(j + 2))
             val docId = DocumentIndex.docIdFor(uri)
             sp.split(text).zipWithIndex.map { case (c, i) =>
-              (s"$docId-$i", docId, uri, c)
+              (s"$docId-$i", docId, uri, c, meta)
             }
           }
           // flush a batch when its token total would exceed the budget
           // (single linear pass; an earlier fold re-copied the batch
           // vector per element — quadratic per batch)
-          new Iterator[Seq[(String, String, String, graft.text.TextChunk)]] {
+          new Iterator[Seq[(String, String, String, graft.text.TextChunk, Seq[Any])]] {
             private val it = pending.buffered
             def hasNext: Boolean = it.hasNext
-            def next(): Seq[(String, String, String, graft.text.TextChunk)] = {
-              val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, graft.text.TextChunk)]
+            def next(): Seq[(String, String, String, graft.text.TextChunk, Seq[Any])] = {
+              val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, graft.text.TextChunk, Seq[Any])]
               var tokens = 0
               while (it.hasNext && (batch.isEmpty ||
                   tokens + it.head._4.tokens.length <= em.maxBatchTokens)) {
@@ -91,28 +115,34 @@ final class DocumentIndex private (
             }
           }.flatMap { batch =>
             val vecs = em.embedBatch(batch.map(_._4.tokens))
-            batch.zip(vecs).map { case ((cid, docId, uri, c), v) =>
-              DocChunk(cid, docId, uri, c.startPos, c.endPos, c.tokens.length, v)
+            batch.zip(vecs).map { case ((cid, docId, uri, c, meta), v) =>
+              Row.fromSeq(Seq(cid, docId, uri, c.startPos, c.endPos,
+                c.tokens.length, v) ++ meta)
             }
           }
-        }
+        }(Encoders.row(chunkSchema))
     // Catalog keeps the document text (columnar, read only by section
     // rendering) — the analogue of the reference's per-document
-    // `{id}.txt` files (reference: local_document_index.py:207-208).
+    // `{id}.txt` files (reference: local_document_index.py:207-208) —
+    // plus the metadata columns (the `{id}.json` analogue).
     val newCatalog = docs
-      .select(col("uri").cast("string"), col("text").cast("string"))
+      .select((Seq(col("uri").cast("string"), col("text").cast("string"))
+        ++ metaCols.map(col)): _*)
       .dropDuplicates("uri")
       .withColumn("document_id", md5(col("uri")))
-      .select(col("document_id"), col("uri"), col("text"))
+      .select((Seq(col("document_id"), col("uri"), col("text"))
+        ++ metaCols.map(col)): _*)
     val keptCatalog = catalog.join(newCatalog.select("uri"), Seq("uri"), "left_anti")
-      .select(col("document_id"), col("uri"), col("text"))
     val keptChunks = chunks.items.join(newCatalog.select("document_id"), Seq("document_id"), "left_anti")
-    val chunkDf = newChunks.toDF()
-      .withColumn("norm", normD(col("vector")))
-      .select(keptChunks.columns.map(col).toIndexedSeq: _*)
+    val chunkDf = newChunks.withColumn("norm", normD(col("vector")))
+    // allowMissingColumns: re-ingesting with new metadata keys
+    // null-fills the old rows, same as a reference side file that
+    // lacks the key
     new DocumentIndex(
-      keptCatalog.unionByName(newCatalog),
-      VectorIndex.build(keptChunks.unionByName(chunkDf), "chunk_id", "vector"),
+      keptCatalog.unionByName(newCatalog, allowMissingColumns = true),
+      VectorIndex.build(
+        keptChunks.unionByName(chunkDf, allowMissingColumns = true),
+        "chunk_id", "vector"),
       splitter, embedder)
   }
 
@@ -135,14 +165,23 @@ final class DocumentIndex private (
   def queryDocuments(queryText: String, maxDocuments: Int = 10, maxChunks: Int = 50,
       filter: Option[MetaFilter] = None): DataFrame = {
     val qv = embedder.embed(splitter.tokenizer.encode(queryText.replace('\n', ' ')))
+    // the metadata filter applies to CHUNK rows pre-similarity
+    // (reference: query_items(embedding, max_chunks, options.filter) —
+    // chunk items carry the merged document metadata)
     val topChunks = chunks.queryItems(qv.map(_.toDouble).toIndexedSeq, maxChunks, filter)
-    topChunks
+    val metaCols = catalog.columns.toSeq
+      .filterNot(Set("document_id", "uri", "text"))
+    // ≤ maxChunks aggregated rows is the broadcast side; the catalog
+    // grows with the corpus and must stream
+    val scores = topChunks
       .groupBy(col("document_id"))
       .agg(avg(col("score")).as("score"), count(lit(1)).as("n_chunks"))
-      .join(broadcast(catalog.select("document_id", "uri")), Seq("document_id"))
+    catalog.drop("text")
+      .join(broadcast(scores), Seq("document_id"))
       .orderBy(desc("score"), col("document_id"))
       .limit(maxDocuments)
-      .select(col("document_id"), col("uri"), col("score"), col("n_chunks"))
+      .select((Seq(col("document_id"), col("uri"), col("score"), col("n_chunks"))
+        ++ metaCols.map(col)): _*)
   }
 
   /** Render token-budgeted sections for the top documents of a query

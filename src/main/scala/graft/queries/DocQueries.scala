@@ -76,6 +76,34 @@ object DocQueries {
         .limit(10)
     }),
 
+    // query_documents under a Mongo metadata filter (reference:
+    // local_document_index.py:221-254 query_documents with
+    // options.filter → item_selector metadata filter applied to chunk
+    // items pre-similarity). Chunk rows carry the per-document
+    // metadata columns, the JSON filter compiles through
+    // MetaFilter.parse to Catalyst predicates.
+    "d_query_documents_filtered" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), normText(col("text")).as("t"))
+      val chunks = docs
+        .select(col("doc_id"),
+          explode(sequence(lit(0), ceil(length(col("t")) / 200.0).cast("int") - 1)).as("i"))
+        .join(docs, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("i"),
+          col("t").substr(col("i") * 200 + 1, lit(200)).as("chunk"))
+        .withColumn("score_raw", (portableHash(col("chunk")) % 1000000).cast("double") / 1000000.0)
+      val filter = graft.filters.MetaFilter.parse(
+        """{"$and": [{"$or": [{"lang": "en"}, {"lang": {"$in": ["de", "fr"]}}]},
+          |          {"source": {"$ne": "src3"}}]}""".stripMargin)
+      chunks.filter(filter.toColumn)
+        .orderBy(desc("score_raw"), col("doc_id"), col("i"))
+        .limit(50)
+        .groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(round(avg(col("score_raw")), 6).as("score"), count(lit(1)).as("n_chunks"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(10)
+    }),
+
     // reference: local_document_index.py:118-125 get_catalog_stats
     "d_catalog_stats" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -114,6 +142,27 @@ object DocQueries {
         |  ORDER BY score_raw DESC, doc_id, i LIMIT 50)
         |SELECT doc_id, round(avg(score_raw), 6) AS score, count(*) AS n_chunks
         |FROM topc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "d_query_documents_filtered" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang, source,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, lang, source, i, substr(t, (i*200+1)::INT, 200) AS chunk
+        |  FROM norm, unnest(range(0, CAST(ceil(len(t)/200.0) AS BIGINT))) AS u(i)),
+        |scored AS (
+        |  SELECT doc_id, lang, source, i,
+        |    (('0x'||substr(md5(chunk), 1, 15))::BIGINT % 1000000) / 1000000.0 AS score_raw
+        |  FROM chunks
+        |  WHERE (lang = 'en' OR lang IN ('de', 'fr')) AND source <> 'src3'),
+        |topc AS (
+        |  SELECT doc_id, lang, source, score_raw FROM scored
+        |  ORDER BY score_raw DESC, doc_id, i LIMIT 50)
+        |SELECT doc_id, lang, source,
+        |  round(avg(score_raw), 6) AS score, count(*) AS n_chunks
+        |FROM topc GROUP BY doc_id, lang, source
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
     // d_chunk, d_chunk_stats, d_catalog_stats, d_sections: rows-only
     // (recursive splitter / renderer are not SQL-expressible; their
