@@ -64,6 +64,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // byte-level BPE token accounting (graft.text.ByteBpeTokenizer —
+    // the reference's tiktoken analogue, reference: gpt3_tokenizer.py).
+    // BPE is not SQL-expressible → rows-only oracle; the encode/decode
+    // semantics carry their own gate in BpeSpec (exact round-trip,
+    // determinism, golden counts). ids_checksum makes cross-run drift
+    // visible even under a rows-only check.
+    "ta_tokens_bpe" -> ((s, dir) => {
+      import s.implicits._
+      val bpe = new graft.text.ByteBpeTokenizer()
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val ids = bpe.encodeIds(text)
+            (id, ids.length.toLong,
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong,
+              ids.foldLeft(0L)((h, t) => (h * 31 + t) % 1000000007L))
+          }
+        }
+        .toDF("doc_id", "n_bpe_tokens", "n_bytes", "ids_checksum")
+        .withColumn("bytes_per_token", round(col("n_bytes") / col("n_bpe_tokens"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: which held-out docs (doc_id%100==0 as
     // the stand-in benchmark) share 5-word shingles with the training
     // pool — the standard train/test contamination scan as a blocked

@@ -40,7 +40,7 @@ object SectionRenderer {
       chunks: ArrayBuffer[MChunk], var score: Double, var tokenCount: Int)
 
   def render(text: String, scored: Seq[ScoredChunk], maxTokens: Int, maxSections: Int,
-      tok: RegexTokenizer): Seq[TextSection] = {
+      tok: Tokenizer): Seq[TextSection] = {
     val tokens = tok.encode(text)
     if (tokens.length < maxTokens)
       return Seq(TextSection(text, tokens.length, 1.0))

@@ -44,7 +44,7 @@ final case class SplitterConfig(
   */
 final class TextSplitter(
     config: SplitterConfig = SplitterConfig(),
-    val tokenizer: RegexTokenizer = new RegexTokenizer) extends Serializable {
+    val tokenizer: Tokenizer = new RegexTokenizer) extends Serializable {
 
   private val separators: Seq[String] =
     if (config.separators.nonEmpty) config.separators
