@@ -71,15 +71,19 @@ object Cli {
 
     case "delete" :: index :: _ =>
       println(s"Deleting index at $index")
-      delete(new java.io.File(index))
+      graft.index.VectorIndex.deleteIndex(spark, index)
 
     case "add" :: index :: rest =>
       val chunkSize = opt(rest, "--chunk-size").map(_.toInt).getOrElse(512)
       val uris = optAll(rest, "--uri")
       require(uris.nonEmpty, "add requires --uri <file-or-dir>...")
       val cfg = SplitterConfig(keepSeparators = true, chunkSize = chunkSize, chunkOverlap = 0)
+      // html → markdown first (reference: web_fetcher html_to_markdown)
+      // so the md separator table chunks on headings; doc_type rides
+      // along so the splitter is chosen per document.
       val docs = uris.map(u => FileFetcher.fetchDir(spark, u)).reduce(_ unionByName _)
-        .select(col("uri"), col("text"))
+        .transform(FileFetcher.htmlAsMarkdown)
+        .select(col("uri"), col("text"), col("doc_type"))
       val idx = loadOrCreate(spark, index, cfg).upsertDocuments(docs)
       idx.save(index)
       println(s"Added ${docs.count()} documents")
@@ -118,13 +122,13 @@ object Cli {
     case _ => usage(); sys.exit(2)
   }
 
+  /** Existence through the Hadoop FileSystem, same as the index
+    * persistence paths — java.io.File would silently misreport on
+    * HDFS/object-store index locations.
+    */
   private def loadOrCreate(spark: SparkSession, index: String,
       cfg: SplitterConfig): DocumentIndex =
-    if (new java.io.File(s"$index/catalog").exists()) DocumentIndex.load(spark, index, cfg)
+    if (graft.index.VectorIndex.isIndexCreated(spark, s"$index/catalog"))
+      DocumentIndex.load(spark, index, cfg)
     else DocumentIndex.create(spark, cfg)
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete(): Unit
-  }
 }

@@ -83,16 +83,31 @@ final class DocumentIndex private (
     // batch, the shape a real batch-inference backend needs
     // (reference: local_document_index.py:156-184 batches by
     // max_tokens before calling create_embeddings).
+    // doc-type-aware splitting (reference:
+    // local_document_index.py:148-152): an explicit doc_type metadata
+    // column wins, else the uri extension; separator tables are cached
+    // per type per partition.
+    val dtIdx = metaCols.indexOf("doc_type")
     val newChunks: DataFrame =
       docs.select((Seq(col("uri").cast("string"), col("text").cast("string"))
           ++ metaCols.map(col)): _*)
         .mapPartitions { it =>
+          val spByType = scala.collection.mutable.Map.empty[String, graft.text.TextSplitter]
+          def splitterFor(uri: String, explicit: String): graft.text.TextSplitter = {
+            val dt = if (explicit != null && explicit.nonEmpty) explicit
+              else DocumentIndex.extensionOf(uri)
+            if (dt.isEmpty) sp
+            else spByType.getOrElseUpdate(dt, sp.forDocType(dt))
+          }
           val pending = it.flatMap { row =>
             val uri = row.getString(0)
             val text = row.getString(1)
             val meta = Seq.tabulate(row.length - 2)(j => row.get(j + 2))
+            val explicitType =
+              if (dtIdx >= 0) Option(row.get(2 + dtIdx)).map(_.toString).orNull
+              else null
             val docId = DocumentIndex.docIdFor(uri)
-            sp.split(text).zipWithIndex.map { case (c, i) =>
+            splitterFor(uri, explicitType).split(text).zipWithIndex.map { case (c, i) =>
               (s"$docId-$i", docId, uri, c, meta)
             }
           }
@@ -244,6 +259,21 @@ final class DocumentIndex private (
 }
 
 object DocumentIndex {
+
+  /** The uri extension used as the default doc_type (reference:
+    * local_document_index.py:148-152 — `uri[pos+1:].lower()`), guarded
+    * to plausible extensions so "doc 42" or "a.b/c" don't match.
+    */
+  def extensionOf(uri: String): String = {
+    val pos = uri.lastIndexOf('.')
+    if (pos < 0) ""
+    else {
+      val ext = uri.substring(pos + 1).toLowerCase
+      if (ext.nonEmpty && ext.length <= 10 && ext.forall(c => c.isLetterOrDigit || c == '#'))
+        ext
+      else ""
+    }
+  }
 
   def docIdFor(uri: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")

@@ -46,11 +46,33 @@ object FileFetcher {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Convert the html rows of a fetched corpus to structure-preserving
+    * markdown (graft.sources.HtmlToMarkdown; reference:
+    * web_fetcher.py:62-100 html_to_markdown) and retag them doc_type
+    * "md", so the splitter's markdown separator table chunks them on
+    * headings/paragraphs. Non-html rows pass through untouched. A
+    * narrow typed map — no shuffle.
+    */
+  def htmlAsMarkdown(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cols = docs.columns.toSeq
+    docs.select(col("uri"), col("doc_type"), col("text"),
+        col("n_bytes"))
+      .as[(String, String, String, Long)]
+      .map { case (uri, dt, text, n) =>
+        if (dt == "html" || dt == "htm")
+          (uri, "md", HtmlToMarkdown.convert(text, uri), n)
+        else (uri, dt, text, n)
+      }
+      .toDF(cols: _*)
+  }
+
   /** Zero-egress stand-in for the reference's WebFetcher: same output
-    * schema (uri, doc_type, text), fed from a local mirror directory
-    * instead of HTTP, with the HTML stripped to indexable text.
+    * schema (uri, doc_type, text) and the same htmlToMarkdown
+    * transform (reference: web_fetcher.py:52-56), fed from a local
+    * mirror directory instead of HTTP.
     */
   def fetchWebMirror(spark: SparkSession, mirrorDir: String): DataFrame =
-    fetchDir(spark, mirrorDir, "*.html")
-      .withColumn("text", htmlToText(col("text")))
+    htmlAsMarkdown(fetchDir(spark, mirrorDir, "*.html"))
 }

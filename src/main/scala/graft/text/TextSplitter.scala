@@ -43,8 +43,16 @@ final case class SplitterConfig(
   * chunks a 100 TB corpus with zero shuffle.
   */
 final class TextSplitter(
-    config: SplitterConfig = SplitterConfig(),
+    val config: SplitterConfig = SplitterConfig(),
     val tokenizer: Tokenizer = new RegexTokenizer) extends Serializable {
+
+  /** Same budgets/tokenizer, doc-type-specific separator table
+    * (reference: local_document_index.py:148-152 — doc_type falls back
+    * to the uri extension per document).
+    */
+  def forDocType(docType: String): TextSplitter =
+    if (config.separators.nonEmpty || docType == null || docType.isEmpty) this
+    else new TextSplitter(config.copy(docType = Some(docType)), tokenizer)
 
   private val separators: Seq[String] =
     if (config.separators.nonEmpty) config.separators

@@ -54,6 +54,42 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._2 == 5L)) // fr block isolated
   }
 
+  test("packed simhash equals the per-bit majority computed by hand") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64, lit}
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark shuffles data between executor partitions again and again"),
+      (3L, "a a a b")) // heavy multiplicity exercises token weighting
+    val got = Dedup.simHash(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    // reproduce with Spark's own xxhash64 (same seed/impl), majority per bit
+    texts.foreach { case (id, text) =>
+      val toks = text.toLowerCase.trim.split("\\s+").toSeq
+      val hashes = toks.toDF("t").select(xxhash64(col("t")))
+        .collect().map(_.getLong(0))
+      val want = (0 until 64).map { i =>
+        val cnt = hashes.count(h => ((h >> i) & 1L) == 1L)
+        if (2 * cnt > hashes.length) 1L << i else 0L
+      }.sum
+      assert(got(id) == want, s"doc $id")
+    }
+  }
+
+  test("embeddingPairs refuses a corpus-growing block (maxBlockSize guard)") {
+    import spark.implicits._
+    val vecs = (1 to 50).map(i => (i.toLong, "all-same-block", Array(1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val ex = intercept[Exception] {
+      Dedup.embeddingPairs(vecs, "vec_id", "embedding", "label", 0.5,
+        maxBlockSize = 10).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("quadratic join refused")),
+      s"got: ${messages(ex)}")
+  }
+
   test("embedding cosine pairs above threshold within block") {
     import spark.implicits._
     val vecs = Seq(

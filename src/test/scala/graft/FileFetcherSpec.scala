@@ -26,4 +26,32 @@ class FileFetcherSpec extends SparkSpecBase {
     val idx = DocumentIndex.create(spark).upsertDocuments(docs)
     assert(idx.catalog.count() == 3)
   }
+
+  test("html ingest converts to markdown and chunks on headings (CLI add path)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("htmlcorpus")
+    val html = "<html><head><title>t</title></head><body>" +
+      (1 to 5).map(i =>
+        s"<h2>Chapter $i</h2><p>${"prose sentence here. " * 40}</p>").mkString +
+      "</body></html>"
+    Files.writeString(dir.resolve("page.html"), html)
+
+    val tmpIdx = Files.createTempDirectory("htmlidx").toString + "/idx"
+    Cli.run(spark, List("add", tmpIdx, "--uri", dir.toString, "--chunk-size", "80"))
+
+    val idx = DocumentIndex.load(spark, tmpIdx)
+    // doc_type metadata records the conversion
+    assert(idx.catalog.select("doc_type").as[String].collect().toSeq == Seq("md"))
+    // chunks align to headings: chapter titles open their own chunks
+    // (start_pos is reliable; end_pos of merged chunks deliberately
+    // keeps the first constituent's span — reference combine_chunks)
+    val chunkStarts = idx.chunks.items
+      .join(idx.catalog.select($"document_id", $"text".as("full")), "document_id")
+      .select($"full", $"start_pos")
+      .collect()
+      .map(r => r.getString(0).substring(r.getInt(1)))
+    val headingStarts = chunkStarts.count(t =>
+      t.startsWith("Chapter ") || t.startsWith("## Chapter") || t.startsWith("# Chapter"))
+    assert(headingStarts >= 4, s"chunks not heading-aligned: ${chunkStarts.map(_.take(30)).toSeq}")
+  }
 }
