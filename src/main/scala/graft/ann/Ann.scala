@@ -181,6 +181,19 @@ object Ann {
     * constant. No dedup needed: each neighbor lives in exactly one
     * bucket, and probe buckets are distinct.
     */
+  /** knnJoinLsh with the plane count derived from corpus stats
+    * (AnnTuner.lshPlanes): per-vector candidate counts stay ≈
+    * targetCandidates as blocks grow — nPlanes rises with log2(block)
+    * instead of being frozen at build time. One tiny planning
+    * aggregate, then the identical plan.
+    */
+  def knnJoinLshTuned(vecs: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, k: Int, targetCandidates: Int = 64): DataFrame = {
+    val st = AnnTuner.stats(vecs, vecCol, Some(blockCol))
+    knnJoinLsh(vecs, idCol, vecCol, blockCol, k,
+      nPlanes = AnnTuner.lshPlanes(st.maxBlock, targetCandidates), dim = st.dim)
+  }
+
   def knnJoinLsh(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
     val bucketed = vecs.select(col(blockCol).as("blk"), col(idCol), col(vecCol))

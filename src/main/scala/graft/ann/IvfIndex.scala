@@ -85,6 +85,16 @@ object IvfIndex {
   def load(spark: SparkSession, path: String, idCol: String, vecCol: String): IvfIndex =
     new IvfIndex(spark, path, idCol, vecCol)
 
+  /** buildWithKMeans with nlist from the √n rule (AnnTuner.ivfNlist) —
+    * cell count grows with the corpus so probe cost (nprobe/nlist of
+    * the data) stays a ~constant fraction.
+    */
+  def buildAuto(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, seed: Long = 42L): IvfIndex = {
+    val st = AnnTuner.stats(corpus, vecCol, None)
+    buildWithKMeans(corpus, idCol, vecCol, AnnTuner.ivfNlist(st.n), path, seed)
+  }
+
   /** Learn the `nlist` centroids with MLlib k-means (seeded → rerun-
     * reproducible) instead of taking seed rows — tighter cells mean a
     * given recall needs fewer probes, i.e. less of the corpus read.

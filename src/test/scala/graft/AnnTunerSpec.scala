@@ -1,0 +1,105 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.{Ann, AnnTuner}
+
+/** Corpus-driven ANN parameter derivation: the point is that tuned
+  * parameters hold per-vector candidate work BOUNDED as the corpus
+  * grows — measured empirically on a corpus and its 10× version.
+  */
+class AnnTunerSpec extends SparkSpecBase {
+
+  private val Dim = 16
+
+  private def corpus(n: Int, seed: Long) = {
+    import spark.implicits._
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      (i.toLong, Array.fill(Dim)((rnd.nextGaussian() / 4).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Mean LSH candidates per vector for knnJoinLsh's probe geometry:
+    * own bucket + nPlanes hamming-1 probes.
+    */
+  private def meanCandidates(n: Int, seed: Long, nPlanes: Int): Double = {
+    val bucketed = corpus(n, seed)
+      .withColumn("bucket", Ann.lshBucket(col("embedding"), nPlanes, Dim))
+    val sizes = bucketed.groupBy("bucket").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def flip(b: String, p: Int): String =
+      b.updated(p, if (b(p) == '1') '0' else '1')
+    val perVector = sizes.toSeq.flatMap { case (b, cnt) =>
+      val cands = (sizes.getOrElse(b, 0L) - 1) +
+        (0 until nPlanes).map(p => sizes.getOrElse(flip(b, p), 0L)).sum
+      Seq.fill(cnt.toInt)(cands.toDouble)
+    }
+    perVector.sum / perVector.length
+  }
+
+  test("tuned nPlanes keeps per-vector candidates bounded across 10x growth") {
+    val target = 64
+    val small = 2000
+    val big = 20000 // the 10x pair
+    val pSmall = AnnTuner.lshPlanes(small, target)
+    val pBig = AnnTuner.lshPlanes(big, target)
+    assert(pBig > pSmall, "plane count must grow with the corpus")
+    val mSmall = meanCandidates(small, seed = 7, pSmall)
+    val mBig = meanCandidates(big, seed = 11, pBig)
+    // geometry bound is for uniform buckets; real buckets skew, so
+    // allow 4x — the scale claim is that 10x data does NOT mean 10x
+    // candidates (an untuned plane count gives exactly that)
+    assert(mSmall <= 4.0 * target, s"small corpus: $mSmall candidates/vector")
+    assert(mBig <= 4.0 * target, s"big corpus: $mBig candidates/vector")
+    val mBigUntuned = meanCandidates(big, seed = 11, pSmall)
+    assert(mBigUntuned > 2 * mBig,
+      s"untuned ($mBigUntuned) should be much worse than tuned ($mBig)")
+  }
+
+  test("lshPlanes follows the bucket-geometry bound") {
+    // smallest p with n(p+1)/2^p <= target
+    assert(AnnTuner.lshPlanes(1000, 64) == 7)   // 1000*8/128 = 62.5
+    assert(AnnTuner.lshPlanes(10000, 64) == 11) // 10000*12/2048 = 58.6
+    assert(AnnTuner.lshPlanes(10, 64) == 2)     // floor
+    (1 to 8).foreach { e =>
+      val n = math.pow(10, e).toLong
+      val p = AnnTuner.lshPlanes(n, 64)
+      assert(n.toDouble * (p + 1) / (1L << p) <= 64 || p == 24)
+    }
+  }
+
+  test("ivf follows the sqrt-n rule with a ~constant scanned fraction") {
+    assert(AnnTuner.ivfNlist(10000) == 100)
+    assert(AnnTuner.ivfNlist(1000000) == 1000)
+    Seq(10000L, 1000000L, 100000000L).foreach { n =>
+      val nlist = AnnTuner.ivfNlist(n)
+      val nprobe = AnnTuner.ivfNprobe(nlist)
+      val frac = nprobe.toDouble / nlist
+      assert(frac <= 0.35 && frac > 0.0, s"n=$n scanned fraction $frac")
+    }
+    // large regime: the fraction settles at the 5% design point
+    assert(AnnTuner.ivfNprobe(1000).toDouble / 1000 == 0.05)
+  }
+
+  test("minHashBands reproduces the S-curve choice the dedup ops use") {
+    // dd_ngram_jaccard: 32 hashes, threshold ~0.6 -> 8 bands x 4 rows
+    assert(AnnTuner.minHashBands(32, 0.6) == 8)
+    // high threshold -> fewer, longer bands; low threshold -> more bands
+    assert(AnnTuner.minHashBands(32, 0.9) < 8)
+    assert(AnnTuner.minHashBands(32, 0.25) > 8)
+  }
+
+  test("stats collects (n, dim, maxBlock) in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Array(1f, 2f)), (2L, "a", Array(3f, 4f)), (3L, "b", Array(5f, 6f)))
+      .toDF("vec_id", "label", "embedding")
+    val st = AnnTuner.stats(df, "embedding", Some("label"))
+    assert(st == AnnTuner.CorpusStats(3L, 2, 2L))
+    val whole = AnnTuner.stats(df, "embedding", None)
+    assert(whole.n == 3L && whole.maxBlock == 3L)
+  }
+}
