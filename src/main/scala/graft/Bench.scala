@@ -26,7 +26,42 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val baseline = baselineBlock(sfDir, results.toMap)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$baseline}""")
     spark.stop()
   }
+
+  /** Reference (vectra-py) wall times measured in-process by
+    * tools/bench_baseline.py on the same corpora — see BASELINE.md for
+    * setup, patched reference bugs, and the crossover analysis. Keyed by
+    * corpus so BENCH_r{N}.json carries a bench_vs_baseline ratio whenever
+    * the bench runs at a measured scale.
+    */
+  private val RefSec: Map[String, Map[String, Double]] = Map(
+    "sf0.1" -> Map( // 2k vectors, 5k documents
+      "v_upsert" -> 0.2505, "v_topk" -> 0.0094, "v_topk_filtered" -> 0.0104,
+      "v_meta_filter" -> 0.0038, "d_chunk" -> 0.4627, "d_query_documents" -> 0.047),
+    "sf1x10" -> Map( // 20k vectors, 50k documents (BENCH_LOCAL.md 10x recipe)
+      "v_upsert" -> 9.2659, "v_topk" -> 0.0981, "v_topk_filtered" -> 0.0784,
+      "v_meta_filter" -> 0.0388, "d_chunk" -> 4.8976, "d_query_documents" -> 0.6))
+
+  private def baselineBlock(sfDir: String, graft: Map[String, Double]): String =
+    RefSec.keys.find(sfDir.contains(_)).map { scale =>
+      val ref = RefSec(scale)
+      // d_query_documents is not like-for-like (reference queries a
+      // prebuilt in-memory chunk index; graft's oracle-checkable bench
+      // entry re-chunks per query) — reported per-op but kept out of the
+      // headline comparable ratio. BASELINE.md ¹ documents this.
+      val comparable = Seq("v_upsert", "v_topk", "v_topk_filtered", "v_meta_filter", "d_chunk")
+      def ratioOf(ops: Seq[String]) = {
+        val g = ops.flatMap(graft.get).sum
+        val r = ops.map(ref).sum
+        if (r > 0) g / r else -1.0
+      }
+      val perOp = ref.collect { case (op, r) if graft.contains(op) && r > 0 =>
+        s"\"" + op + "\":" + f"${graft(op) / r}%.3f"
+      }.mkString("{", ",", "}")
+      val refJson = ref.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      f""","baseline":{"scale":"$scale","ref_sec":$refJson,"ratio":$perOp,"bench_vs_baseline":${ratioOf(comparable)}%.3f,"bench_vs_baseline_incl_dqd":${ratioOf(comparable :+ "d_query_documents")}%.3f}"""
+    }.getOrElse("")
 }
