@@ -11,6 +11,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Fan a narrow scan out to the session's full parallelism before
+    * CPU-bound per-row work (splitting, tokenizing, shingling, vector
+    * scoring). At cluster scale a large table arrives in thousands of
+    * input splits and the guard makes this a no-op. The local test
+    * corpora are single-row-group parquet files — ONE input split — so
+    * without this every compute-bound map stage runs on one core no
+    * matter how many the session has; one round-robin shuffle of the
+    * raw payload is strictly cheaper than serializing the kernel work.
+    * (AQE does not coalesce an explicit repartition(n), so the fan-out
+    * survives adaptive replanning.)
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // The driver's events.ts is TIMESTAMP(NANOS) parquet, which Spark
     // rejects; read nanos as long and rebuild a (micros) timestamp with

@@ -29,7 +29,7 @@ object Ann {
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
-    val scored = corpus
+    val scored = graft.Tables.fanOut(corpus)
       .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
       .filter(col(idCol) =!= col("qid"))
       .withColumn("score_raw", cosine(col(vecCol), col("qv")))
@@ -51,7 +51,7 @@ object Ann {
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
-    val crossed = corpus
+    val crossed = graft.Tables.fanOut(corpus)
       .crossJoin(broadcast(centroids.select(col(cidCol).as("cell"), col(cvecCol).as("cv"))))
       .withColumn("_dist", l2SqD(col(vecCol), col("cv")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("_dist"), col("cell"))
@@ -123,7 +123,8 @@ object Ann {
   def lshSearch(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       nPlanes: Int, dim: Int, k: Int): DataFrame = {
-    val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
+    val bucketed = graft.Tables.fanOut(corpus)
+      .withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
     val qb = queries.select(
       col(qidCol).as("qid"), col(qvecCol).as("qv"),
       lshBucket(col(qvecCol), nPlanes, dim).as("bucket"))
@@ -154,7 +155,8 @@ object Ann {
       queries: DataFrame, qidCol: String, qvecCol: String,
       nPlanes: Int, dim: Int, k: Int): DataFrame = {
     def flip(b: Column, p: Int): Column = flipBit(b, p, nPlanes)
-    val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
+    val bucketed = graft.Tables.fanOut(corpus)
+      .withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
     val qb = queries.select(
         col(qidCol).as("qid"), col(qvecCol).as("qv"),
         lshBucket(col(qvecCol), nPlanes, dim).as("_b0"))
@@ -196,7 +198,8 @@ object Ann {
 
   def knnJoinLsh(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
-    val bucketed = vecs.select(col(blockCol).as("blk"), col(idCol), col(vecCol))
+    val bucketed = graft.Tables.fanOut(vecs)
+      .select(col(blockCol).as("blk"), col(idCol), col(vecCol))
       .withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
     val probes = bucketed.select(col("blk"), col(idCol), col(vecCol),
       explode(array(col("bucket") +:
@@ -221,8 +224,9 @@ object Ann {
     */
   def knnJoin(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, k: Int): DataFrame = {
-    val l = vecs.select(col(blockCol).as("blk"), col(idCol), col(vecCol))
-    val r = vecs.select(col(blockCol).as("blk"), col(idCol).as("nbr_id"), col(vecCol).as("nv"))
+    val fv = graft.Tables.fanOut(vecs)
+    val l = fv.select(col(blockCol).as("blk"), col(idCol), col(vecCol))
+    val r = fv.select(col(blockCol).as("blk"), col(idCol).as("nbr_id"), col(vecCol).as("nv"))
     l.join(r, Seq("blk"))
       .filter(col(idCol) =!= col("nbr_id"))
       .withColumn("score_raw", cosine(col(vecCol), col("nv")))

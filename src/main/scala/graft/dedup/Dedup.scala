@@ -27,7 +27,7 @@ object Dedup {
     * lowest doc id per group. One shuffle on the 60-bit digest.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+    graft.Tables.fanOut(docs)
       .withColumn("content_hash", md5(normText(col(textCol))))
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
@@ -51,9 +51,10 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val cand = minHashCandidates(docs, idCol, textCol,
+    val fanned = graft.Tables.fanOut(docs)
+    val cand = minHashCandidates(fanned, idCol, textCol,
       shingleLen = n, nHashes = 32, nBands = 8)
-    val sh = docs.select(col(idCol), col(blockCol),
+    val sh = fanned.select(col(idCol), col(blockCol),
       wordShingles(wsTokens(normText(col(textCol))), n).as("sh"))
     cand
       .join(sh.select(col(idCol).as("ida"), col(blockCol).as("blk_a"), col("sh").as("sa")), "ida")
@@ -92,7 +93,7 @@ object Dedup {
     require(nBands > 0 && nHashes % nBands == 0,
       s"nBands ($nBands) must divide nHashes ($nHashes)")
     val rowsPerBand = nHashes / nBands
-    val postings = docs.select(col(idCol),
+    val postings = graft.Tables.fanOut(docs).select(col(idCol),
       explode(wordShingles(wsTokens(normText(col(textCol))), shingleLen)).as("g"))
       .withColumn("base", portableHash(col("g")) % MinHashP)
     val minAggs = (0 until nHashes).map { s =>
@@ -131,7 +132,7 @@ object Dedup {
   def simHash(docs: DataFrame, idCol: String, textCol: String,
       keepCols: Seq[String] = Nil): DataFrame = {
     val kept = keepCols.map(c => first(col(c)).as(c))
-    val toks = docs
+    val toks = graft.Tables.fanOut(docs)
       .select((idCol +: textCol +: keepCols).distinct.map(col): _*)
       .withColumn("_t", explode(wsTokens(normText(col(textCol)))))
       .withColumn("_h", xxhash64(col("_t")))
@@ -195,8 +196,9 @@ object Dedup {
   def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double,
       maxBlockSize: Int = 100000): DataFrame = {
-    val sizes = vecs.groupBy(col(blockCol)).agg(count(lit(1)).as("_blk_n"))
-    val guarded = vecs.join(sizes, blockCol)
+    val fv = graft.Tables.fanOut(vecs)
+    val sizes = fv.groupBy(col(blockCol)).agg(count(lit(1)).as("_blk_n"))
+    val guarded = fv.join(sizes, blockCol)
       .withColumn("_guard",
         when(col("_blk_n") <= maxBlockSize, lit(true))
           .otherwise(raise_error(concat(

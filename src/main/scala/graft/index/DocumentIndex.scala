@@ -49,8 +49,10 @@ final class DocumentIndex private (
   /** Bulk upsert of (uri, text, ...metadata) rows: latest wins per
     * uri (reference: local_document_index.py:127-219 upsert_document,
     * minus the per-document driver loop). Split + embed happen inside
-    * flatMap — narrow, no shuffle; the only shuffles are the two
-    * left_anti joins that retire previous versions.
+    * flatMap — narrow; the only shuffles are the two left_anti joins
+    * that retire previous versions, plus a guarded fan-out repartition
+    * that only fires when the input scan has fewer splits than cores
+    * (see Tables.fanOut).
     *
     * Every column beyond (uri, text) is per-document metadata. The
     * reference merges the metadata dict into each chunk item and
@@ -88,9 +90,13 @@ final class DocumentIndex private (
     // column wins, else the uri extension; separator tables are cached
     // per type per partition.
     val dtIdx = metaCols.indexOf("doc_type")
+    // fanOut: split+embed is the compute-bound stage of ingestion; a
+    // single-split local corpus would otherwise chunk on one core
+    // (no-op when the scan already has >= cores splits)
     val newChunks: DataFrame =
-      docs.select((Seq(col("uri").cast("string"), col("text").cast("string"))
-          ++ metaCols.map(col)): _*)
+      graft.Tables.fanOut(
+        docs.select((Seq(col("uri").cast("string"), col("text").cast("string"))
+          ++ metaCols.map(col)): _*))
         .mapPartitions { it =>
           val spByType = scala.collection.mutable.Map.empty[String, graft.text.TextSplitter]
           def splitterFor(uri: String, explicit: String): graft.text.TextSplitter = {

@@ -35,7 +35,7 @@ object Multimodal {
     * metadata (reference: local_index.py metadata_config.indexed).
     */
   def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
+    graft.Tables.fanOut(docs).select(
       col(idCol),
       col(textCol).cast("binary").as("payload"),
       struct(

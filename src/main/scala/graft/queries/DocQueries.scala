@@ -28,7 +28,7 @@ object DocQueries {
     "d_chunk" -> ((s, dir) => {
       import s.implicits._
       val sp = new TextSplitter(ChunkCfg)
-      t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.Tables.fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .flatMap { case (id, text) =>
           sp.split(text).zipWithIndex.map { case (c, i) =>
@@ -44,7 +44,7 @@ object DocQueries {
     "d_chunk_stats" -> ((s, dir) => {
       import s.implicits._
       val sp = new TextSplitter(ChunkCfg)
-      t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.Tables.fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .flatMap { case (id, text) =>
           sp.split(text).map(c => (id, c.tokens.length.toLong))

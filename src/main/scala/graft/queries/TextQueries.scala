@@ -73,7 +73,7 @@ object TextQueries {
     "ta_tokens_bpe" -> ((s, dir) => {
       import s.implicits._
       val bpe = new graft.text.ByteBpeTokenizer()
-      t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.Tables.fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .mapPartitions { it =>
           it.map { case (id, text) =>
@@ -94,7 +94,7 @@ object TextQueries {
     // shingle join. Clean bench docs appear with zero counts (a
     // missing row must mean "absent", never "clean").
     "ta_contaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = graft.Tables.fanOut(t(s, dir, "documents"))
       def shingles(df: org.apache.spark.sql.DataFrame) =
         df.select(col("doc_id"),
           explode(wordShingles(wsTokens(normText(col("text"))), 5)).as("g"))
@@ -150,7 +150,7 @@ object TextQueries {
     // corpus vocabulary statistics: top-25 word bigrams with document
     // frequency — the diagnostic that sizes dedup/shingle decisions
     "ta_ngram_freq" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = graft.Tables.fanOut(t(s, dir, "documents"))
       docs
         .select(col("doc_id"), explode(wordShingles(wsTokens(normText(col("text"))), 2)).as("g"))
         .groupBy(col("g"))
@@ -198,7 +198,7 @@ object TextQueries {
   def pack(docs: org.apache.spark.sql.DataFrame, nShards: Int,
       binTokens: Int = 4096): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
+    val toks = graft.Tables.fanOut(docs)
       .select(col("doc_id"), col("lang"),
         size(wsTokens(normText(col("text")))).cast("long").as("n_tokens"))
       .withColumn("shard",

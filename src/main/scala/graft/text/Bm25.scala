@@ -26,7 +26,7 @@ object Bm25 {
   def score(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topN: Int = 10): DataFrame = {
-    val toks = docs.select(col(idCol),
+    val toks = graft.Tables.fanOut(docs).select(col(idCol),
       explode(wsTokens(normText(col(textCol)))).as("term"))
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(

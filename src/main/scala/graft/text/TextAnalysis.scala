@@ -31,7 +31,7 @@ object TextAnalysis {
       when(s === best && best > 0, code).otherwise(rest)
     }
     // foldRight gives first-in-Seq (alphabetical) priority on ties.
-    docs
+    graft.Tables.fanOut(docs)
       .withColumn("pred_lang", when(nCjk > 0, lit("zh")).otherwise(pick))
       .withColumn("lang_score", greatest(best, nCjk).cast("long"))
   }
@@ -48,7 +48,7 @@ object TextAnalysis {
     val nPunct = length(regexp_replace(t, "[a-z0-9 ]", ""))
     val nAlpha = length(regexp_replace(t, "[^a-z]", ""))
     val nStop = tokensInSet(toks, StopwordsEn)
-    docs
+    graft.Tables.fanOut(docs)
       .withColumn("n_chars", nChars.cast("long"))
       .withColumn("n_words", nWords.cast("long"))
       .withColumn("mean_word_len",
@@ -65,7 +65,7 @@ object TextAnalysis {
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = normText(col(textCol))
-    docs
+    graft.Tables.fanOut(docs)
       .withColumn("ws_tokens", size(wsTokens(t)).cast("long"))
       .withColumn("re_tokens", size(regexTokens(t)).cast("long"))
       .withColumn("chars_per_token",
@@ -80,7 +80,7 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = normText(col(textCol))
     val shingleHashes = transform(charNgrams(t, 8), s => portableHash(s))
-    docs
+    graft.Tables.fanOut(docs)
       .withColumn("fp_full", portableHash(t))
       .withColumn("fp_min", array_min(shingleHashes))
       .withColumn("fp_max", array_max(shingleHashes))
