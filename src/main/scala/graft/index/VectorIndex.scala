@@ -76,15 +76,26 @@ final class VectorIndex private (
 
   /** Strict insert: fails if any incoming id already exists
     * (reference: local_index.py:163-171 insert_item raises on
-    * duplicate, vs upsert's replace). The duplicate probe is one
-    * broadcast semi-join count — a cheap action, run once per batch.
+    * duplicate, vs upsert's replace). The duplicate check is LAZY —
+    * an in-plan `raise_error` guard, not a driver-side count action
+    * (round-1 review: the eager count was the one action inside an
+    * API path). Dupes come from a semi-join of the index against the
+    * broadcast batch, so only the ≤ batch-sized dupe set is ever
+    * broadcast; the error surfaces on first materialization as a
+    * SparkException naming the offending id.
     */
   def insertItems(inserts: DataFrame): VectorIndex = {
-    val dupes = items.join(
-      broadcast(inserts.select(col(idCol))), Seq(idCol), "left_semi").count()
-    require(dupes == 0, s"insertItems: $dupes id(s) already exist (use upsertItems)")
-    new VectorIndex(
-      items.unionByName(VectorIndex.withNorm(inserts, vecCol)), idCol, vecCol)
+    val dupes = items
+      .join(broadcast(inserts.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol)).withColumn("_dup", lit(true))
+    val guarded = VectorIndex.withNorm(inserts, vecCol)
+      .join(broadcast(dupes), Seq(idCol), "left_outer")
+      .withColumn("_ok", when(col("_dup").isNull, lit(true))
+        .otherwise(raise_error(concat(
+          lit("insertItems: id '"), col(idCol).cast("string"),
+          lit("' already exists (use upsertItems)")))))
+      .filter(col("_ok")).drop("_dup", "_ok")
+    new VectorIndex(items.unionByName(guarded), idCol, vecCol)
   }
 
   /** The reference's `metadata_config.indexed` as a projection

