@@ -44,21 +44,27 @@ object Ann {
   }
 
   /** IVF cell assignment: nearest centroid by L2 distance (ties →
-    * lowest centroid id). Centroids are broadcast; the window that
-    * picks the argmin partitions by vector id, so the shuffle carries
-    * (id, cid, dist) triples only. At write time `partitionBy("cell")`
-    * turns probing into partition pruning.
+    * lowest centroid id). Centroids are broadcast; the argmin is a
+    * map-side-combinable `min_by` aggregate over a (dist, cell) struct
+    * key, so the shuffle carries ONE row per vector per map partition —
+    * not the n×ncentroids scored rows a window row_number would sort
+    * (at 200k vectors × √n centroids that window was the bottleneck of
+    * the 100× sweep). The struct ordering key is unique per (vector,
+    * cell), so the pick is deterministic. At write time
+    * `partitionBy("cell")` turns probing into partition pruning.
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
     val crossed = graft.Tables.fanOut(corpus)
       .crossJoin(broadcast(centroids.select(col(cidCol).as("cell"), col(cvecCol).as("cv"))))
       .withColumn("_dist", l2SqD(col(vecCol), col("cv")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_dist"), col("cell"))
+    val others = corpus.columns.filterNot(_ == idCol).toSeq
     crossed
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_dist", "cv")
+      .groupBy(col(idCol))
+      .agg(min_by(
+        struct((others.map(col) :+ col("cell")): _*),
+        struct(col("_dist"), col("cell"))).as("_m"))
+      .select(col(idCol) +: (others :+ "cell").map(c => col(s"_m.$c").as(c)): _*)
   }
 
   /** IVF probe: rank cells by centroid distance to the query vector,

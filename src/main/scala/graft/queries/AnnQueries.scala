@@ -31,7 +31,17 @@ object AnnQueries {
 
     "ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cent = emb.filter(col("vec_id") % 50 === 0)
+      // √n centroid sizing (AnnTuner's IVF rule): a fixed modulus makes
+      // centroid count grow linearly with the corpus and the assign
+      // crossJoin O(n²/M) — the 100× sweep caught exactly that (a
+      // %50 literal meant 4000 centroids × 200k vectors). Selecting ids
+      // ≡ 0 (mod ⌊√n⌋) keeps ~√n centroids so assignment stays n·√n.
+      // The modulus is a planning-time count (parquet-metadata job,
+      // the AnnTuner.stats pattern) — an in-plan scalar subquery costs
+      // two broadcast-agg subplans and ~6s of fixed AQE latency.
+      val m = math.max(1L, math.floor(math.sqrt(
+        t(s, dir, "embeddings").count().toDouble)).toLong)
+      val cent = emb.filter(pmod(col("vec_id"), lit(m)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cent, "cid", "cv")
       Ann.ivfSearch(assigned, "vec_id", "embedding", cent, "cid", "cv",
@@ -72,8 +82,9 @@ object AnnQueries {
 
     "ann_ivf" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |m AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(count(*))) AS BIGINT)) AS m FROM embeddings),
          |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
-         |         FROM embeddings WHERE vec_id % 50 = 0),
+         |         FROM embeddings, m WHERE vec_id % m = 0),
          |assign AS (
          |  SELECT vec_id, embedding, cell,
          |    row_number() OVER (PARTITION BY vec_id
