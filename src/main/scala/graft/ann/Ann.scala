@@ -44,27 +44,29 @@ object Ann {
   }
 
   /** IVF cell assignment: nearest centroid by L2 distance (ties →
-    * lowest centroid id). Centroids are broadcast; the argmin is a
-    * map-side-combinable `min_by` aggregate over a (dist, cell) struct
-    * key, so the shuffle carries ONE row per vector per map partition —
-    * not the n×ncentroids scored rows a window row_number would sort
-    * (at 200k vectors × √n centroids that window was the bottleneck of
-    * the 100× sweep). The struct ordering key is unique per (vector,
-    * cell), so the pick is deterministic. At write time
+    * lowest centroid id). The centroid set is materialized at PLANNING
+    * time (it is bounded by the nlist rule — ≤ 65536 rows — the same
+    * class of deliberate one-off driver materialization as
+    * AnnTuner.stats) and the per-row argmin is a single codegen'd
+    * kernel (NearestCentroid): the plan is a narrow map over the
+    * corpus — no n×nlist row explosion, no argmin aggregate, no
+    * shuffle. The earlier crossJoin+argmin formulation pushed 89M
+    * scored rows through an aggregate at the 100× sweep (~2 min); this
+    * shape is O(corpus) rows at any nlist. At write time
     * `partitionBy("cell")` turns probing into partition pruning.
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
-    val crossed = graft.Tables.fanOut(corpus)
-      .crossJoin(broadcast(centroids.select(col(cidCol).as("cell"), col(cvecCol).as("cv"))))
-      .withColumn("_dist", l2SqD(col(vecCol), col("cv")))
-    val others = corpus.columns.filterNot(_ == idCol).toSeq
-    crossed
-      .groupBy(col(idCol))
-      .agg(min_by(
-        struct((others.map(col) :+ col("cell")): _*),
-        struct(col("_dist"), col("cell"))).as("_m"))
-      .select(col(idCol) +: (others :+ "cell").map(c => col(s"_m.$c").as(c)): _*)
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val rows = centroids
+      .select(col(cidCol).cast("long"), col(cvecCol).cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty && rows.length <= 65536,
+      s"ivfAssign: ${rows.length} centroids (nlist rule bounds this to [1, 65536])")
+    val sorted = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val kernel = ColumnBridge.column(graft.functions.expr.NearestCentroid(
+      ColumnBridge.expression(col(vecCol)), sorted.map(_._1), sorted.map(_._2)))
+    graft.Tables.fanOut(corpus).withColumn("cell", kernel)
   }
 
   /** IVF probe: rank cells by centroid distance to the query vector,

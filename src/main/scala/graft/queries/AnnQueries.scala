@@ -59,12 +59,17 @@ object AnnQueries {
         .orderBy(col("qid"), col("rk"))
     }),
 
-    // approximate kNN: (label × 6-plane bucket) blocking, multi-probe
+    // approximate kNN: (label × LSH bucket) blocking, multi-probe
     // hamming-1 — the exact label-blocked join is quadratic in block
-    // size (162s at a 10× scale-up)
+    // size (162s at a 10× scale-up). The plane count comes from
+    // AnnTuner's bucket-geometry rule (smallest p with
+    // maxBlock·(p+1)/2^p ≤ 64) so per-vector candidates stay bounded
+    // as blocks grow — a FIXED plane count re-creates the quadratic
+    // join one scale-up later (the ann_ivf %50 lesson). The oracle
+    // computes the identical p from the same corpus stats.
     "knn_join" -> ((s, dir) => {
-      Ann.knnJoinLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-          blockCol = "label", k = 3, nPlanes = 6, dim = Dim)
+      Ann.knnJoinLshTuned(t(s, dir, "embeddings"), "vec_id", "embedding",
+          blockCol = "label", k = 3, targetCandidates = 64)
         .orderBy(col("vec_id"), col("rk"))
     }))
 
@@ -119,10 +124,16 @@ object AnnQueries {
          |FROM cand QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "knn_join" ->
-      s"""WITH planes AS (
+      s"""WITH mb AS (
+         |  SELECT MAX(c)::DOUBLE AS mb
+         |  FROM (SELECT count(*) AS c FROM embeddings GROUP BY label)),
+         |np AS (
+         |  SELECT COALESCE(MIN(p), 24) AS np FROM range(2, 25) t(p), mb
+         |  WHERE mb.mb * (p+1) / POW(2.0, p) <= 64),
+         |planes AS (
          |  SELECT p, [(((('0x'||substr(md5(p::VARCHAR||','||j::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
          |             for j in range(0, $Dim)] AS plane
-         |  FROM range(0, 6) AS rp(p)),
+         |  FROM range(0, 24) AS rp(p), np WHERE p < np),
          |bucketed AS (
          |  SELECT vec_id, label, v,
          |    string_agg(
@@ -136,9 +147,9 @@ object AnnQueries {
          |    unnest(list_prepend(bucket,
          |      [substr(bucket, 1, p) ||
          |         (CASE WHEN substr(bucket, p+1, 1) = '1' THEN '0' ELSE '1' END) ||
-         |         substr(bucket, p+2, 5-p)
-         |       for p in range(0, 6)])) AS pb
-         |  FROM bucketed),
+         |         substr(bucket, p+2, np-1-p)
+         |       for p in range(0, np)])) AS pb
+         |  FROM bucketed, np),
          |scored AS (
          |  SELECT a.vec_id, b.vec_id AS nbr_id,
          |    ${sqlCos("a.v", "b.v")} AS score_raw
