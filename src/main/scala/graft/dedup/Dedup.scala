@@ -50,13 +50,36 @@ object Dedup {
     * verify touches only those.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int, threshold: Double): DataFrame = {
+      blockCol: String, n: Int, threshold: Double,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val nHashes = 32
     val fanned = graft.Tables.fanOut(docs)
-    val cand = minHashCandidates(fanned, idCol, textCol,
-      shingleLen = n, nHashes = 32, nBands = 8)
+    val sigs = minHashSignatures(fanned, idCol, textCol, shingleLen = n, nHashes = nHashes)
+    val cand = candidatesFromSignatures(sigs, idCol, nHashes = nHashes,
+      nBands = 8, maxBucketSize = maxBucketSize)
+    // Signature-estimate prefilter: matching-slot fraction is an
+    // unbiased jaccard estimate already paid for — comparing 32 longs
+    // per pair kills the random-collision candidates BEFORE the
+    // expensive shingle-array join (at a 100× fixed-vocab corpus the
+    // candidates were ~30× super-linear and the array verify was the
+    // whole query cost). The 0.25 slack keeps borderline true pairs:
+    // P(est < threshold−0.25 | jaccard = threshold) ≈ 0.5% at 32
+    // hashes. Both engines compute the identical estimate, so the
+    // recall trade is deterministic, not drift.
+    val estSlack = 0.25
+    val sigA = sigs.select(col(idCol).as("ida") +:
+      (0 until nHashes).map(i => col(s"h$i").as(s"ha$i")): _*)
+    val sigB = sigs.select(col(idCol).as("idb") +:
+      (0 until nHashes).map(i => col(s"h$i").as(s"hb$i")): _*)
+    val est = (0 until nHashes)
+      .map(i => when(col(s"ha$i") === col(s"hb$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / nHashes
+    val estOk = cand.join(sigA, "ida").join(sigB, "idb")
+      .filter(est >= threshold - estSlack)
+      .select(col("ida"), col("idb"))
     val sh = fanned.select(col(idCol), col(blockCol),
       wordShingles(wsTokens(normText(col(textCol))), n).as("sh"))
-    cand
+    estOk
       .join(sh.select(col(idCol).as("ida"), col(blockCol).as("blk_a"), col("sh").as("sa")), "ida")
       .join(sh.select(col(idCol).as("idb"), col(blockCol).as("blk_b"), col("sh").as("sb")), "idb")
       .filter(col("blk_a") === col("blk_b"))
@@ -77,42 +100,76 @@ object Dedup {
   val MinHashP = 100000007L
   val MinHashMix = 7919L
 
-  /** MinHash + LSH candidate pairs. Dataflow (all stages codegen'd):
+  /** Band buckets above this size are dropped before the candidate
+    * self-join: a bucket of B docs emits B²/2 pairs, and a bucket that
+    * big means the band's signature slots are degenerate for the
+    * corpus (shared rare-shingle minima), not that B² pairs are
+    * near-dups — truly similar pairs still collide in their OTHER
+    * bands. Without the cap, candidate counts on a fixed-vocabulary
+    * corpus grew ~30× for 10× docs (measured at the 100× sweep);
+    * with it, per-band work is ≤ buckets × cap². The oracle applies
+    * the identical cap, so the recall trade is cross-engine exact.
+    */
+  val DefaultMaxBucketSize = 256
+
+  /** MinHash signature matrix: (id, h0..h{nHashes-1}). Dataflow (all
+    * stages codegen'd):
     *   1. explode distinct word shingles → (id, shingle) postings;
     *   2. one portable md5 hash per shingle, then the universal-hash
     *      family above gives all nHashes values arithmetically;
     *   3. groupBy(id) with nHashes `min` aggregates — partial (map-side)
     *      combine makes the shuffle O(docs × nHashes) longs, NOT
-    *      O(shingles);
-    *   4. band keys = md5 over rowsPerBand signature slots; explode to
-    *      (band, key) and self-join — docs sharing any band bucket are
-    *      candidates.
+    *      O(shingles).
     */
-  def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int, nHashes: Int, nBands: Int): DataFrame = {
-    require(nBands > 0 && nHashes % nBands == 0,
-      s"nBands ($nBands) must divide nHashes ($nHashes)")
-    val rowsPerBand = nHashes / nBands
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, nHashes: Int): DataFrame = {
     val postings = graft.Tables.fanOut(docs).select(col(idCol),
       explode(wordShingles(wsTokens(normText(col(textCol))), shingleLen)).as("g"))
       .withColumn("base", portableHash(col("g")) % MinHashP)
     val minAggs = (0 until nHashes).map { s =>
       min((col("base") * (2 * s + 1) + MinHashMix * s) % MinHashP).as(s"h$s")
     }
-    val sigs = postings.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+    postings.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** Banded LSH candidate pairs from a signature matrix: band keys =
+    * md5 over rowsPerBand signature slots; explode to (band, key),
+    * drop oversized buckets (see DefaultMaxBucketSize), self-join —
+    * docs sharing any surviving band bucket are candidates.
+    */
+  def candidatesFromSignatures(sigs: DataFrame, idCol: String,
+      nHashes: Int, nBands: Int, maxBucketSize: Int): DataFrame = {
+    require(nBands > 0 && nHashes % nBands == 0,
+      s"nBands ($nBands) must divide nHashes ($nHashes)")
+    val rowsPerBand = nHashes / nBands
     val bandKeys = (0 until nBands).map { b =>
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(s => col(s"h$s").cast("string"))
       md5(concat_ws(",", slots: _*))
     }
     val banded = sigs.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-    val l = banded.select(col("band"), col("bkey"), col(idCol).as("ida"))
-    val r = banded.select(col("band").as("band_r"), col("bkey").as("bkey_r"), col(idCol).as("idb"))
+    val sizes = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBucketSize)
+      .select(col("band"), col("bkey"))
+    val kept = banded.join(sizes, Seq("band", "bkey"))
+    val l = kept.select(col("band"), col("bkey"), col(idCol).as("ida"))
+    val r = kept.select(col("band").as("band_r"), col("bkey").as("bkey_r"), col(idCol).as("idb"))
     l.join(r, col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
         col("ida") < col("idb"))
       .select(col("ida"), col("idb"))
       .distinct()
   }
+
+  /** MinHash + LSH candidate pairs (signatures + banding in one call —
+    * see minHashSignatures / candidatesFromSignatures).
+    */
+  def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, nHashes: Int, nBands: Int,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    candidatesFromSignatures(
+      minHashSignatures(docs, idCol, textCol, shingleLen, nHashes),
+      idCol, nHashes, nBands, maxBucketSize)
 
   /** 64-bit SimHash fingerprint per doc: explode tokens, xxhash64 each
     * (engine-internal only — simhash has a rows-only oracle), then

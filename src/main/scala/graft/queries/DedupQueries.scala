@@ -77,6 +77,10 @@ object DedupQueries {
       import graft.dedup.Dedup.{MinHashMix, MinHashP}
       val minCols = (0 until 32).map(s =>
         s"min((base * ${2 * s + 1} + ${MinHashMix * s}) % $MinHashP) AS h$s").mkString(",\n    ")
+      // matching-slot jaccard estimate, mirroring the Spark-side
+      // prefilter (threshold 0.5 − slack 0.25 = 0.25)
+      val estSum = (0 until 32)
+        .map(i => s"(CASE WHEN pa.h$i = pb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
       val bandSelects = (0 until 8).map { b =>
         val slots = (b * 4 until (b + 1) * 4).map(s => s"h$s::VARCHAR").mkString("||','||")
         s"SELECT doc_id, $b AS band, md5($slots) AS bkey FROM sig"
@@ -97,12 +101,22 @@ object DedupQueries {
          |  SELECT doc_id,
          |    $minCols
          |  FROM hb GROUP BY doc_id),
-         |bands AS (
+         |bands0 AS (
          |  $bandSelects),
-         |cand AS (
+         |keep AS (
+         |  SELECT band, bkey FROM bands0 GROUP BY band, bkey
+         |  HAVING count(*) <= ${graft.dedup.Dedup.DefaultMaxBucketSize}),
+         |bands AS (
+         |  SELECT bands0.* FROM bands0 JOIN keep USING (band, bkey)),
+         |cand0 AS (
          |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |cand AS (
+         |  SELECT c.ida, c.idb FROM cand0 c
+         |  JOIN sig pa ON c.ida = pa.doc_id
+         |  JOIN sig pb ON c.idb = pb.doc_id
+         |  WHERE ($estSum) / 32.0 >= 0.25),
          |verified AS (
          |  SELECT c.ida, c.idb,
          |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS i,
@@ -139,8 +153,13 @@ object DedupQueries {
          |  SELECT doc_id,
          |    $minCols
          |  FROM hashed GROUP BY doc_id),
+         |bands0 AS (
+         |  $bandSelects),
+         |keep AS (
+         |  SELECT band, bkey FROM bands0 GROUP BY band, bkey
+         |  HAVING count(*) <= ${graft.dedup.Dedup.DefaultMaxBucketSize}),
          |bands AS (
-         |  $bandSelects)
+         |  SELECT bands0.* FROM bands0 JOIN keep USING (band, bkey))
          |SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -198,8 +217,13 @@ object DedupQueries {
          |  SELECT doc_id,
          |    $minCols
          |  FROM hashed GROUP BY doc_id),
-         |bands AS (
+         |bands0 AS (
          |  $bandSelects),
+         |keep AS (
+         |  SELECT band, bkey FROM bands0 GROUP BY band, bkey
+         |  HAVING count(*) <= ${graft.dedup.Dedup.DefaultMaxBucketSize}),
+         |bands AS (
+         |  SELECT bands0.* FROM bands0 JOIN keep USING (band, bkey)),
          |dropped AS (
          |  SELECT DISTINCT b.doc_id AS did FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
