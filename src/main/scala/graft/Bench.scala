@@ -46,7 +46,9 @@ object Bench {
       "v_meta_filter" -> 0.0388, "d_chunk" -> 4.8976, "d_query_documents" -> 0.6))
 
   private def baselineBlock(sfDir: String, graft: Map[String, Double]): String =
-    RefSec.keys.find(sfDir.contains(_)).map { scale =>
+    // exact basename match: substring matching paired /tmp/sf1x100
+    // with the sf1x10 reference numbers
+    RefSec.keys.find(new java.io.File(sfDir).getName == _).map { scale =>
       val ref = RefSec(scale)
       // d_query_documents is not like-for-like (reference queries a
       // prebuilt in-memory chunk index; graft's oracle-checkable bench
