@@ -76,7 +76,14 @@ object TextFunctions {
   val MarkersFr: Seq[String] = Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour")
   val MarkersZh: Seq[String] = Seq("的", "是", "了", "在", "和", "有", "我", "不", "人", "这")
 
-  /** Count of tokens (array column) that appear in a fixed set. */
-  def tokensInSet(tokens: Column, set: Seq[String]): Column =
-    size(filter(tokens, t => t.isInCollection(set)))
+  /** Count of tokens (array column) that appear in a fixed set, with
+    * multiplicity — a native codegen kernel (see
+    * graft.functions.expr.TokensInSet; the HOF filter formulation ran
+    * an interpreted lambda per token).
+    */
+  def tokensInSet(tokens: Column, set: Seq[String]): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expr.TokensInSet(ColumnBridge.expression(tokens), set))
+  }
 }

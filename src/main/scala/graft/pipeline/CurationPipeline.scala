@@ -42,32 +42,48 @@ object CurationPipeline {
     // DataFrame per join branch, so stages must not each re-tokenize —
     // a stage is a predicate over this single derived frame, and what
     // crosses between stages is id sets, never texts.
+    // EAGERLY materialize the signal frame (id + 4 small columns —
+    // the text never rides along) before any filter touches it:
+    // predicate pushdown rewrites a filter on computed columns by
+    // INLINING their defining expressions, and FilterExec does no
+    // subexpression elimination — the quality+langid gate was being
+    // re-evaluated ~25× per row against raw text (23s of a 24s stage
+    // at the 10× corpus). The checkpoint is a plan barrier: signals
+    // are computed once, in one narrow pass, and every later stage
+    // consumes materialized rows. (At cluster scale this is the
+    // standard persisted-signals table between pipeline phases.)
     val sigs = TextAnalysis.langId(
         TextAnalysis.quality(docs, idCol, textCol), idCol, textCol)
       .withColumn("content_hash", org.apache.spark.sql.functions.md5(
         graft.functions.TextFunctions.normText(col(textCol))))
       .select(col(idCol), col("n_words"), col("alpha_ratio"),
         col("pred_lang"), col("content_hash"))
+      .localCheckpoint(true)
     // 1+2. quality + language gates
     val gated = sigs.filter(
       col("n_words") >= cfg.minWords && col("alpha_ratio") >= cfg.minAlphaRatio &&
         col("pred_lang").isInCollection(cfg.allowedLangs))
     // 3. exact dedup: survivors are the min id of each digest group
-    // The survivor id set is tiny (one long per doc) — lazily
-    // localCheckpoint it so downstream branches reuse one materialized
-    // copy instead of re-deriving the whole signal pass per branch.
+    // The survivor id set is tiny (one long per doc) — EAGERLY
+    // localCheckpoint it so the many downstream branches reuse one
+    // materialized copy. A lazy checkpoint is useless here: the whole
+    // pipeline is consumed as ONE action, and a lazy checkpoint only
+    // helps actions AFTER the one that materializes it — with (false)
+    // every branch of the final plan re-derived the full candidate
+    // lineage and the 100× corpus ran 194s for ~16s of actual stage
+    // work (PROFILEd stage-by-stage). Two tiny planning jobs fix it.
     // (On a long-lived cluster swap for a reliable checkpoint; local
     // is per-executor and recomputes on executor loss.)
     val keepIds = gated
       .groupBy(col("content_hash")).agg(org.apache.spark.sql.functions.min(col(idCol)).as(idCol))
       .select(col(idCol))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val exact = docs.join(keepIds, Seq(idCol), "left_semi")
     // 4. near-dedup: drop the higher id of every candidate pair whose
     // lower id is a stage-3 survivor (one pass, deterministic)
     val cand = Dedup.minHashCandidates(exact, idCol, textCol,
       cfg.shingleLen, cfg.nHashes, cfg.nBands)
-    val dropIds = cand.select(col("idb").as(idCol)).distinct().localCheckpoint(false)
+    val dropIds = cand.select(col("idb").as(idCol)).distinct().localCheckpoint(true)
     val nearDeduped = exact.join(dropIds, Seq(idCol), "left_anti")
     // 5. data-recipe sampling
     Sampling.stratified(nearDeduped, idCol, langCol, cfg.sampleRates, cfg.defaultRate)

@@ -23,17 +23,48 @@ object TextAnalysis {
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = wsTokens(normText(col(textCol)))
-    val scoreCols = langs.map { case (code, set) => code -> tokensInSet(toks, set) }
-    // CJK: any han character → zh outright.
-    val nCjk = size(filter(split(col(textCol), ""), c => c.rlike("[\\u4e00-\\u9fff]")))
-    val best = scoreCols.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scoreCols.foldRight(lit("und")) { case ((code, s), rest) =>
+    // one tokenize + one probe pass for all five marker sets (the
+    // five-single-probe formulation re-walked the token array per
+    // language — 5× the per-row cost of the whole scorer)
+    val countsCol = {
+      import org.apache.spark.sql.graftshim.ColumnBridge
+      ColumnBridge.column(graft.functions.expr.TokensInSets(
+        ColumnBridge.expression(toks), langs.map(_._2)))
+    }
+    val scoreCols = langs.zipWithIndex.map { case ((code, _), i) =>
+      code -> element_at(countsCol, i + 1)
+    }
+    // CJK: any han character → zh outright. Count via one codegen'd
+    // regexp_replace pass (length minus non-han length) — the earlier
+    // split-per-char + HOF-filter rlike ran an INTERPRETED regex per
+    // character (~500M evals at the 100× corpus, the hidden 178s
+    // inside dd_pipeline; Bench's pruned count masked it in ta_langid).
+    val nCjk = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[\\u4e00-\\u9fff]", ""))
+    // MATERIALIZE the counts array and the cjk count as real columns
+    // before building the argmax tree: the pick/best expressions
+    // reference each score many times, and with inline subtrees the
+    // optimizer's CollapseProject + codegen duplicated the whole
+    // tokenize+probe pipeline per reference (~25 evaluations of
+    // split+regexp_replace per ROW — the dominant hidden cost of the
+    // signal pass). As standalone aliased columns they are evaluated
+    // once; CollapseProject keeps non-cheap multiply-referenced
+    // aliases un-inlined.
+    val scored = graft.Tables.fanOut(docs)
+      .withColumn("_lc", countsCol)
+      .withColumn("_cjk", nCjk)
+    val scoreRefs = langs.zipWithIndex.map { case ((code, _), i) =>
+      code -> element_at(col("_lc"), i + 1)
+    }
+    val best = scoreRefs.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scoreRefs.foldRight(lit("und")) { case ((code, s), rest) =>
       when(s === best && best > 0, code).otherwise(rest)
     }
     // foldRight gives first-in-Seq (alphabetical) priority on ties.
-    graft.Tables.fanOut(docs)
-      .withColumn("pred_lang", when(nCjk > 0, lit("zh")).otherwise(pick))
-      .withColumn("lang_score", greatest(best, nCjk).cast("long"))
+    scored
+      .withColumn("pred_lang", when(col("_cjk") > 0, lit("zh")).otherwise(pick))
+      .withColumn("lang_score", greatest(best, col("_cjk")).cast("long"))
+      .drop("_lc", "_cjk")
   }
 
   /** Quality scores (the standard cheap pretraining filters):
@@ -41,14 +72,19 @@ object TextAnalysis {
     * ratio, alpha ratio. Downstream filters threshold these columns.
     */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = normText(col(textCol))
+    // materialize the normalized text once (each derived column would
+    // otherwise carry its own copy of the normText regex subtree —
+    // see langId's materialization note)
+    val base = graft.Tables.fanOut(docs)
+      .withColumn("_t", normText(col(textCol)))
+    val t = col("_t")
     val toks = wsTokens(t)
     val nChars = length(t)
     val nWords = size(toks)
     val nPunct = length(regexp_replace(t, "[a-z0-9 ]", ""))
     val nAlpha = length(regexp_replace(t, "[^a-z]", ""))
     val nStop = tokensInSet(toks, StopwordsEn)
-    graft.Tables.fanOut(docs)
+    base
       .withColumn("n_chars", nChars.cast("long"))
       .withColumn("n_words", nWords.cast("long"))
       .withColumn("mean_word_len",
@@ -56,6 +92,7 @@ object TextAnalysis {
       .withColumn("stop_ratio", round(nStop.cast("double") / nWords, 6))
       .withColumn("punct_ratio", round(nPunct.cast("double") / nChars, 6))
       .withColumn("alpha_ratio", round(nAlpha.cast("double") / nChars, 6))
+      .drop("_t")
   }
 
   /** Token counts: whitespace tokens and BPE-ish regex tokens
@@ -64,12 +101,15 @@ object TextAnalysis {
     * portable stand-in used everywhere a token budget appears).
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = normText(col(textCol))
-    graft.Tables.fanOut(docs)
-      .withColumn("ws_tokens", size(wsTokens(t)).cast("long"))
-      .withColumn("re_tokens", size(regexTokens(t)).cast("long"))
+    val base = graft.Tables.fanOut(docs)
+      .withColumn("_t", normText(col(textCol)))
+      .withColumn("_nre", size(regexTokens(col("_t"))))
+    base
+      .withColumn("ws_tokens", size(wsTokens(col("_t"))).cast("long"))
+      .withColumn("re_tokens", col("_nre").cast("long"))
       .withColumn("chars_per_token",
-        round(length(t).cast("double") / size(regexTokens(t)), 6))
+        round(length(col("_t")).cast("double") / col("_nre"), 6))
+      .drop("_t", "_nre")
   }
 
   /** Document fingerprint: full-text 60-bit digest plus winnowing-style
@@ -78,11 +118,15 @@ object TextAnalysis {
     * near-dup signal that needs no pairwise join).
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = normText(col(textCol))
-    val shingleHashes = transform(charNgrams(t, 8), s => portableHash(s))
-    graft.Tables.fanOut(docs)
-      .withColumn("fp_full", portableHash(t))
-      .withColumn("fp_min", array_min(shingleHashes))
-      .withColumn("fp_max", array_max(shingleHashes))
+    // _sh materialized once: fp_min and fp_max would otherwise each
+    // re-run the (interpreted-HOF) ngram-hash pipeline per row
+    val base = graft.Tables.fanOut(docs)
+      .withColumn("_t", normText(col(textCol)))
+      .withColumn("_sh", transform(charNgrams(col("_t"), 8), s => portableHash(s)))
+    base
+      .withColumn("fp_full", portableHash(col("_t")))
+      .withColumn("fp_min", array_min(col("_sh")))
+      .withColumn("fp_max", array_max(col("_sh")))
+      .drop("_t", "_sh")
   }
 }
