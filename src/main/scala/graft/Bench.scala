@@ -10,15 +10,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Force FULL computation with the noop sink: a count() action lets
+    // Catalyst prune every computed column a narrow query doesn't
+    // filter/aggregate on, so per-row transforms (langid, quality,
+    // fingerprints, redaction) were timing a bare scan. noop write
+    // evaluates every output column and discards the rows — the honest
+    // cost of what the operator computes. (Numbers are therefore NOT
+    // comparable to the count()-based round-1 bench.)
+    def force(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     // untimed warmup queries (one relational, one vector-kernel) to
     // absorb JVM/codegen/classload bring-up before timing starts
     Seq("q1_agg", "v_topk").foreach { w =>
-      try SparkEntry.queries(w)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      try force(w) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(name) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $dt%8.2f s")
       name -> dt

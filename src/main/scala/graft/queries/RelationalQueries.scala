@@ -131,14 +131,28 @@ object RelationalQueries {
 
     // exact discrete quantiles per group (at 100 TB the
     // approx_percentile t-digest sketch replaces this plan-compatibly)
+    // Exact discrete quantiles via ONE ranked window pass: value at
+    // sorted position ceil(p·n) per group (the percentile_disc
+    // definition — smallest value with cume_dist ≥ p). The triple
+    // percentile_disc aggregate shuffles EVERY value three times and
+    // buffers whole groups in memory (arrays, not spill-able); the
+    // window sort ships each value once and spills. Group-per-flag
+    // partitions are few and fat — the same caveat every exact
+    // quantile has; the bounded-memory path at petabyte scale is
+    // approx_percentile, kept out of the oracle-checked query.
     "q_quantiles" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("_li")
-      s.sql(
-        """SELECT l_returnflag,
-          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
-          |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
-          |  percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
-          |FROM _li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      val cw = Window.partitionBy(col("l_returnflag"))
+      val ranked = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(cw))
+      def pick(p: Double) =
+        max(when(col("rn") === ceil(col("cnt") * p), col("l_extendedprice")))
+      ranked.groupBy(col("l_returnflag"))
+        .agg(pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.95).as("p95"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // Batch twin of graft.streaming.Sessionize (30-min gap sessions);
