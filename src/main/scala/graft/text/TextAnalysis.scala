@@ -77,12 +77,20 @@ object TextAnalysis {
     // see langId's materialization note)
     val base = graft.Tables.fanOut(docs)
       .withColumn("_t", normText(col(textCol)))
+      .withColumn("_cc", {
+        import org.apache.spark.sql.graftshim.ColumnBridge
+        // [nPunct, nAlpha] in ONE allocation-free char scan — the two
+        // regexp_replace length-diffs each allocated a replaced copy
+        // of the text per row
+        ColumnBridge.column(graft.functions.expr.CharClassCounts(
+          ColumnBridge.expression(col("_t"))))
+      })
     val t = col("_t")
     val toks = wsTokens(t)
     val nChars = length(t)
     val nWords = size(toks)
-    val nPunct = length(regexp_replace(t, "[a-z0-9 ]", ""))
-    val nAlpha = length(regexp_replace(t, "[^a-z]", ""))
+    val nPunct = element_at(col("_cc"), 1)
+    val nAlpha = element_at(col("_cc"), 2)
     val nStop = tokensInSet(toks, StopwordsEn)
     base
       .withColumn("n_chars", nChars.cast("long"))
@@ -92,7 +100,7 @@ object TextAnalysis {
       .withColumn("stop_ratio", round(nStop.cast("double") / nWords, 6))
       .withColumn("punct_ratio", round(nPunct.cast("double") / nChars, 6))
       .withColumn("alpha_ratio", round(nAlpha.cast("double") / nChars, 6))
-      .drop("_t")
+      .drop("_t", "_cc")
   }
 
   /** Token counts: whitespace tokens and BPE-ish regex tokens
