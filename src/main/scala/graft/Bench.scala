@@ -20,23 +20,42 @@ object Bench {
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    // Between measurements: drop every pinned block so one query's
+    // eager localCheckpoints (plan barriers pin executor storage for
+    // the JVM's life) can't inflate a later query's GC time — the
+    // round-2 in-sweep numbers ran up to 3.4× standalone from exactly
+    // this accumulation.
+    def clearPinned(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
     // untimed warmup queries (one relational, one vector-kernel) to
     // absorb JVM/codegen/classload bring-up before timing starts
     Seq("q1_agg", "v_topk").foreach { w =>
       try force(w) catch { case _: Throwable => () }
     }
+    clearPinned()
+    // min-of-N per query: one CPU-contended sweep (the round-2 driver
+    // artifact ran 3.4× the reproducible cost because the oracle
+    // harness benched concurrently) can't swing the reported number —
+    // min over N independent runs estimates the uncontended cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try force(name) catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s")
+      val dt = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try force(name) catch { case _: Throwable => () }
+        val t = (System.nanoTime() - t0) / 1e9
+        clearPinned()
+        t
+      }.min
+      System.err.println(f"[bench] $name%-22s $dt%8.2f s (min of $reps)")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val baseline = baselineBlock(sfDir, results.toMap)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$baseline}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"$baseline}""")
     spark.stop()
   }
 

@@ -15,11 +15,16 @@ import graft.functions.TextFunctions._
   *   idf(t)·tf/(tf + k1·(1 − b + b·dl/avgdl)),
   * idf = ln((N − df + 0.5)/(df + 0.5) + 1).
   *
-  * Scale notes: postings are filtered to the query terms BEFORE the
-  * tf aggregation (predicate on the exploded term — at 100 TB the
-  * inverted postings for a handful of terms are a sliver of the
-  * corpus); df/dl/avgdl are corpus statistics a standing deployment
-  * precomputes once per corpus version and broadcast-joins.
+  * Scale notes: ONE corpus scan — per-document length and the per-
+  * query-term counts come out of a single narrow aggregation
+  * (map-side combined; the shuffle is one row of |Q|+1 longs per
+  * doc, never the postings), eagerly materialized as a text-free
+  * plan barrier so the df / score branches read the tiny per-doc
+  * frame instead of re-tokenizing the corpus (the round-2 plan
+  * re-derived the exploded postings in 3 branches = 3 corpus scans
+  * at cluster scale). df/dl/avgdl are corpus statistics a standing
+  * deployment precomputes once per corpus version and
+  * broadcast-joins.
   */
 object Bm25 {
 
@@ -28,15 +33,25 @@ object Bm25 {
       topN: Int = 10): DataFrame = {
     val toks = graft.Tables.fanOut(docs).select(col(idCol),
       explode(wsTokens(normText(col(textCol)))).as("term"))
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(
+    val tfAggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"_tf$i")
+    }
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfAggs: _*)
+      .localCheckpoint(true)
+    val stats = perDoc.agg(
       avg(col("dl")).as("avgdl"), count(lit(1)).cast("double").as("n_docs"))
-    val qtoks = toks.filter(col("term").isInCollection(queryTerms))
-    val tf = qtoks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // unpivot the per-term counts back to (id, dl, term, tf) rows —
+    // dl rides along, so no second join against a lengths frame
+    val termTf = array(queryTerms.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("term"), col(s"_tf$i").as("tf"))
+    }: _*)
+    val tf = perDoc.select(col(idCol), col("dl"), explode(termTf).as("p"))
+      .select(col(idCol), col("dl"), col("p.term").as("term"), col("p.tf").as("tf"))
+      .filter(col("tf") > 0)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     tf
       .join(broadcast(dfreq), "term")
-      .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("w",

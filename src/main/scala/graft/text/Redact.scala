@@ -24,13 +24,24 @@ object Redact {
     rules.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
   /** Redacted text + per-rule hit counts (counts feed the usual
-    * drop-if-too-much-PII quality gate).
+    * drop-if-too-much-PII quality gate) — one evaluation of the
+    * graft.functions.expr.RedactPii kernel per row instead of the
+    * 9-node column formulation (4 replace passes + 4 extract_all
+    * passes, each converting and allocating per row; redaction was
+    * the heaviest text op at the 100× corpus). Output values are
+    * bit-identical: the kernel runs the same java.util.regex fold.
     */
-  def scrubWithCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def scrubWithCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val r = ColumnBridge.column(
+      graft.functions.expr.RedactPii(ColumnBridge.expression(col(textCol))))
     docs
-      .withColumn("redacted", scrub(col(textCol)))
-      .withColumn("n_email", size(regexp_extract_all(col(textCol), lit(Email), lit(0))).cast("long"))
-      .withColumn("n_ip", size(regexp_extract_all(col(textCol), lit(Ipv4), lit(0))).cast("long"))
-      .withColumn("n_card", size(regexp_extract_all(col(textCol), lit(CardLike), lit(0))).cast("long"))
-      .withColumn("n_phone", size(regexp_extract_all(col(textCol), lit(PhoneLike), lit(0))).cast("long"))
+      .withColumn("_r", r)
+      .withColumn("redacted", col("_r.redacted"))
+      .withColumn("n_email", col("_r.n_email"))
+      .withColumn("n_ip", col("_r.n_ip"))
+      .withColumn("n_card", col("_r.n_card"))
+      .withColumn("n_phone", col("_r.n_phone"))
+      .drop("_r")
+  }
 }
