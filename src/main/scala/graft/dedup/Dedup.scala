@@ -66,7 +66,7 @@ object Dedup {
     // reads instead of 16 corpus reads. (On a long-lived cluster this
     // is the persisted signature table between dedup phases.)
     val sigs = minHashSignatures(fanned, idCol, textCol, shingleLen = n, nHashes = nHashes)
-      .localCheckpoint(true)
+      .transform(graft.Barrier.checkpoint)
     val cand = candidatesFromSignatures(sigs, idCol, nHashes = nHashes,
       nBands = 8, maxBucketSize = maxBucketSize)
     // Signature-estimate prefilter: matching-slot fraction is an
@@ -96,7 +96,7 @@ object Dedup {
     // still beats re-shingling the corpus per join side.
     val sh = fanned.select(col(idCol), col(blockCol),
       wordShingles(wsTokens(normText(col(textCol))), n).as("sh"))
-      .localCheckpoint(true)
+      .transform(graft.Barrier.checkpoint)
     estOk
       .join(sh.select(col(idCol).as("ida"), col(blockCol).as("blk_a"), col("sh").as("sa")), "ida")
       .join(sh.select(col(idCol).as("idb"), col(blockCol).as("blk_b"), col("sh").as("sb")), "idb")
@@ -192,8 +192,24 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     candidatesFromSignatures(
       minHashSignatures(docs, idCol, textCol, shingleLen, nHashes)
-        .localCheckpoint(true),
+        .transform(graft.Barrier.checkpoint),
       idCol, nHashes, nBands, maxBucketSize)
+
+  /** minHashCandidates with the band count DERIVED from the target
+    * jaccard threshold via the LSH S-curve
+    * (AnnTuner.minHashBands): bands = the divisor of nHashes whose
+    * collision threshold s* = (1/b)^(b/nHashes) lands closest to
+    * `threshold`. A fixed band count silently moves the effective
+    * similarity cutoff whenever someone changes nHashes; deriving it
+    * keeps the cutoff pinned to the requested threshold — and the
+    * DuckDB oracle SQL is GENERATED from the same AnnTuner call, so
+    * both engines share one formula (the knnJoinLshTuned pattern).
+    */
+  def minHashCandidatesTuned(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, nHashes: Int, threshold: Double,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    minHashCandidates(docs, idCol, textCol, shingleLen, nHashes,
+      graft.ann.AnnTuner.minHashBands(nHashes, threshold), maxBucketSize)
 
   /** 64-bit SimHash fingerprint per doc: explode tokens, xxhash64 each
     * (engine-internal only — simhash has a rows-only oracle), then

@@ -41,8 +41,15 @@ object EmbeddingsRetry {
 
   /** One embeddings API call for a batch of texts. Implementations:
     * a real HTTP POST in production; deterministic fakes in tests.
+    *
+    * Serializable because [[RemoteEmbedder]] is an [[Embedder]] and
+    * DocumentIndex ships the embedder to executors inside a
+    * mapPartitions closure (DocumentIndex.embedChunks) — so every
+    * transport implementation must be executor-safe: hold no live
+    * sockets as fields; initialize the HTTP client lazily
+    * (`@transient lazy val`) so each executor builds its own.
     */
-  trait EmbeddingTransport {
+  trait EmbeddingTransport extends Serializable {
     def post(inputs: Seq[String]): TransportResponse
   }
 
@@ -63,8 +70,11 @@ object EmbeddingsRetry {
 
 /** Client wrapping a transport with the reference's retry + classify
   * behavior. `sleep` is injectable for tests (defaults to
-  * Thread.sleep — this runs driver-side during planning/ingest
-  * batching, never inside an executor task loop).
+  * Thread.sleep). Runs wherever the embedder runs: driver-side for
+  * ad-hoc embeds, INSIDE executor tasks on the DocumentIndex ingest
+  * path (mapPartitions ships the embedder) — hence the transport's
+  * Serializable bound and per-executor lazy client in
+  * [[RemoteEmbedder]].
   */
 final class RetryingEmbeddingsClient(
     transport: EmbeddingsRetry.EmbeddingTransport,

@@ -58,7 +58,7 @@ object CurationPipeline {
         graft.functions.TextFunctions.normText(col(textCol))))
       .select(col(idCol), col("n_words"), col("alpha_ratio"),
         col("pred_lang"), col("content_hash"))
-      .localCheckpoint(true)
+      .transform(graft.Barrier.checkpoint)
     // 1+2. quality + language gates
     val gated = sigs.filter(
       col("n_words") >= cfg.minWords && col("alpha_ratio") >= cfg.minAlphaRatio &&
@@ -77,13 +77,13 @@ object CurationPipeline {
     val keepIds = gated
       .groupBy(col("content_hash")).agg(org.apache.spark.sql.functions.min(col(idCol)).as(idCol))
       .select(col(idCol))
-      .localCheckpoint(true)
+      .transform(graft.Barrier.checkpoint)
     val exact = docs.join(keepIds, Seq(idCol), "left_semi")
     // 4. near-dedup: drop the higher id of every candidate pair whose
     // lower id is a stage-3 survivor (one pass, deterministic)
     val cand = Dedup.minHashCandidates(exact, idCol, textCol,
       cfg.shingleLen, cfg.nHashes, cfg.nBands)
-    val dropIds = cand.select(col("idb").as(idCol)).distinct().localCheckpoint(true)
+    val dropIds = cand.select(col("idb").as(idCol)).distinct().transform(graft.Barrier.checkpoint)
     val nearDeduped = exact.join(dropIds, Seq(idCol), "left_anti")
     // 5. data-recipe sampling
     Sampling.stratified(nearDeduped, idCol, langCol, cfg.sampleRates, cfg.defaultRate)

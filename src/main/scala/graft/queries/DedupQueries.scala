@@ -20,6 +20,11 @@ object DedupQueries {
       |  SELECT doc_id, lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
       |  FROM documents)""".stripMargin
 
+  /** dd_minhash target jaccard; bands derive from it via the S-curve
+    * (AnnTuner.minHashBands) on BOTH the Spark and oracle sides.
+    */
+  private val MinHashThreshold = 0.7
+
   val defs: Map[String, Q] = Map(
     "dd_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -32,9 +37,15 @@ object DedupQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
+    // bands derived from the 0.7 target jaccard via the S-curve
+    // (AnnTuner.minHashBands(16, 0.7) = 4 → s* = (1/4)^(1/4) ≈ 0.707):
+    // same geometry round 4 hardcoded, now pinned to the threshold —
+    // raising nHashes re-derives bands instead of silently moving the
+    // effective cutoff. The oracle's band SQL is generated from the
+    // SAME AnnTuner call (single source of truth).
     "dd_minhash" -> ((s, dir) => {
-      Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text",
-          shingleLen = 3, nHashes = 16, nBands = 4)
+      Dedup.minHashCandidatesTuned(t(s, dir, "documents"), "doc_id", "text",
+          shingleLen = 3, nHashes = 16, threshold = MinHashThreshold)
         .orderBy(col("ida"), col("idb"))
     }),
 
@@ -44,13 +55,20 @@ object DedupQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
-    // blocked by (label × 4-plane LSH bucket): label-only blocks grow
-    // linearly with the corpus and the pair join goes quadratic (42s at
-    // a 10× scale-up); the bucket bound keeps blocks O(block/2^planes)
+    // blocked by (label × LSH bucket): label-only blocks grow linearly
+    // with the corpus and the pair join goes quadratic (42s at a 10×
+    // scale-up). The plane count comes from AnnTuner's bucket-geometry
+    // rule (smallest p with maxBlock·(p+1)/2^p ≤ 64) — a FIXED p=4
+    // re-creates the quadratic join one scale-up later (the ann_ivf
+    // %50 lesson); the oracle computes the identical p from the same
+    // corpus stats in SQL.
     "dd_embed_cosine" -> ((s, dir) => {
-      val blocked = t(s, dir, "embeddings").withColumn("blk",
+      val emb = t(s, dir, "embeddings")
+      val st = graft.ann.AnnTuner.stats(emb, "embedding", Some("label"))
+      val np = graft.ann.AnnTuner.lshPlanes(st.maxBlock, targetCandidates = 64)
+      val blocked = emb.withColumn("blk",
         concat(col("label").cast("string"), lit("|"),
-          graft.ann.Ann.lshBucket(col("embedding"), nPlanes = 4, dim = 64)))
+          graft.ann.Ann.lshBucket(col("embedding"), nPlanes = np, dim = st.dim)))
       Dedup.embeddingPairs(blocked, "vec_id", "embedding",
           blockCol = "blk", threshold = 0.35)
         .orderBy(col("ida"), col("idb"))
@@ -133,10 +151,16 @@ object DedupQueries {
 
     "dd_minhash" -> {
       import graft.dedup.Dedup.{MinHashMix, MinHashP}
-      val minCols = (0 until 16).map(s =>
+      // band geometry from the SAME tuner call the query uses — the
+      // oracle's SQL shape (band count, slots per band) is generated,
+      // not hand-synced
+      val nH = 16
+      val nb = graft.ann.AnnTuner.minHashBands(nH, MinHashThreshold)
+      val rpb = nH / nb
+      val minCols = (0 until nH).map(s =>
         s"min((base * ${2 * s + 1} + ${MinHashMix * s}) % $MinHashP) AS h$s").mkString(",\n    ")
-      val bandSelects = (0 until 4).map { b =>
-        val slots = (b * 4 until (b + 1) * 4).map(s => s"h$s::VARCHAR").mkString("||','||")
+      val bandSelects = (0 until nb).map { b =>
+        val slots = (b * rpb until (b + 1) * rpb).map(s => s"h$s::VARCHAR").mkString("||','||")
         s"SELECT doc_id, $b AS band, md5($slots) AS bkey FROM sig"
       }.mkString("\n  UNION ALL ")
       s"""$sqlNorm,
@@ -235,10 +259,16 @@ object DedupQueries {
     },
 
     "dd_embed_cosine" ->
-      """WITH planes AS (
+      """WITH mb AS (
+        |  SELECT MAX(c)::DOUBLE AS mb
+        |  FROM (SELECT count(*) AS c FROM embeddings GROUP BY label)),
+        |np AS (
+        |  SELECT COALESCE(MIN(p), 24) AS np FROM range(2, 25) t(p), mb
+        |  WHERE mb.mb * (p+1) / POW(2.0, p) <= 64),
+        |planes AS (
         |  SELECT p, [(((('0x'||substr(md5(p::VARCHAR||','||j::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
         |             for j in range(0, 64)] AS plane
-        |  FROM range(0, 4) AS rp(p)),
+        |  FROM range(0, 24) AS rp(p), np WHERE p < np),
         |bucketed AS (
         |  SELECT vec_id, label, v,
         |    string_agg(

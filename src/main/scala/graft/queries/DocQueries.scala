@@ -112,20 +112,119 @@ object DocQueries {
     }),
 
     // reference: local_document_result.py:26-183 render_sections over
-    // the top documents of a corpus-wide query
+    // the top documents of a corpus-wide query. This entry is INGEST-
+    // SHAPED by design (split + embed the corpus in-query) so it stays
+    // self-contained; d_sections_persisted below is the production
+    // query shape.
     "d_sections" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id").cast("string").as("uri"), col("text"))
       val idx = DocumentIndex.create(s, ChunkCfg).upsertDocuments(docs)
-      idx.renderSections("spark table join query",
-          maxTokens = 120, maxSections = 2, maxDocuments = 50)
-        .select(col("uri"), col("section_idx").cast("long"),
-          col("token_count").cast("long"), round(col("score"), 6).as("score"),
-          length(col("text")).cast("long").as("text_len"))
-        .orderBy(col("uri"), col("section_idx"))
+      sectionsProjection(idx)
+    }),
+
+    // The same render over a PREBUILT on-disk DocumentIndex — the
+    // reference's measurement shape (BASELINE.md ¹: vectra pays
+    // chunk+embed at add time; queries hit the stored index). Build
+    // once per JVM per corpus (QueryUtil.persistedArtifact), then the
+    // timed work is load + query + render only. PersistedQueriesSpec
+    // asserts row-identical output with d_sections.
+    "d_sections_persisted" -> ((s, dir) => {
+      val path = persistedArtifact("docidx", dir) { p =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id").cast("string").as("uri"), col("text"))
+        DocumentIndex.create(s, ChunkCfg).upsertDocuments(docs).save(p)
+      }
+      sectionsProjection(DocumentIndex.load(s, path, ChunkCfg))
     }))
 
+  private def sectionsProjection(idx: DocumentIndex) =
+    idx.renderSections("spark table join query",
+        maxTokens = 120, maxSections = 2, maxDocuments = 50)
+      .select(col("uri"), col("section_idx").cast("long"),
+        col("token_count").cast("long"), round(col("score"), 6).as("score"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy(col("uri"), col("section_idx"))
+
+  // d_chunk / d_chunk_stats oracles: the splitter is recursive in
+  // general, but on the driver corpus (single-line texts of space-
+  // separated alphanumeric words, each word = one RegexTokenizer
+  // token) it provably degenerates to a closed form — docs with
+  // tokens <= 64 AND length <= 384 chars stay one whole-text chunk
+  // (the chars/6 shortcut at text_splitter.py:95 forces longer docs
+  // down to the word level even when their token count fits); all
+  // others flat-split to words and greedily re-merge into ceil(n/64)
+  // chunks of exactly 64 tokens (+remainder). combine_chunks keeps
+  // the FIRST constituent's end_pos (text_splitter.py:150-174), so a
+  // merged chunk's end_pos is the end of its first word (+1 for the
+  // separator unless it is the document's last word). The SQL mirrors
+  // that closed form; the general recursive semantics are covered by
+  // TextSplitterSpec. Overlap counts: 8 from each neighbor, clamped
+  // by the neighbor's token count, zero at the edges.
   val oracles: Map[String, String] = Map(
+    // catalogStats under the index's DEFAULT splitter config
+    // (chunkSize=512, keepSeparators=true): every driver-corpus doc is
+    // single-line with <= 100 tokens and <= 553 chars, so both the
+    // chars/6 shortcut (needs > 3072 chars) and the token budget
+    // (needs > 512) never split — exactly one chunk per document with
+    // any alphanumeric content.
+    "d_catalog_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS documents,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '[A-Za-z0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS chunks,
+        |  CAST(1 AS BIGINT) AS version
+        |FROM documents""".stripMargin,
+
+    "d_chunk_stats" ->
+      """WITH wc AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(ceil(n_tok / 64.0) AS BIGINT) AS n_chunks,
+        |  CAST(n_tok AS BIGINT) AS total_tokens,
+        |  CAST(least(n_tok, 64) AS BIGINT) AS max_tokens
+        |FROM wc WHERE n_tok > 0 ORDER BY doc_id""".stripMargin,
+
+    "d_chunk" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, len(text) AS tlen,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+        |  FROM documents),
+        |single AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS chunk_idx, CAST(0 AS BIGINT) AS start_pos,
+        |    CAST(tlen - 1 AS BIGINT) AS end_pos, CAST(n_tok AS BIGINT) AS n_tokens,
+        |    CAST(0 AS BIGINT) AS n_start_overlap, CAST(0 AS BIGINT) AS n_end_overlap
+        |  FROM docs WHERE n_tok > 0 AND n_tok <= 64 AND tlen <= 384),
+        |words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |    generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+        |  FROM docs WHERE n_tok > 64 OR tlen > 384),
+        |pos AS (
+        |  SELECT doc_id, w, wi,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_words,
+        |    coalesce(sum(len(w) + 1) OVER (PARTITION BY doc_id ORDER BY wi
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sp
+        |  FROM words),
+        |multi0 AS (
+        |  SELECT doc_id, wi // 64 AS chunk_idx,
+        |    count(*) AS n_tokens,
+        |    min(sp) AS start_pos,
+        |    min(sp) + arg_min(len(w), wi) - 1
+        |      + CASE WHEN min(wi) < max(n_words) - 1 THEN 1 ELSE 0 END AS end_pos
+        |  FROM pos GROUP BY doc_id, wi // 64),
+        |multi AS (
+        |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |    CAST(start_pos AS BIGINT) AS start_pos, CAST(end_pos AS BIGINT) AS end_pos,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(CASE WHEN max(chunk_idx) OVER (PARTITION BY doc_id) = 0 OR chunk_idx = 0
+        |      THEN 0 ELSE 8 END AS BIGINT) AS n_start_overlap,
+        |    CAST(CASE WHEN chunk_idx = max(chunk_idx) OVER (PARTITION BY doc_id)
+        |      THEN 0 ELSE least(8, lead(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_idx))
+        |      END AS BIGINT) AS n_end_overlap
+        |  FROM multi0)
+        |SELECT * FROM single UNION ALL SELECT * FROM multi
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "d_query_documents" ->
       """WITH norm AS (
         |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
@@ -164,7 +263,8 @@ object DocQueries {
         |  round(avg(score_raw), 6) AS score, count(*) AS n_chunks
         |FROM topc GROUP BY doc_id, lang, source
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
-    // d_chunk, d_chunk_stats, d_catalog_stats, d_sections: rows-only
-    // (recursive splitter / renderer are not SQL-expressible; their
-    // semantics are covered by TextSplitterSpec / SectionRendererSpec).
+    // d_sections / d_sections_persisted: rows-only (the hashing
+    // embedder / renderer are not SQL-expressible; semantics covered
+    // by DocumentIndexSpec / SectionRendererSpec, and the two entries
+    // are asserted row-identical by PersistedQueriesSpec).
 }

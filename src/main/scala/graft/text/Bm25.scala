@@ -31,19 +31,26 @@ object Bm25 {
   def score(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topN: Int = 10): DataFrame = {
+    // duplicates in the query would double df and double-count the
+    // term's score contribution in the unpivoted tf frame; empty
+    // queries would build an untyped empty array() — dedupe and
+    // early-return instead (zero rows, correct schema).
+    val qts = queryTerms.distinct
+    if (qts.isEmpty)
+      return docs.select(col(idCol), lit(0.0d).as("score")).limit(0)
     val toks = graft.Tables.fanOut(docs).select(col(idCol),
       explode(wsTokens(normText(col(textCol)))).as("term"))
-    val tfAggs = queryTerms.zipWithIndex.map { case (t, i) =>
+    val tfAggs = qts.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1L).otherwise(0L)).as(s"_tf$i")
     }
     val perDoc = toks.groupBy(col(idCol))
       .agg(count(lit(1)).as("dl"), tfAggs: _*)
-      .localCheckpoint(true)
+      .transform(graft.Barrier.checkpoint)
     val stats = perDoc.agg(
       avg(col("dl")).as("avgdl"), count(lit(1)).cast("double").as("n_docs"))
     // unpivot the per-term counts back to (id, dl, term, tf) rows —
     // dl rides along, so no second join against a lengths frame
-    val termTf = array(queryTerms.zipWithIndex.map { case (t, i) =>
+    val termTf = array(qts.zipWithIndex.map { case (t, i) =>
       struct(lit(t).as("term"), col(s"_tf$i").as("tf"))
     }: _*)
     val tf = perDoc.select(col(idCol), col("dl"), explode(termTf).as("p"))

@@ -92,6 +92,45 @@ class AnnTunerSpec extends SparkSpecBase {
     assert(AnnTuner.minHashBands(32, 0.25) > 8)
   }
 
+  test("dd_embed_cosine tuned planes: candidates bounded at sf0.1 / 10x / 100x") {
+    // measured label-block sizes: maxBlock 218 at sf0.1; 10x/100x grow
+    // the blocks linearly (labels are a fixed 10-value dimension)
+    val target = 64
+    val scales = Seq(218L, 2180L, 21800L)
+    val cands = scales.map { mb =>
+      val p = AnnTuner.lshPlanes(mb, target)
+      // pair-join work per vector inside a (label|bucket) block is the
+      // expected bucket population, block/2^p
+      val perVec = mb.toDouble / (1L << p)
+      assert(mb.toDouble * (p + 1) / (1L << p) <= target || p == 24,
+        s"maxBlock=$mb p=$p violates the geometry bound")
+      perVec
+    }
+    // 100x data must NOT mean 100x pair work: tuned planes hold the
+    // per-vector candidate count within the target at every scale
+    cands.foreach(c => assert(c <= target, s"per-vector candidates $c"))
+    // a FIXED p (the round-4 hardcoded 4) blows through the bound one
+    // scale-up later — the reason the parameter is derived
+    assert(scales.last.toDouble / (1L << 4) > 16 * target)
+  }
+
+  test("dd_minhash tuned bands: cutoff pinned to the threshold at any nHashes") {
+    // the query's geometry: 16 hashes, 0.7 target -> 4 bands x 4 rows,
+    // s* = (1/4)^(1/4) ~ 0.707 (the round-4 fixed geometry, now derived)
+    assert(AnnTuner.minHashBands(16, 0.7) == 4)
+    // re-deriving under a different budget keeps s* near the target
+    // instead of silently moving the cutoff (the fixed-bands failure)
+    Seq(16, 32, 64).foreach { nH =>
+      val b = AnnTuner.minHashBands(nH, 0.7)
+      val sStar = math.pow(1.0 / b, b.toDouble / nH)
+      assert(math.abs(sStar - 0.7) < 0.15, s"nHashes=$nH bands=$b s*=$sStar")
+    }
+    // candidate-pair work per band bucket is capped independently of
+    // corpus size (Dedup.DefaultMaxBucketSize bounds every bucket the
+    // pair join sees), so scale safety = pinned cutoff + hard cap
+    assert(graft.dedup.Dedup.DefaultMaxBucketSize <= 1024)
+  }
+
   test("stats collects (n, dim, maxBlock) in one pass") {
     import spark.implicits._
     val df = Seq(

@@ -1,0 +1,36 @@
+package graft
+
+/** The persisted-index query entries must return exactly what their
+  * in-query (build-per-call) counterparts return: the on-disk layout
+  * (partitioned parquet cells, saved catalog+chunk index) is a storage
+  * choice, never a semantics change. ann_ivf_persisted is also
+  * DuckDB-oracled; d_sections_persisted has no SQL oracle, so this
+  * equality — against the fully-specced d_sections pipeline — is its
+  * correctness gate.
+  */
+class PersistedQueriesSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$dir/documents.parquet").exists()
+
+  private def rows(name: String): Seq[Seq[Any]] =
+    SparkEntry.queries(name)(spark, dir).collect().toSeq.map(_.toSeq)
+
+  test("ann_ivf_persisted returns exactly ann_ivf's rows") {
+    assume(haveData)
+    assert(rows("ann_ivf_persisted") == rows("ann_ivf"))
+  }
+
+  test("d_sections_persisted returns exactly d_sections' rows") {
+    assume(haveData)
+    assert(rows("d_sections_persisted") == rows("d_sections"))
+  }
+
+  test("persisted artifacts are built once per JVM and reused") {
+    assume(haveData)
+    var builds = 0
+    val p1 = graft.queries.QueryUtil.persistedArtifact("spec_probe", dir) { _ => builds += 1 }
+    val p2 = graft.queries.QueryUtil.persistedArtifact("spec_probe", dir) { _ => builds += 1 }
+    assert(builds == 1 && p1 == p2)
+  }
+}
