@@ -55,6 +55,15 @@ object Barrier {
     out
   }
 
+  /** Barriers currently registered for this session — each was one
+    * eager materialization job at plan-build time (graft.Explain
+    * reports this so the plan audit can count checkpoint-time corpus
+    * scans that the final explain no longer shows).
+    */
+  def pinnedCount(spark: SparkSession): Int = synchronized {
+    pinned.get(spark.sparkContext).map(_.size).getOrElse(0)
+  }
+
   /** Unpersist every barrier this session created (and only those).
     * Blocks are dropped asynchronously; the registry entry is cleared
     * either way.

@@ -20,8 +20,18 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n======== $n ========")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        // plan barriers (Barrier.checkpoint) already RAN while the
+        // query was constructed — the final explain shows them only as
+        // Scan ExistingRDD. Report the count so the audit can account
+        // for checkpoint-time materialization jobs separately.
+        val barriers = Barrier.pinnedCount(spark)
+        df.explain("formatted")
+        println(s"BARRIERS: $barriers")
+      }
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+      Barrier.release(spark)
     }
     spark.stop()
   }

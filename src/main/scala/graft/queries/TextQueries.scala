@@ -69,7 +69,11 @@ object TextQueries {
     // BPE is not SQL-expressible → rows-only oracle; the encode/decode
     // semantics carry their own gate in BpeSpec (exact round-trip,
     // determinism, golden counts). ids_checksum makes cross-run drift
-    // visible even under a rows-only check.
+    // visible even under a rows-only check. NOTE: n_bpe_tokens runs
+    // ≈2× a production GPT-2/tiktoken count (512-merge table vs 50k —
+    // divergence quantified by BpeSpec's golden test; see the
+    // ByteBpeTokenizer scaladoc before using these counts for budgets
+    // calibrated against real models).
     "ta_tokens_bpe" -> ((s, dir) => {
       import s.implicits._
       val bpe = new graft.text.ByteBpeTokenizer()

@@ -26,6 +26,18 @@ import scala.collection.mutable
   * Everything is deterministic: same seed corpus + same nMerges →
   * byte-identical merge table on every JVM, so token counts are
   * reproducible across the cluster and across rounds.
+  *
+  * DIVERGENCE FROM PRODUCTION VOCABULARIES (quantified in BpeSpec's
+  * golden test): the algorithm is exactly tiktoken/GPT-2's, but this
+  * 512-merge table learned from the embedded seed stops at short
+  * subwords, so counts are NOT comparable to any production model's —
+  * on a fixed public English sentence set it emits ~0.51 tokens/char
+  * where GPT-2's 50k-merge vocabulary averages ~0.25 (OpenAI's
+  * published "1 token ≈ 4 characters" rule), i.e. ≈2× the tokens for
+  * the same text. Budgets tuned against real GPT-2 counts (the
+  * reference's gpt3_tokenizer.py path) must halve `n_bpe_tokens`, or
+  * swap in a real merge table — the encode/decode loop accepts any
+  * table; only the zero-egress build rules out shipping one.
   */
 final class ByteBpeTokenizer(nMerges: Int = ByteBpeTokenizer.DefaultMerges)
     extends Tokenizer {

@@ -64,6 +64,35 @@ class BpeSpec extends AnyFunSuite {
     assert(ids.forall(i => i >= 0 && i < bpe.vocab.size))
   }
 
+  test("golden divergence vs production GPT-2 counts on fixed public sentences") {
+    // Fixed public-domain sentence set. The per-sentence counts are
+    // GOLDEN (they pin the learned merge table: any SeedCorpus or
+    // training-loop change shows up here first), and the aggregate
+    // quantifies the divergence consumers of n_bpe_tokens must expect:
+    // this 512-merge table produces ~0.51 tokens/char on English prose
+    // vs the ~0.25 tokens/char of the reference's tiktoken/GPT-2
+    // 50k-merge vocabulary (OpenAI's published rule of thumb: 1 token
+    // ≈ 4 characters ≈ 3/4 of a word) — i.e. ~2x the tokens for the
+    // same text, because a 512-merge table stops at short subwords.
+    val sentences = Seq(
+      "The quick brown fox jumps over the lazy dog.",
+      "We hold these truths to be self-evident, that all men are created equal.",
+      "It was the best of times, it was the worst of times.",
+      "Call me Ishmael. Some years ago, never mind how long precisely, I went to sea.",
+      "In the beginning God created the heaven and the earth.",
+      "All happy families are alike; each unhappy family is unhappy in its own way.",
+      "To be, or not to be, that is the question.",
+      "A distributed query engine reads data from storage and filters the columns it needs.")
+    val counts = sentences.map(s => bpe.encode(s).length)
+    assert(counts == Seq(19, 37, 26, 52, 26, 50, 24, 21),
+      s"merge table drifted: $counts")
+    val tokensPerChar = counts.sum.toDouble / sentences.map(_.length).sum
+    // strictly coarser than tiktoken's ~0.25, but still sub-word
+    // (word-count tokenization would be ~0.19; per-char ~1.0)
+    assert(tokensPerChar > 0.40 && tokensPerChar < 0.60,
+      f"tokens/char $tokensPerChar%.4f outside the documented ~2x-GPT-2 band")
+  }
+
   test("merge table is deterministic across instances") {
     val other = new ByteBpeTokenizer()
     assert(other.vocab == bpe.vocab)
