@@ -72,4 +72,19 @@ object Barrier {
     val rdds = synchronized { pinned.remove(spark.sparkContext) }
     rdds.foreach(_.foreach(_.unpersist(blocking = false)))
   }
+
+  /** The FAULT-TOLERANT flip of [[checkpoint]]: materialize `df` as a
+    * parquet STAGE TABLE and read it back. Same plan-barrier effect
+    * (downstream branches scan the materialized frame, the input is
+    * computed exactly once), but the blocks live in the shared
+    * filesystem: an executor loss costs a re-read, not the query.
+    * This is what a standing production pipeline should pass for its
+    * signature/postings hand-offs (SURVEY §6); checkpoint() remains
+    * the default because single-session analytic sweeps prefer the
+    * ~free executor-local write over a durable one.
+    */
+  def stage(df: DataFrame, path: String): DataFrame = {
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
 }

@@ -31,10 +31,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     // untimed warmup queries (one relational, one vector-kernel) to
-    // absorb JVM/codegen/classload bring-up before timing starts
-    Seq("q1_agg", "v_topk").foreach { w =>
-      try force(w) catch { case _: Throwable => () }
-    }
+    // absorb JVM/codegen/classload bring-up before timing starts. The
+    // persisted-index entries warm up too: their once-per-JVM index
+    // BUILD (QueryUtil.persistedArtifact) is ingest work a production
+    // deployment pays at add time — timing it in sweep 1 would make
+    // min-of-N report build+query for single-rep runs while the
+    // entry's contract is "query a prebuilt index".
+    Seq("q1_agg", "v_topk", "ann_ivf_persisted", "d_sections_persisted")
+      .foreach { w =>
+        try force(w) catch { case _: Throwable => () }
+      }
     clearPinned()
     // min-of-N per query, reps INTERLEAVED across full sweeps: the
     // round-4 artifact showed consecutive min-of-3 still dies under
