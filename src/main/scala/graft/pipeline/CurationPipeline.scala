@@ -36,8 +36,18 @@ object CurationPipeline {
       sampleRates: Map[String, Double] = Map("en" -> 0.5),
       defaultRate: Double = 0.2)
 
+  /** `barrier` is the inter-stage materialization strategy: the
+    * default (Barrier.checkpoint) pins executor storage — fastest for
+    * single-session sweeps, no executor-loss recovery; a standing
+    * production pipeline passes a parquet stage-table barrier instead
+    * (e.g. `df => Barrier.stage(df, nextStagePath())`) so a lost
+    * executor costs a re-read, not the run (SURVEY §6;
+    * CurationPipelineSpec asserts both strategies produce identical
+    * results).
+    */
   def run(docs: DataFrame, idCol: String, textCol: String, langCol: String,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(),
+      barrier: DataFrame => DataFrame = graft.Barrier.checkpoint): DataFrame = {
     // All per-row text signals in ONE projection: Spark re-derives a
     // DataFrame per join branch, so stages must not each re-tokenize —
     // a stage is a predicate over this single derived frame, and what
@@ -58,7 +68,7 @@ object CurationPipeline {
         graft.functions.TextFunctions.normText(col(textCol))))
       .select(col(idCol), col("n_words"), col("alpha_ratio"),
         col("pred_lang"), col("content_hash"))
-      .transform(graft.Barrier.checkpoint)
+      .transform(barrier)
     // 1+2. quality + language gates
     val gated = sigs.filter(
       col("n_words") >= cfg.minWords && col("alpha_ratio") >= cfg.minAlphaRatio &&
@@ -77,13 +87,13 @@ object CurationPipeline {
     val keepIds = gated
       .groupBy(col("content_hash")).agg(org.apache.spark.sql.functions.min(col(idCol)).as(idCol))
       .select(col(idCol))
-      .transform(graft.Barrier.checkpoint)
+      .transform(barrier)
     val exact = docs.join(keepIds, Seq(idCol), "left_semi")
     // 4. near-dedup: drop the higher id of every candidate pair whose
     // lower id is a stage-3 survivor (one pass, deterministic)
     val cand = Dedup.minHashCandidates(exact, idCol, textCol,
       cfg.shingleLen, cfg.nHashes, cfg.nBands)
-    val dropIds = cand.select(col("idb").as(idCol)).distinct().transform(graft.Barrier.checkpoint)
+    val dropIds = cand.select(col("idb").as(idCol)).distinct().transform(barrier)
     val nearDeduped = exact.join(dropIds, Seq(idCol), "left_anti")
     // 5. data-recipe sampling
     Sampling.stratified(nearDeduped, idCol, langCol, cfg.sampleRates, cfg.defaultRate)

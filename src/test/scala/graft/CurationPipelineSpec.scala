@@ -1,0 +1,36 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.pipeline.CurationPipeline
+
+/** The barrier strategy is a materialization choice, never a
+  * semantics change: the default executor-pinned checkpoint and the
+  * fault-tolerant parquet stage table (Barrier.stage — what a
+  * standing production pipeline passes, SURVEY §6) must produce
+  * identical curation results.
+  */
+class CurationPipelineSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$dir/documents.parquet").exists()
+
+  test("stage-table barriers reproduce the checkpoint-barrier results exactly") {
+    assume(haveData)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.select("doc_id", "lang").orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    val viaCheckpoint = rows(CurationPipeline.run(docs, "doc_id", "text", "lang"))
+    Barrier.release(spark)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pipe_stage").toString
+    val n = new AtomicInteger(0)
+    val viaStage = rows(CurationPipeline.run(docs, "doc_id", "text", "lang",
+      barrier = df => Barrier.stage(df, s"$tmp/stage_${n.getAndIncrement()}")))
+
+    assert(n.get() == 3, "expected the three documented inter-stage barriers")
+    assert(viaStage == viaCheckpoint)
+    assert(viaCheckpoint.nonEmpty)
+  }
+}
