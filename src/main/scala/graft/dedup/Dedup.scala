@@ -226,13 +226,25 @@ object Dedup {
     * interpreted lambda evals at sf0.1); the shuffle carries 17 longs
     * per doc. Token multiplicity weights bits, like classic simhash.
     */
+  /** Portable 64-bit token hash: the top 16 hex digits of md5, split
+    * into two 32-bit halves and repacked — any engine with md5 and
+    * integer shifts reproduces it bit-for-bit (SURVEY §5 family; the
+    * 15-hex-digit variant used by MinHash only yields 60 bits, too
+    * few for a 64-bit fingerprint). Slower than xxhash64 per token,
+    * so it is the ORACLE-CHECKED path, not the library default.
+    */
+  def portableHash64(c: Column): Column =
+    shiftleft(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(c), 9, 8), 16, 10).cast("long"))
+
   def simHash(docs: DataFrame, idCol: String, textCol: String,
-      keepCols: Seq[String] = Nil): DataFrame = {
+      keepCols: Seq[String] = Nil,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val kept = keepCols.map(c => first(col(c)).as(c))
     val toks = graft.Tables.fanOut(docs)
       .select((idCol +: textCol +: keepCols).distinct.map(col): _*)
       .withColumn("_t", explode(wsTokens(normText(col(textCol)))))
-      .withColumn("_h", xxhash64(col("_t")))
+      .withColumn("_h", tokenHash(col("_t")))
     val packAggs = (0 until 16).map { g =>
       val perToken = (0 until 4).map { f =>
         shiftright(col("_h"), 4 * g + f).bitwiseAND(lit(1L)) * lit(1L << (16 * f))
@@ -258,8 +270,9 @@ object Dedup {
     * (block, chunk index, chunk value), never all-pairs.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, maxHamming: Int): DataFrame = {
-    val fp = simHash(docs, idCol, textCol, keepCols = Seq(blockCol))
+      blockCol: String, maxHamming: Int,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val fp = simHash(docs, idCol, textCol, keepCols = Seq(blockCol), tokenHash)
       .select(col(idCol), col(blockCol), col("simhash"))
     val chunked = fp.select(col(idCol), col(blockCol), col("simhash"),
       posexplode(expr(

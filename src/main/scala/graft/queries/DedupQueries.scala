@@ -49,9 +49,14 @@ object DedupQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
+    // oracle-checked via the md5-derived portable 64-bit token hash
+    // (Dedup.portableHash64 — SURVEY §5 family); the library default
+    // stays xxhash64 (faster per token, engine-internal). Same
+    // fingerprint/blocking/hamming semantics either way.
     "dd_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-          blockCol = "lang", maxHamming = 3)
+          blockCol = "lang", maxHamming = 3,
+          tokenHash = Dedup.portableHash64)
         .orderBy(col("ida"), col("idb"))
     }),
 
@@ -258,6 +263,46 @@ object DedupQueries {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "dd_simhash" -> {
+      // portable-hash simhash, mirrored bit-for-bit: 64 majority-vote
+      // bit terms generated here (low md5 half carries bits 0-31, high
+      // half 32-63; bit 63's weight is Long.MinValue so the signed
+      // fingerprint matches Spark's packed sum exactly). DuckDB's >>
+      // is arithmetic like Spark's shiftright; the & 65535 mask makes
+      // the chunk values identical either way.
+      def bit(i: Int): String =
+        if (i < 32) s"((lo >> $i) & 1)" else s"((hi >> ${i - 32}) & 1)"
+      val bitTerms = (0 until 64).map { i =>
+        val weight = if (i == 63) "-9223372036854775808" else (1L << i).toString
+        s"CASE WHEN 2 * sum(${bit(i)}) > count(*) THEN CAST($weight AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      }.mkString(" +\n    ")
+      s"""$sqlNorm,
+         |tok AS (
+         |  SELECT doc_id, lang, unnest(string_split(t, ' ')) AS g FROM norm),
+         |th AS (
+         |  SELECT doc_id, lang,
+         |    ('0x'||substr(md5(g), 1, 8))::BIGINT AS hi,
+         |    ('0x'||substr(md5(g), 9, 8))::BIGINT AS lo
+         |  FROM tok),
+         |sig AS (
+         |  SELECT doc_id, lang,
+         |    $bitTerms AS simhash
+         |  FROM th GROUP BY doc_id, lang),
+         |chunked AS (
+         |  SELECT doc_id, lang, simhash, c AS chunk_i,
+         |    (simhash >> (c * 16)) & 65535 AS chunk_v
+         |  FROM sig, range(0, 4) r(c)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+         |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM chunked a JOIN chunked b
+         |    ON a.lang = b.lang AND a.chunk_i = b.chunk_i AND a.chunk_v = b.chunk_v
+         |    AND a.doc_id < b.doc_id)
+         |SELECT ida, idb, CAST(hamming AS BIGINT) AS hamming
+         |FROM pairs WHERE hamming <= 3
+         |ORDER BY ida, idb""".stripMargin
+    },
+
     "dd_embed_cosine" ->
       """WITH mb AS (
         |  SELECT MAX(c)::DOUBLE AS mb
@@ -285,6 +330,4 @@ object DedupQueries {
         |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT ida, idb, cos FROM p WHERE cos >= 0.35
         |ORDER BY ida, idb""".stripMargin)
-    // dd_simhash: rows-only oracle (bit-level simhash is not portably
-    // SQL-expressible; semantics covered by SimHashSpec).
 }

@@ -2,11 +2,12 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Teeth for the five rows-only CORRECTNESS rows (d_chunk,
-  * d_chunk_stats, d_sections, d_catalog_stats, dd_simhash): the driver
-  * can only count their rows, so the semantic content — spans,
-  * budgets, symmetry, monotonicity — is pinned here, against the same
-  * testdata the driver uses (sf0.001 for speed).
+/** Teeth for the rows-only CORRECTNESS rows (now only d_sections /
+  * d_sections_persisted / ta_tokens_bpe — d_chunk, d_chunk_stats,
+  * d_catalog_stats and dd_simhash gained DuckDB hash oracles in round
+  * 5, and these invariants stay as defense in depth): the semantic
+  * content — spans, budgets, symmetry, monotonicity — is pinned here,
+  * against the same testdata the driver uses (sf0.001 for speed).
   */
 class RowsOnlyInvariantSpec extends SparkSpecBase {
 
