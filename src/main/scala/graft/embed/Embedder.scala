@@ -38,26 +38,13 @@ trait Embedder extends Serializable {
 
 final class HashingEmbedder(val dim: Int = 64) extends Embedder {
 
-  private def hash64(s: String): Long = {
-    val md = HashingEmbedder.digests.get()
-    md.reset()
-    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
-    // first 8 bytes, big-endian
-    var h = 0L
-    var i = 0
-    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h
-  }
-
   def embed(tokens: Seq[String]): Array[Float] = {
     val v = new Array[Double](dim)
     // Tokens arrive with attached leading whitespace (RegexTokenizer
     // preserves it for decode fidelity); hash the trimmed lowercase
     // form so ' Word' and 'word' land in the same feature.
     tokens.iterator.map(_.trim.toLowerCase).filter(_.nonEmpty).foreach { t =>
-      val h = hash64(t)
-      val idx = java.lang.Long.remainderUnsigned(h, dim.toLong).toInt
-      val sign = if (((h >>> 32) & 1L) == 0L) 1.0 else -1.0
+      val (idx, sign) = HashingEmbedder.feature(t, dim)
       v(idx) += sign
     }
     val norm = math.sqrt(v.map(x => x * x).sum)
@@ -72,4 +59,22 @@ object HashingEmbedder {
   // thread instead.
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** The (bucket, ±1 sign) feature of one already-trimmed-lowercase
+    * token — exactly the pair `embed` accumulates. Exposed so the
+    * d_sections oracle SQL is GENERATED from the same md5 math the
+    * embedder runs (single source of truth; cosine is scale-invariant
+    * so the oracle works on the raw signed counts and never needs the
+    * float normalization).
+    */
+  def feature(token: String, dim: Int = 64): (Int, Int) = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(token.getBytes(StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    val idx = java.lang.Long.remainderUnsigned(h, dim.toLong).toInt
+    (idx, if (((h >>> 32) & 1L) == 0L) 1 else -1)
+  }
 }

@@ -161,7 +161,73 @@ object DocQueries {
   // that closed form; the general recursive semantics are covered by
   // TextSplitterSpec. Overlap counts: 8 from each neighbor, clamped
   // by the neighbor's token count, zero at the edges.
+  /** d_sections / d_sections_persisted oracle. Two closed forms stack:
+    * (1) the chunker degenerates on this corpus exactly as in the
+    * d_chunk oracle (chunk c = words with wi/64 = c); (2) every corpus
+    * doc has ≤ 100 tokens < maxTokens=120, so SectionRenderer's
+    * whole-doc shortcut (local_document_result.py:33-38 equivalent)
+    * fires for EVERY rendered document — one section of the full text
+    * with score 1.0. What remains checkable (and is the part that
+    * matters) is the retrieval: which 50 chunks the HashingEmbedder
+    * cosine ranks highest, hence which documents render. The embedder
+    * is md5 feature hashing (dim 64 = 2^6 → bucket is the low 6 bits
+    * of the top-16-hex-digit hash; sign is bit 32), and cosine is
+    * scale-invariant, so the SQL scores RAW signed counts — no float
+    * normalization needed; the query vector literals are generated by
+    * the same HashingEmbedder.feature call the engine runs.
+    * Tie-break mirrors VectorIndex.queryItems: score desc, chunk_id
+    * ("md5(uri)-i") ascending.
+    */
+  private lazy val sectionsOracleSql: String = {
+    val qTokens = new graft.text.RegexTokenizer().encode("spark table join query")
+      .map(_.trim.toLowerCase).filter(_.nonEmpty)
+    val q = qTokens.map(graft.embed.HashingEmbedder.feature(_))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 != 0).toSeq.sortBy(_._1)
+    val qValues = q.map { case (i, v) => s"($i, $v)" }.mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id::VARCHAR AS uri, md5(doc_id::VARCHAR) AS did, text,
+       |    len(string_split(text, ' ')) AS n_tok, len(text) AS tlen
+       |  FROM documents),
+       |words AS (
+       |  SELECT did, unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+       |  FROM docs),
+       |feat AS (
+       |  SELECT did, wi // 64 AS c,
+       |    ('0x'||substr(md5(w), 15, 2))::BIGINT & 63 AS idx,
+       |    CASE WHEN (('0x'||substr(md5(w), 8, 1))::BIGINT & 1) = 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM words),
+       |vecs AS (
+       |  SELECT did, c, idx, SUM(sgn) AS e FROM feat GROUP BY did, c, idx),
+       |qv(qidx, qval) AS (VALUES $qValues),
+       |qnorm AS (SELECT sqrt(SUM(qval * qval)) AS qn FROM qv),
+       |dots AS (
+       |  SELECT v.did, v.c, SUM(v.e * COALESCE(qv.qval, 0)) AS dot
+       |  FROM vecs v LEFT JOIN qv ON v.idx = qv.qidx
+       |  GROUP BY v.did, v.c),
+       |norms AS (SELECT did, c, sqrt(SUM(e * e)) AS nrm FROM vecs GROUP BY did, c),
+       |scored AS (
+       |  SELECT d.did, d.c, d.dot / (n.nrm * q.qn) AS cos
+       |  FROM dots d JOIN norms n USING (did, c), qnorm q),
+       |top50 AS (
+       |  SELECT did, c, cos FROM scored
+       |  ORDER BY cos DESC, did || '-' || c::VARCHAR LIMIT 50),
+       |sel AS (SELECT DISTINCT did FROM top50)
+       |SELECT d.uri, CAST(0 AS BIGINT) AS section_idx,
+       |  CAST(d.n_tok AS BIGINT) AS token_count,
+       |  CAST(1.0 AS DOUBLE) AS score, CAST(d.tlen AS BIGINT) AS text_len
+       |FROM docs d JOIN sel USING (did)
+       |ORDER BY uri, section_idx""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d_sections" -> sectionsOracleSql,
+
+    // same output by construction (PersistedQueriesSpec); the oracle
+    // cannot observe where the chunk index lives
+    "d_sections_persisted" -> sectionsOracleSql,
+
     // catalogStats under the index's DEFAULT splitter config
     // (chunkSize=512, keepSeparators=true): every driver-corpus doc is
     // single-line with <= 100 tokens and <= 553 chars, so both the
@@ -263,8 +329,7 @@ object DocQueries {
         |  round(avg(score_raw), 6) AS score, count(*) AS n_chunks
         |FROM topc GROUP BY doc_id, lang, source
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
-    // d_sections / d_sections_persisted: rows-only (the hashing
-    // embedder / renderer are not SQL-expressible; semantics covered
-    // by DocumentIndexSpec / SectionRendererSpec, and the two entries
-    // are asserted row-identical by PersistedQueriesSpec).
+    // ta_tokens_bpe is now the ONLY rows-only entry (BPE merge loops
+    // are genuinely not SQL-expressible; BpeSpec carries round-trip,
+    // determinism, and golden-divergence gates).
 }

@@ -2,12 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Teeth for the rows-only CORRECTNESS rows (now only d_sections /
-  * d_sections_persisted / ta_tokens_bpe — d_chunk, d_chunk_stats,
-  * d_catalog_stats and dd_simhash gained DuckDB hash oracles in round
-  * 5, and these invariants stay as defense in depth): the semantic
-  * content — spans, budgets, symmetry, monotonicity — is pinned here,
-  * against the same testdata the driver uses (sf0.001 for speed).
+/** Invariant teeth for queries that were rows-only before round 5
+  * (d_chunk, d_chunk_stats, d_catalog_stats, d_sections, dd_simhash
+  * all gained DuckDB hash oracles; ta_tokens_bpe is the one remaining
+  * rows-only entry, gated by BpeSpec). These stay as defense in
+  * depth: the oracles pin values on the driver corpus, the invariants
+  * here pin the semantics — spans, budgets, symmetry, monotonicity —
+  * that must hold on ANY corpus (sf0.001 for speed).
   */
 class RowsOnlyInvariantSpec extends SparkSpecBase {
 
