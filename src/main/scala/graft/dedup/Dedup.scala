@@ -226,16 +226,20 @@ object Dedup {
     * interpreted lambda evals at sf0.1); the shuffle carries 17 longs
     * per doc. Token multiplicity weights bits, like classic simhash.
     */
-  /** Portable 64-bit token hash: the top 16 hex digits of md5, split
-    * into two 32-bit halves and repacked — any engine with md5 and
-    * integer shifts reproduces it bit-for-bit (SURVEY §5 family; the
+  /** Portable 64-bit token hash: the first 8 md5 bytes (= top 16 hex
+    * digits) as one signed long — any engine with md5 and integer
+    * shifts reproduces it bit-for-bit (SURVEY §5 family; the
     * 15-hex-digit variant used by MinHash only yields 60 bits, too
-    * few for a 64-bit fingerprint). Slower than xxhash64 per token,
-    * so it is the ORACLE-CHECKED path, not the library default.
+    * few for a 64-bit fingerprint). A native kernel (Md5Hash64):
+    * the expression-chain formulation (md5 hex + substring + conv ×2)
+    * built a 32-char string per TOKEN and benched dd_simhash at 1.8×
+    * its xxhash64 cost. Still slower than xxhash64, so it is the
+    * ORACLE-CHECKED path, not the library default.
     */
-  def portableHash64(c: Column): Column =
-    shiftleft(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), 32)
-      .bitwiseOR(conv(substring(md5(c), 9, 8), 16, 10).cast("long"))
+  def portableHash64(c: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.Md5Hash64(ColumnBridge.expression(c)))
+  }
 
   def simHash(docs: DataFrame, idCol: String, textCol: String,
       keepCols: Seq[String] = Nil,

@@ -76,6 +76,25 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("Md5Hash64 kernel == the portable hex/conv formulation == JVM md5 prefix") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val toks = Seq("spark", "table", " Mixed Case ", "émoji🎉", "", "123", "a b")
+    val df = toks.toDF("t")
+    val viaKernel = df.select(Dedup.portableHash64(col("t"))).collect().map(_.getLong(0))
+    val viaExprs = df.select(
+      shiftleft(conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long"))
+    ).collect().map(_.getLong(0))
+    val viaJvm = toks.map { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (0 until 8).foldLeft(0L)((h, i) => (h << 8) | (d(i) & 0xffL))
+    }
+    assert(viaKernel.toSeq == viaExprs.toSeq)
+    assert(viaKernel.toSeq == viaJvm)
+  }
+
   test("embeddingPairs refuses a corpus-growing block (maxBlockSize guard)") {
     import spark.implicits._
     val vecs = (1 to 50).map(i => (i.toLong, "all-same-block", Array(1.0f, 0.0f)))
