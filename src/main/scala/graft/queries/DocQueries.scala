@@ -329,7 +329,7 @@ object DocQueries {
         |  round(avg(score_raw), 6) AS score, count(*) AS n_chunks
         |FROM topc GROUP BY doc_id, lang, source
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
-    // ta_tokens_bpe is now the ONLY rows-only entry (BPE merge loops
-    // are genuinely not SQL-expressible; BpeSpec carries round-trip,
-    // determinism, and golden-divergence gates).
+    // Every SparkEntry.queries entry now carries a DuckDB hash
+    // oracle (ta_tokens_bpe was last — its oracle replays the
+    // exported merge table in a recursive CTE, TextQueries).
 }

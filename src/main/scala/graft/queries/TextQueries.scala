@@ -66,14 +66,15 @@ object TextQueries {
 
     // byte-level BPE token accounting (graft.text.ByteBpeTokenizer —
     // the reference's tiktoken analogue, reference: gpt3_tokenizer.py).
-    // BPE is not SQL-expressible → rows-only oracle; the encode/decode
-    // semantics carry their own gate in BpeSpec (exact round-trip,
-    // determinism, golden counts). ids_checksum makes cross-run drift
-    // visible even under a rows-only check. NOTE: n_bpe_tokens runs
-    // ≈2× a production GPT-2/tiktoken count (512-merge table vs 50k —
-    // divergence quantified by BpeSpec's golden test; see the
-    // ByteBpeTokenizer scaladoc before using these counts for budgets
-    // calibrated against real models).
+    // Hash-oracled: the oracle exports the tokenizer's own merge
+    // table and replays the greedy merge loop in a DuckDB recursive
+    // CTE (see bpeOracleSql); BpeSpec adds round-trip, determinism,
+    // and golden-divergence gates. ids_checksum makes any id-sequence
+    // drift change the hash. NOTE: n_bpe_tokens runs ≈2× a production
+    // GPT-2/tiktoken count (512-merge table vs 50k — divergence
+    // quantified by BpeSpec's golden test; see the ByteBpeTokenizer
+    // scaladoc before using these counts for budgets calibrated
+    // against real models).
     "ta_tokens_bpe" -> ((s, dir) => {
       import s.implicits._
       val bpe = new graft.text.ByteBpeTokenizer()
@@ -234,7 +235,86 @@ object TextQueries {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** ta_tokens_bpe oracle: byte-level BPE IS SQL-expressible once two
+    * facts are used. (1) The greedy encode loop ("merge all
+    * occurrences of the minimal-rank pair, repeat") is equivalent to
+    * iterated leftmost-single-merge — a newly created pair (x, ab)
+    * can only carry a HIGHER rank than (a, b) (it must be learned
+    * after ab exists), so while (a, b) occurs it stays minimal; a
+    * recursive CTE applies one leftmost merge per iteration over the
+    * DISTINCT pre-tokens until no table pair remains. (2) The merge
+    * table is a deterministic constant of the tokenizer, exported
+    * here (ByteBpeTokenizer.mergesRaw) in rank order as list
+    * literals — pair-key list (rank = position), merged-token list,
+    * true vocab-id list — so both engines run the SAME table; rank
+    * comparisons use list positions, ids come from the id list
+    * (base-byte tokens are ord(char), GPT-2's id = byte-value rule).
+    * Corpus-specific simplifications, same class as the chunker
+    * oracles: pre-tokens are ' ?[a-z]+' (the full GPT-2 pre-token
+    * regex needs a lookahead RE2 lacks, but only whitespace runs ever
+    * reach that branch and this corpus has none), and only ASCII
+    * merge entries are exported (non-ASCII sides can never match an
+    * ASCII corpus; filtering preserves rank order).
+    */
+  private lazy val bpeOracleSql: String = {
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val table = new graft.text.ByteBpeTokenizer().mergesRaw
+      .filter { case (a, b, _) =>
+        (a + b).forall(c => c >= 32 && c < 127)
+      }
+    val mk = table.map { case (a, b, _) => s"${lit(a)} || chr(1) || ${lit(b)}" }
+      .mkString("[", ", ", "]")
+    val mt = table.map { case (a, b, _) => lit(a + b) }.mkString("[", ", ", "]")
+    val mid = table.map(_._3.toString).mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       |mk AS (SELECT $mk AS l),
+       |mt AS (SELECT $mt AS l),
+       |mid AS (SELECT $mid AS l),
+       |pre AS (
+       |  SELECT doc_id, strlen(text) AS n_bytes,
+       |    unnest(regexp_extract_all(text, ' ?[a-z]+')) AS pt,
+       |    generate_subscripts(regexp_extract_all(text, ' ?[a-z]+'), 1) AS i
+       |  FROM documents),
+       |dw AS (SELECT DISTINCT pt FROM pre),
+       |bpe AS (
+       |  SELECT pt, string_split(pt, '') AS toks FROM dw
+       |  UNION ALL
+       |  SELECT pt,
+       |    toks[1:bidx-1] || [toks[bidx] || toks[bidx+1]] || toks[bidx+2:len(toks)]
+       |  FROM (
+       |    SELECT pt, toks,
+       |      list_position(positions,
+       |        list_min(list_filter(positions, p -> p IS NOT NULL AND p <> 0))) AS bidx
+       |    FROM (
+       |      SELECT b.pt, b.toks,
+       |        list_transform(range(1, len(b.toks)),
+       |          k -> list_position(mk.l, b.toks[k] || chr(1) || b.toks[k+1])) AS positions
+       |      FROM bpe b, mk) q1) q2
+       |  WHERE bidx IS NOT NULL AND bidx <> 0),
+       |term AS (
+       |  SELECT pt, toks FROM bpe
+       |  QUALIFY row_number() OVER (PARTITION BY pt ORDER BY len(toks)) = 1),
+       |wids AS (
+       |  SELECT t.pt,
+       |    list_transform(t.toks,
+       |      tk -> CASE WHEN len(tk) = 1 THEN ord(tk)
+       |                 ELSE mid.l[list_position(mt.l, tk)] END) AS ids
+       |  FROM term t, mt, mid),
+       |docs AS (
+       |  SELECT p.doc_id, max(p.n_bytes) AS n_bytes,
+       |    flatten(list(w.ids ORDER BY p.i)) AS ids
+       |  FROM pre p JOIN wids w USING (pt)
+       |  GROUP BY p.doc_id)
+       |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(n_bytes AS BIGINT) AS n_bytes,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+       |    (h, t) -> (h * 31 + t) % 1000000007) AS BIGINT) AS ids_checksum,
+       |  round(n_bytes / len(ids), 6) AS bytes_per_token
+       |FROM docs ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ta_tokens_bpe" -> bpeOracleSql,
     "ta_langid" ->
       s"""$sqlNorm,
          |scored AS (

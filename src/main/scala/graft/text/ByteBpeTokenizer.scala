@@ -94,6 +94,20 @@ final class ByteBpeTokenizer(nMerges: Int = ByteBpeTokenizer.DefaultMerges)
   @transient private lazy val idToToken: Map[Int, String] =
     vocab.map(_.swap)
 
+  /** The merge table in RANK ORDER, each side decoded to raw byte
+    * space (the string the original bytes spell) together with the
+    * merged token's vocab id — the export the ta_tokens_bpe DuckDB
+    * oracle is generated from, so both engines run the same table.
+    * Non-UTF8-decodable sides come out with replacement chars; the
+    * oracle filters to the ASCII-only entries its corpus can ever
+    * match, preserving rank order (only relative order drives the
+    * greedy loop) and carrying true vocab ids explicitly.
+    */
+  def mergesRaw: Seq[(String, String, Int)] =
+    merges.toSeq.sortBy(_._2).map { case ((a, b), rank) =>
+      (decode(Seq(a)), decode(Seq(b)), 256 + rank)
+    }
+
   /** Greedy rank-ordered merging — the standard BPE encode loop. */
   private def bpe(word: Vector[String]): Vector[String] = {
     var w = word

@@ -3,12 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Invariant teeth for queries that were rows-only before round 5
-  * (d_chunk, d_chunk_stats, d_catalog_stats, d_sections, dd_simhash
-  * all gained DuckDB hash oracles; ta_tokens_bpe is the one remaining
-  * rows-only entry, gated by BpeSpec). These stay as defense in
-  * depth: the oracles pin values on the driver corpus, the invariants
-  * here pin the semantics — spans, budgets, symmetry, monotonicity —
-  * that must hold on ANY corpus (sf0.001 for speed).
+  * (d_chunk, d_chunk_stats, d_catalog_stats, d_sections, dd_simhash,
+  * ta_tokens_bpe — ALL now carry DuckDB hash oracles). These stay as
+  * defense in depth: the oracles pin values on the driver corpus
+  * (some via corpus-shape closed forms), the invariants here pin the
+  * semantics — spans, budgets, symmetry, monotonicity — that must
+  * hold on ANY corpus (sf0.001 for speed).
   */
 class RowsOnlyInvariantSpec extends SparkSpecBase {
 
