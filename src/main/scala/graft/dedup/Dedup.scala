@@ -211,8 +211,9 @@ object Dedup {
     minHashCandidates(docs, idCol, textCol, shingleLen, nHashes,
       graft.ann.AnnTuner.minHashBands(nHashes, threshold), maxBucketSize)
 
-  /** 64-bit SimHash fingerprint per doc: explode tokens, xxhash64 each
-    * (engine-internal only — simhash has a rows-only oracle), then
+  /** 64-bit SimHash fingerprint per doc: explode tokens, hash each
+    * (xxhash64 default; the oracle-checked path passes
+    * [[portableHash64]]), then
     * PACKED bit-count aggregates: long #g accumulates the set-bit
     * counts of bits 4g..4g+3 in four 16-bit fields, so the per-row
     * aggregation is 16 sums + 1 count instead of 64 sums (the round-1
