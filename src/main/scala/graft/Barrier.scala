@@ -39,7 +39,10 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Barrier {
 
-  private val pinned = mutable.Map.empty[SparkContext, mutable.Buffer[RDD[_]]]
+  // weak keys: a session that stops without calling release() must
+  // not pin its SparkContext (and through it every registered RDD)
+  // for the life of the library's classloader
+  private val pinned = mutable.WeakHashMap.empty[SparkContext, mutable.Buffer[RDD[_]]]
 
   /** Eagerly materialize `df` and register the pinned RDD for later
     * [[release]]. Semantically identical to `df.localCheckpoint(true)`.
