@@ -308,6 +308,82 @@ object Dedup {
     * message) on oversized ones. The guard is a pre-aggregated count —
     * one cheap extra shuffle on the block key — not a driver action.
     */
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space with deterministic
+    * Lloyd's k-means (graft.ann.KMeans — decimal-exact means, so the
+    * fit replays bit-for-bit in the DuckDB oracle), then emit
+    * near-duplicate pairs only WITHIN a cluster. Clustering is what
+    * makes semantic dedup tractable at 100 TB: the pair join is
+    * bounded by cluster size (guarded by embeddingPairs'
+    * maxBlockSize raise_error, never silently quadratic), and with
+    * the IVF √n seed rule cluster count grows with the corpus so the
+    * per-cluster work stays ~n·√n, not n².
+    *
+    * `seeds` is the (cid, cv) init frame — pick corpus rows by an id
+    * rule (dd_semantic uses vec_id ≡ 0 mod ⌊√n⌋, the ann_ivf rule) so
+    * the oracle selects the identical rows.
+    */
+  def semanticPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      seeds: DataFrame, iters: Int, threshold: Double,
+      maxBlockSize: Int = 100000): DataFrame = {
+    // one corpus parquet scan: every Lloyd pass and both pair-join
+    // sides read the materialized (id, vec) frame
+    val base = graft.Tables.fanOut(vecs)
+      .select(col(idCol), col(vecCol))
+      .transform(graft.Barrier.checkpoint)
+    val cents = graft.ann.KMeans.lloyd(base, idCol, vecCol, seeds, iters)
+    val assigned = graft.ann.KMeans.assign(base, idCol, vecCol, cents)
+    embeddingPairs(assigned, idCol, vecCol, blockCol = "cell",
+      threshold = threshold, maxBlockSize = maxBlockSize)
+  }
+
+  /** Duplicate-span detection (the exact-substring dedup of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed as a distributed plan): every POSITIONAL
+    * window of `span` consecutive tokens is hashed (portable md5
+    * family — the oracle reproduces it), and a window whose hash
+    * occurs in ≥ 2 distinct documents is a duplicated span. Returns
+    * one row per document: window count, duplicated-window count,
+    * duplicated fraction — the signal a curation pass thresholds to
+    * drop boilerplate-heavy documents (within-doc repetition is
+    * deliberately NOT counted; TextAnalysis.repetition covers it).
+    *
+    * The suffix-array machinery of the paper is a single-node
+    * construct; the equivalent corpus-scale shape is this window-hash
+    * shuffle: one narrow shingle pass, one aggregation keyed by a
+    * 60-bit hash (payload: one long — never the window text), and a
+    * semi-join back. Shuffle volume is O(corpus tokens), bounded and
+    * skew-free because high-frequency windows concentrate into single
+    * hash keys with map-side-combined counts.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      span: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    // raw (positional, non-distinct) shingles: multiplicity matters
+    // for the per-doc window counts, unlike the dedup-set shingles
+    val raw = ColumnBridge.column(graft.functions.expr.WordShingles(
+      ColumnBridge.expression(wsTokens(normText(col(textCol)))), span))
+    // barrier: the frequency, total, and dup-count branches below all
+    // read this materialized (id, h) frame — one corpus scan
+    val wins = graft.Tables.fanOut(docs)
+      .select(col(idCol), explode(raw).as("g"))
+      .select(col(idCol), portableHash(col("g")).as("h"))
+      .transform(graft.Barrier.checkpoint)
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select(col("h"))
+    val totals = wins.groupBy(col(idCol)).agg(count(lit(1)).as("n_windows"))
+    val dups = wins.join(dup, "h")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
+    totals.join(dups, Seq(idCol), "left")
+      .withColumn("n_dup_windows", coalesce(col("n_dup_windows"), lit(0L)))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows") / col("n_windows"), 6))
+      .select(col(idCol), col("n_windows"), col("n_dup_windows"), col("dup_ratio"))
+  }
+
   def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double,
       maxBlockSize: Int = 100000): DataFrame = {

@@ -25,6 +25,21 @@ object DedupQueries {
     */
   private val MinHashThreshold = 0.7
 
+  /** dd_spans window length (Lee et al. use 50 BPE tokens on web text;
+    * 8 whitespace tokens is the equivalent granularity for the short
+    * synthetic docs — parameter, not semantics).
+    */
+  private val SpanTokens = 8
+
+  /** dd_semantic geometry: 2 Lloyd iterations (SemDeDup's clusters
+    * only localize the pair search — the fit needs to separate, not
+    * converge) at a within-cluster cosine cutoff of 0.4 (the synthetic
+    * embeddings are near-uniform on the sphere; real SemDeDup corpora
+    * use ~0.95+ — parameter, not semantics).
+    */
+  private val SemDedupIters = 2
+  private val SemDedupThreshold = 0.4
+
   val defs: Map[String, Q] = Map(
     "dd_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -76,6 +91,29 @@ object DedupQueries {
           graft.ann.Ann.lshBucket(col("embedding"), nPlanes = np, dim = st.dim)))
       Dedup.embeddingPairs(blocked, "vec_id", "embedding",
           blockCol = "blk", threshold = 0.35)
+        .orderBy(col("ida"), col("idb"))
+    }),
+
+    // duplicate-span detection (Dedup.duplicateSpans — the Lee et al.
+    // exact-substring dedup as a window-hash shuffle): per-doc count
+    // and fraction of 8-token windows shared with another document
+    "dd_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", span = SpanTokens)
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup (Dedup.semanticPairs): deterministic Lloyd k-means over
+    // the embedding space (√n seed rule — cluster count grows with the
+    // corpus, the ann_ivf lesson), then cosine pairs WITHIN clusters
+    // only. The oracle replays the full fit: decimal-exact centroid
+    // means make the two engines' Lloyd iterations bit-identical.
+    "dd_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = math.max(1L, math.floor(math.sqrt(emb.count().toDouble)).toLong)
+      val seeds = emb.filter(pmod(col("vec_id"), lit(m)) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      Dedup.semanticPairs(emb, "vec_id", "embedding", seeds,
+          iters = SemDedupIters, threshold = SemDedupThreshold, maxBlockSize = 4096)
         .orderBy(col("ida"), col("idb"))
     }),
 
@@ -261,6 +299,66 @@ object DedupQueries {
          |  AND ('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
          |    CASE WHEN lang = 'en' THEN 500000 ELSE 200000 END
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "dd_spans" -> {
+      // window semantics mirror WordShingles(span): max(len-span+1, 1)
+      // positional windows, the last one truncated on short docs
+      val w = SpanTokens
+      s"""$sqlNorm,
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+         |win AS (
+         |  SELECT doc_id, ('0x'||substr(md5(g), 1, 15))::BIGINT AS h FROM (
+         |    SELECT doc_id, unnest([array_to_string(toks[i : i+${w - 1}], ' ')
+         |      for i in range(1, greatest(len(toks)-${w - 2}, 2))]) AS g
+         |    FROM tok)),
+         |dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_windows FROM win GROUP BY 1),
+         |dd AS (SELECT doc_id, count(*) AS n_dup_windows FROM win JOIN dup USING (h) GROUP BY 1)
+         |SELECT t.doc_id, t.n_windows,
+         |  coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+         |  round(coalesce(d.n_dup_windows, 0) * 1.0 / t.n_windows, 6) AS dup_ratio
+         |FROM tot t LEFT JOIN dd d USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
+    "dd_semantic" -> {
+      // squared-L2 with NearestCentroid's exact left-to-right fold
+      // (sqrt'd list_distance could round two distinct squared sums to
+      // equal doubles and flip a tie that Spark breaks strictly)
+      def d2(a: String, b: String): String =
+        s"list_reduce(list_prepend(0.0, [($a[j+1]-$b[j+1])*($a[j+1]-$b[j+1]) " +
+          s"for j in range(0, 64)]), (x, y) -> x + y)"
+      def assignCte(out: String, cents: String): String =
+        s"""$out AS (
+           |  SELECT vec_id, v, cid AS cell FROM (
+           |    SELECT s.vec_id, s.v, c.cid,
+           |      row_number() OVER (PARTITION BY s.vec_id
+           |        ORDER BY ${d2("s.v", "c.cv")}, c.cid) AS rn
+           |    FROM vv s, $cents c) WHERE rn = 1)""".stripMargin
+      // decimal-exact means, round 9 — identical to KMeans.meanCentroids
+      def meansCte(out: String, src: String): String =
+        s"""$out AS (
+           |  SELECT cell AS cid, list(m ORDER BY j) AS cv FROM (
+           |    SELECT cell, j,
+           |      round(CAST(sum(CAST(v[j+1] AS DECIMAL(28,10))) AS DOUBLE) / count(*), 9) AS m
+           |    FROM $src, range(0, 64) r(j) GROUP BY cell, j)
+           |  GROUP BY cell)""".stripMargin
+      s"""WITH mm AS (
+         |  SELECT GREATEST(1, CAST(FLOOR(SQRT(count(*))) AS BIGINT)) AS m FROM embeddings),
+         |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM vv, mm WHERE vec_id % m = 0),
+         |${assignCte("a1", "c0")},
+         |${meansCte("c1", "a1")},
+         |${assignCte("a2", "c1")},
+         |${meansCte("c2", "a2")},
+         |${assignCte("a3", "c2")},
+         |p AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    round(list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         |  FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT ida, idb, cos FROM p WHERE cos >= $SemDedupThreshold
+         |ORDER BY ida, idb""".stripMargin
     },
 
     "dd_simhash" -> {

@@ -179,6 +179,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition signals (graft.text.TextAnalysis
+    // .repetition): duplicate/top word + bigram fractions, the
+    // boilerplate filters the length/stopword quality columns miss.
+    // Zero shuffle — one narrow integer-exact pass.
+    "ta_repetition" -> ((s, dir) => {
+      TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("dup_word_ratio"),
+          col("top_word_ratio"), col("dup_bigram_ratio"), col("top_bigram_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus-unigram LM scoring (graft.text.UnigramLm) — the CCNet
+    // perplexity-filter analogue: mean per-token negative
+    // log-likelihood under the corpus' own unigram distribution
+    "ta_unigram_lm" -> ((s, dir) => {
+      graft.text.UnigramLm.score(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic hash-based stratified sampling
     // (graft.operators.Sampling) — the reproducible data-recipe mixer
     "ta_sample" -> ((s, dir) => {
@@ -492,6 +511,44 @@ object TextQueries {
         |  len(regexp_extract_all(t2, '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b'))::BIGINT AS n_phone,
         |  md5(redacted) AS redacted_hash
         |FROM scrubbed ORDER BY doc_id""".stripMargin,
+
+    "ta_repetition" ->
+      s"""$sqlNorm,
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+         |big AS (
+         |  SELECT doc_id, toks,
+         |    [array_to_string(toks[i : i+1], ' ')
+         |     for i in range(1, greatest(len(toks), 2))] AS bi
+         |  FROM tok),
+         |wc AS (
+         |  SELECT doc_id, x, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS x FROM tok) GROUP BY 1, 2),
+         |wtop AS (SELECT doc_id, max(c) AS topw FROM wc GROUP BY 1),
+         |bc AS (
+         |  SELECT doc_id, x, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(bi) AS x FROM big) GROUP BY 1, 2),
+         |btop AS (SELECT doc_id, max(c) AS topb FROM bc GROUP BY 1)
+         |SELECT b.doc_id,
+         |  len(toks)::BIGINT AS n_words,
+         |  round((len(toks) - len(list_distinct(toks))) * 1.0 / len(toks), 6) AS dup_word_ratio,
+         |  round(w.topw * 1.0 / len(toks), 6) AS top_word_ratio,
+         |  round((len(bi) - len(list_distinct(bi))) * 1.0 / len(bi), 6) AS dup_bigram_ratio,
+         |  round(t2.topb * 1.0 / len(bi), 6) AS top_bigram_ratio
+         |FROM big b JOIN wtop w USING (doc_id) JOIN btop t2 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "ta_unigram_lm" ->
+      s"""$sqlNorm,
+         |tokens AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+         |freq AS (SELECT tok, count(*) AS cnt FROM tokens GROUP BY 1),
+         |tot AS (SELECT sum(cnt)::DOUBLE AS n_total FROM freq),
+         |scored AS (
+         |  SELECT doc_id, round(-ln(cnt / n_total), 6) AS nll
+         |  FROM tokens JOIN freq USING (tok), tot)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  round(CAST(sum(CAST(nll AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_nll,
+         |  max(nll) AS max_nll
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ta_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -120,6 +120,58 @@ object TextAnalysis {
       .drop("_t", "_nre")
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, table A1's
+    * repetition filters): duplicate-word fraction, most-frequent-word
+    * fraction, and the same two over word bigrams. High values mark
+    * degenerate boilerplate ("click here click here …") that the
+    * length/stopword filters in [[quality]] miss. Downstream filters
+    * threshold these columns (Gopher drops docs with top-2-gram
+    * fraction > 0.2).
+    *
+    * Everything is computed per row from the token array — counts via
+    * a single max-run fold over the SORTED array (multiplicity of the
+    * most frequent element = longest equal-run after sorting), so the
+    * whole operator is one narrow map stage with zero shuffle and
+    * integer-exact arithmetic (ratios round deterministic integers).
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    // raw (positional) bigrams — multiplicity matters here, so not
+    // TextFunctions.wordShingles (which dedups for the shingle-set ops)
+    def rawShingles(tokens: Column, n: Int): Column =
+      ColumnBridge.column(graft.functions.expr.WordShingles(
+        ColumnBridge.expression(tokens), n))
+    // multiplicity of the most frequent element: one O(n) fold over the
+    // sorted array with integer state — not the O(n·distinct)
+    // count-each-distinct formulation
+    def topCount(arr: Column): Column = aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val base = graft.Tables.fanOut(docs)
+      .withColumn("_toks", wsTokens(normText(col(textCol))))
+      .withColumn("_bi", rawShingles(col("_toks"), 2))
+      .withColumn("_nw", size(col("_toks")).cast("long"))
+      .withColumn("_nb", size(col("_bi")).cast("long"))
+      .withColumn("_topw", topCount(col("_toks")))
+      .withColumn("_topb", topCount(col("_bi")))
+    base
+      .withColumn("n_words", col("_nw"))
+      .withColumn("dup_word_ratio",
+        round((col("_nw") - size(array_distinct(col("_toks")))) / col("_nw"), 6))
+      .withColumn("top_word_ratio", round(col("_topw") / col("_nw"), 6))
+      .withColumn("dup_bigram_ratio",
+        round((col("_nb") - size(array_distinct(col("_bi")))) / col("_nb"), 6))
+      .withColumn("top_bigram_ratio", round(col("_topb") / col("_nb"), 6))
+      .drop("_toks", "_bi", "_nw", "_nb", "_topw", "_topb")
+  }
+
   /** Document fingerprint: full-text 60-bit digest plus winnowing-style
     * min/max 8-gram shingle hashes (the rolling-window extrema are
     * robust to small edits; equal fp_min across docs is a cheap

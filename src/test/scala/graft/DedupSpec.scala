@@ -95,6 +95,40 @@ class DedupSpec extends SparkSpecBase {
     assert(viaKernel.toSeq == viaJvm)
   }
 
+  test("duplicateSpans: cross-doc windows counted, within-doc repeats not") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),     // shares the a..h window with 2
+      (2L, "a b c d e f g h x y"),
+      (3L, "p q r s t u v w z0 z1"),   // unique
+      (4L, "r r r r r r r r r r"))     // repeats internally, unique text
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(d, "doc_id", "text", span = 8)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    // 10 tokens → 3 windows each; only window "a b c d e f g h" (pos 0)
+    // is shared between docs 1 and 2
+    assert(out.toList == List(
+      (1L, 3L, 1L, 0.333333), (2L, 3L, 1L, 0.333333),
+      (3L, 3L, 0L, 0.0), (4L, 3L, 0L, 0.0)))
+  }
+
+  test("semanticPairs: pairs only within a cluster, above threshold") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.98f, 0.05f)), (2L, Array(0.95f, -0.05f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.05f, 0.98f)), (12L, Array(-0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val seeds = Seq((0L, Array(1.0, 0.0)), (10L, Array(0.0, 1.0))).toDF("cid", "cv")
+    val pairs = Dedup.semanticPairs(vecs, "vec_id", "embedding", seeds,
+        iters = 2, threshold = 0.9)
+      .select($"ida", $"idb").as[(Long, Long)].collect().toSet
+    // tight-cluster pairs survive; 12 is in cluster B but below 0.9
+    // cosine to its members; nothing crosses clusters
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L)))
+    Barrier.release(spark)
+  }
+
   test("embeddingPairs refuses a corpus-growing block (maxBlockSize guard)") {
     import spark.implicits._
     val vecs = (1 to 50).map(i => (i.toLong, "all-same-block", Array(1.0f, 0.0f)))

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{TextAnalysis, UnigramLm}
+
+/** Hand-computed cases for the Gopher repetition signals and the
+  * corpus-unigram LM score (the DuckDB oracles check engine parity on
+  * the driver corpus; these check the arithmetic itself).
+  */
+class TextSignalsSpec extends SparkSpecBase {
+
+  test("repetition: ratios match hand counts") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a b"), (2L, "z"), (3L, "u v w x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d, "doc_id", "text")
+      .select($"doc_id", $"n_words", $"dup_word_ratio", $"top_word_ratio",
+        $"dup_bigram_ratio", $"top_bigram_ratio")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toList
+    // doc 1: words [a,a,a,b] → dup 2/4, top 3/4;
+    //        bigrams [a a, a a, a b] → dup 1/3, top 2/3
+    // doc 2: one token; the single truncated "bigram" is unique
+    // doc 3: all distinct → dup 0, top 1/n
+    assert(out == List(
+      (1L, 4L, 0.5, 0.75, 0.333333, 0.666667),
+      (2L, 1L, 0.0, 1.0, 0.0, 1.0),
+      (3L, 4L, 0.0, 0.25, 0.0, 0.333333)))
+  }
+
+  test("repetition: fold-based top count equals brute force on varied docs") {
+    import spark.implicits._
+    val texts = Seq(
+      "the the the cat cat dog", "one two three four five",
+      "x y x y x y x y", "solo", "a b a b c c c c c b")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(d, "doc_id", "text")
+      .select($"doc_id", $"top_word_ratio").as[(Long, Double)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ")
+      val brute = toks.groupBy(identity).values.map(_.length).max.toDouble / toks.length
+      val expected = BigDecimal.valueOf(brute)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(i.toLong) == expected, s"doc $i ('$t')")
+    }
+  }
+
+  test("unigram LM: hand-computed NLL on a 2-doc corpus") {
+    import spark.implicits._
+    val d = Seq((1L, "x x"), (2L, "x y")).toDF("doc_id", "text")
+    val out = UnigramLm.score(d, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double, Double)].collect().toList
+    // counts: x=3, y=1, N=4 → nll(x) = -ln(3/4) = 0.287682,
+    // nll(y) = -ln(1/4) = 1.386294 (rounded to 6 before the exact sum)
+    assert(out == List(
+      (1L, 2L, 0.287682, 0.287682),
+      (2L, 2L, 0.836988, 1.386294))) // (0.287682 + 1.386294) / 2
+    Barrier.release(spark)
+  }
+
+  test("unigram LM: rare-token documents score higher") {
+    import spark.implicits._
+    val common = Seq.fill(20)("alpha beta gamma").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val rare = Seq((100L, "zeta omega psi"))
+    val d = (common ++ rare).toDF("doc_id", "text")
+    val scores = UnigramLm.score(d, "doc_id", "text")
+      .select($"doc_id", $"avg_nll").as[(Long, Double)].collect().toMap
+    assert(scores(100L) > scores(0L))
+    Barrier.release(spark)
+  }
+}
