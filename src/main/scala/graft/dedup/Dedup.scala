@@ -384,6 +384,60 @@ object Dedup {
       .select(col(idCol), col("n_windows"), col("n_dup_windows"), col("dup_ratio"))
   }
 
+  /** Connected components over a near-dup pair frame — the step every
+    * dedup pipeline needs between "candidate pairs" and "keep one per
+    * group": docs A~B and B~C must collapse into ONE group even though
+    * (A, C) was never emitted as a pair. Returns one row per document
+    * that has at least one partner: (id, group_id = the smallest doc
+    * id in its component, group_size). Keep-policy is then a trivial
+    * filter (id = group_id keeps the canonical doc).
+    *
+    * Algorithm: min-label propagation — every node starts labeled with
+    * itself; each round takes the min of its own and its neighbors'
+    * labels; fixpoint when no label shrinks. Rounds needed = component
+    * diameter, which for near-dup clusters is tiny (candidate groups
+    * are near-cliques: every replica collides with every other in some
+    * band). Each round is one shuffle join + one min-aggregate with
+    * map-side combine, and each round's label frame is an eager
+    * barrier so plan depth stays constant instead of doubling per
+    * iteration. The convergence probe is a cheap limit(1) existence
+    * job. Refuses (loudly) if not converged within `maxIters` — a
+    * diameter that large means the pair generator is emitting chains,
+    * not duplicate groups.
+    */
+  def connectedGroups(pairs: DataFrame, aCol: String, bCol: String,
+      idOut: String, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .transform(graft.Barrier.checkpoint)
+    var labels = edges.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl"))
+      .transform(graft.Barrier.checkpoint)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaNbr = edges.alias("e")
+        .join(labels.alias("l"), col("e.v") === col("l.u"))
+        .select(col("e.u").as("u"), col("l.lbl").as("lbl"))
+      val next = labels.union(viaNbr)
+        .groupBy(col("u")).agg(min(col("lbl")).as("lbl"))
+        .transform(graft.Barrier.checkpoint)
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.u") === col("o.u"))
+        .filter(col("n.lbl") < col("o.lbl"))
+        .limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedGroups: not converged after $maxIters rounds — component " +
+        "diameter exceeds the near-dup-clique assumption; raise maxIters " +
+        "or check the pair generator")
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, "lbl")
+      .select(col("u").as(idOut), col("lbl").as("group_id"), col("group_size"))
+  }
+
   def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double,
       maxBlockSize: Int = 100000): DataFrame = {

@@ -40,6 +40,50 @@ object DedupQueries {
   private val SemDedupIters = 2
   private val SemDedupThreshold = 0.4
 
+  /** Shared WITH-body for the dd_minhash candidate pairs: norm →
+    * shingles → portable hashes → signatures (band geometry from the
+    * SAME tuner call the query uses — generated, not hand-synced) →
+    * capped band buckets → `cand` (DISTINCT ida < idb). dd_minhash
+    * selects cand directly; dd_groups closes it transitively.
+    */
+  private lazy val minHashCandCtes: String = {
+    import graft.dedup.Dedup.{MinHashMix, MinHashP}
+    val nH = 16
+    val nb = graft.ann.AnnTuner.minHashBands(nH, MinHashThreshold)
+    val rpb = nH / nb
+    val minCols = (0 until nH).map(s =>
+      s"min((base * ${2 * s + 1} + ${MinHashMix * s}) % $MinHashP) AS h$s").mkString(",\n    ")
+    val bandSelects = (0 until nb).map { b =>
+      val slots = (b * rpb until (b + 1) * rpb).map(s => s"h$s::VARCHAR").mkString("||','||")
+      s"SELECT doc_id, $b AS band, md5($slots) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$sqlNorm,
+       |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct([array_to_string(toks[i : i+2], ' ')
+       |      for i in range(1, greatest(len(toks)-1, 2))])) AS g
+       |  FROM tok),
+       |hashed AS (
+       |  SELECT doc_id, ('0x'||substr(md5(g), 1, 15))::BIGINT % $MinHashP AS base
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM hashed GROUP BY doc_id),
+       |bands0 AS (
+       |  $bandSelects),
+       |keep AS (
+       |  SELECT band, bkey FROM bands0 GROUP BY band, bkey
+       |  HAVING count(*) <= ${graft.dedup.Dedup.DefaultMaxBucketSize}),
+       |bands AS (
+       |  SELECT bands0.* FROM bands0 JOIN keep USING (band, bkey)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "dd_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -92,6 +136,18 @@ object DedupQueries {
       Dedup.embeddingPairs(blocked, "vec_id", "embedding",
           blockCol = "blk", threshold = 0.35)
         .orderBy(col("ida"), col("idb"))
+    }),
+
+    // connected components over the dd_minhash candidate pairs
+    // (Dedup.connectedGroups): A~B, B~C collapse into one group with
+    // group_id = min member id — the pairs→groups→survivors step of a
+    // dedup pipeline, as min-label propagation (diameter rounds; the
+    // oracle computes the same closure with a recursive CTE)
+    "dd_groups" -> ((s, dir) => {
+      val cand = Dedup.minHashCandidatesTuned(t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, nHashes = 16, threshold = MinHashThreshold)
+      Dedup.connectedGroups(cand, "ida", "idb", idOut = "doc_id")
+        .orderBy(col("doc_id"))
     }),
 
     // duplicate-span detection (Dedup.duplicateSpans — the Lee et al.
@@ -192,46 +248,29 @@ object DedupQueries {
          |ORDER BY ida, idb""".stripMargin
     },
 
-    "dd_minhash" -> {
-      import graft.dedup.Dedup.{MinHashMix, MinHashP}
-      // band geometry from the SAME tuner call the query uses — the
-      // oracle's SQL shape (band count, slots per band) is generated,
-      // not hand-synced
-      val nH = 16
-      val nb = graft.ann.AnnTuner.minHashBands(nH, MinHashThreshold)
-      val rpb = nH / nb
-      val minCols = (0 until nH).map(s =>
-        s"min((base * ${2 * s + 1} + ${MinHashMix * s}) % $MinHashP) AS h$s").mkString(",\n    ")
-      val bandSelects = (0 until nb).map { b =>
-        val slots = (b * rpb until (b + 1) * rpb).map(s => s"h$s::VARCHAR").mkString("||','||")
-        s"SELECT doc_id, $b AS band, md5($slots) AS bkey FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""$sqlNorm,
-         |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
-         |sh AS (
-         |  SELECT doc_id,
-         |    unnest(list_distinct([array_to_string(toks[i : i+2], ' ')
-         |      for i in range(1, greatest(len(toks)-1, 2))])) AS g
-         |  FROM tok),
-         |hashed AS (
-         |  SELECT doc_id, ('0x'||substr(md5(g), 1, 15))::BIGINT % $MinHashP AS base
-         |  FROM sh),
-         |sig AS (
-         |  SELECT doc_id,
-         |    $minCols
-         |  FROM hashed GROUP BY doc_id),
-         |bands0 AS (
-         |  $bandSelects),
-         |keep AS (
-         |  SELECT band, bkey FROM bands0 GROUP BY band, bkey
-         |  HAVING count(*) <= ${graft.dedup.Dedup.DefaultMaxBucketSize}),
-         |bands AS (
-         |  SELECT bands0.* FROM bands0 JOIN keep USING (band, bkey))
-         |SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |ORDER BY ida, idb""".stripMargin
-    },
+    "dd_minhash" ->
+      s"""$minHashCandCtes
+         |SELECT ida, idb FROM cand ORDER BY ida, idb""".stripMargin,
+
+    "dd_groups" ->
+      // transitive closure of the SAME candidate pairs (shared CTE
+      // chain): min reachable id per node = the component's canonical
+      // id. The closure is quadratic in component size — fine for an
+      // oracle; the Spark side converges in diameter rounds instead.
+      s"""${minHashCandCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT ida AS u, idb AS v FROM cand
+         |  UNION ALL SELECT idb, ida FROM cand),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS group_id FROM reach GROUP BY u),
+         |sizes AS (SELECT group_id, count(*) AS group_size FROM labels GROUP BY 1)
+         |SELECT l.doc_id, l.group_id, s.group_size
+         |FROM labels l JOIN sizes s USING (group_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "dd_pipeline" -> {
       import graft.dedup.Dedup.{MinHashMix, MinHashP}

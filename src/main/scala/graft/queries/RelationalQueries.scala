@@ -117,6 +117,20 @@ object RelationalQueries {
         .orderBy(col("flag"), col("status"))
     }),
 
+    // CUBE: all 2^k grouping-set combinations in ONE pass (Spark
+    // expands the sets map-side — the corpus is still scanned once,
+    // unlike k separate GROUP BYs)
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("flag"), col("status"))
+    }),
+
     // distinct aggregation (count(distinct) expands to a two-phase
     // partial-distinct plan; the scale path swaps in
     // approx_count_distinct's HLL sketch with identical plan shape)
@@ -271,6 +285,15 @@ object RelationalQueries {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
 
     "q_distinct" ->

@@ -129,6 +129,20 @@ class DedupSpec extends SparkSpecBase {
     Barrier.release(spark)
   }
 
+  test("connectedGroups: transitive closure over pairs, min-id labels") {
+    import spark.implicits._
+    // component {1,2,3,4} is a CHAIN (diameter 3 — exercises multiple
+    // propagation rounds), {10,11} a pair; 99 appears in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("ida", "idb")
+    val out = Dedup.connectedGroups(pairs, "ida", "idb", idOut = "doc_id")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect().toList
+    assert(out == List(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+    Barrier.release(spark)
+  }
+
   test("embeddingPairs refuses a corpus-growing block (maxBlockSize guard)") {
     import spark.implicits._
     val vecs = (1 to 50).map(i => (i.toLong, "all-same-block", Array(1.0f, 0.0f)))
