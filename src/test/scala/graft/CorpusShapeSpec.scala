@@ -19,6 +19,18 @@ class CorpusShapeSpec extends SparkSpecBase {
 
   private val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
+  test("embeddings corpora are 64-dimensional (hardcoded in the vector oracles)") {
+    // ann_lsh / knn_join / dd_embed_cosine / dd_semantic oracle SQL
+    // iterates dim 64 literally; a regenerated corpus with another
+    // width must fail here by name
+    dirs.filter(d => new java.io.File(s"$d/embeddings.parquet").exists()).foreach { dir =>
+      val bad = graft.Tables.load(spark, dir, "embeddings")
+        .filter(size(col("embedding")) =!= 64).count()
+      assert(bad == 0L, s"$dir has non-64-dim embeddings; regenerate the " +
+        "dim-64 literals in AnnQueries/DedupQueries oracle SQL")
+    }
+  }
+
   test("documents corpora satisfy the closed-form oracle assumptions") {
     dirs.filter(d => new java.io.File(s"$d/documents.parquet").exists()).foreach { dir =>
       val docs = graft.Tables.load(spark, dir, "documents").select(col("text"))
