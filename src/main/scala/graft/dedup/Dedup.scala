@@ -211,22 +211,6 @@ object Dedup {
     minHashCandidates(docs, idCol, textCol, shingleLen, nHashes,
       graft.ann.AnnTuner.minHashBands(nHashes, threshold), maxBucketSize)
 
-  /** 64-bit SimHash fingerprint per doc: explode tokens, hash each
-    * (xxhash64 default; the oracle-checked path passes
-    * [[portableHash64]]), then
-    * PACKED bit-count aggregates: long #g accumulates the set-bit
-    * counts of bits 4g..4g+3 in four 16-bit fields, so the per-row
-    * aggregation is 16 sums + 1 count instead of 64 sums (the round-1
-    * formulation; dd_simhash was the slowest per-row operator at
-    * 2.95s/sf0.1). Fields cannot collide below 65536 tokens per
-    * document — far above any sane simhash input; split longer docs
-    * before fingerprinting (classic simhash is length-biased there
-    * anyway). The majority test `2·count(bit) > n` is exactly the old
-    * `sum(±1) > 0`, so fingerprints are bit-identical.
-    * Every stage is whole-stage-codegen (a HOF formulation ran ~19M
-    * interpreted lambda evals at sf0.1); the shuffle carries 17 longs
-    * per doc. Token multiplicity weights bits, like classic simhash.
-    */
   /** Portable 64-bit token hash: the first 8 md5 bytes (= top 16 hex
     * digits) as one signed long — any engine with md5 and integer
     * shifts reproduces it bit-for-bit (SURVEY §5 family; the
@@ -242,31 +226,29 @@ object Dedup {
     ColumnBridge.column(graft.functions.expr.Md5Hash64(ColumnBridge.expression(c)))
   }
 
+  /** 64-bit SimHash fingerprint per doc — ONE narrow per-row pass via
+    * the SimHash64 kernel (multiplicity-weighted per-bit majority,
+    * classic simhash). Two earlier formulations live in git history:
+    * round 1 exploded tokens into 64 bit-sum aggregates, round 2
+    * packed them into 16 (shuffling 17 longs per doc); the kernel
+    * needs NO explode and NO shuffle at all — fingerprints are
+    * bit-identical (DedupSpec's hand-majority case and the dd_simhash
+    * oracle both gate this), the fingerprint pass costs a map stage,
+    * and because it is a stateless projection it runs unchanged on a
+    * STREAM (graft.streaming.StreamingNearDup's ingest gate).
+    * `portable` = the md5-derived oracle-checked token hash;
+    * default = Spark's xxhash64 (faster, engine-internal).
+    */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
       keepCols: Seq[String] = Nil,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val kept = keepCols.map(c => first(col(c)).as(c))
-    val toks = graft.Tables.fanOut(docs)
+      portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val fp = ColumnBridge.column(graft.functions.expr.SimHash64(
+      ColumnBridge.expression(wsTokens(normText(col(textCol)))), portable))
+    graft.Tables.fanOut(docs)
       .select((idCol +: textCol +: keepCols).distinct.map(col): _*)
-      .withColumn("_t", explode(wsTokens(normText(col(textCol)))))
-      .withColumn("_h", tokenHash(col("_t")))
-    val packAggs = (0 until 16).map { g =>
-      val perToken = (0 until 4).map { f =>
-        shiftright(col("_h"), 4 * g + f).bitwiseAND(lit(1L)) * lit(1L << (16 * f))
-      }.reduce(_ + _)
-      sum(perToken).as(s"_p$g")
-    }
-    val nTokens = count(lit(1)).as("_n")
-    val packed = (0 until 64).map { i =>
-      val (g, f) = (i / 4, i % 4)
-      val cnt = shiftright(col(s"_p$g"), 16 * f).bitwiseAND(lit(0xFFFFL))
-      when(cnt * 2 > col("_n"), lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _) // disjoint bit values: sum == bitwise OR
-    val aggs = packAggs ++ Seq(nTokens) ++ kept
-    toks.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("simhash", packed)
-      .drop((0 until 16).map(g => s"_p$g") :+ "_n": _*)
+      .withColumn("simhash", fp)
+      .drop(textCol)
   }
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming, blocked by a
@@ -276,8 +258,8 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, maxHamming: Int,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val fp = simHash(docs, idCol, textCol, keepCols = Seq(blockCol), tokenHash)
+      portable: Boolean = false): DataFrame = {
+    val fp = simHash(docs, idCol, textCol, keepCols = Seq(blockCol), portable)
       .select(col(idCol), col(blockCol), col("simhash"))
     val chunked = fp.select(col(idCol), col(blockCol), col("simhash"),
       posexplode(expr(

@@ -115,7 +115,7 @@ object DedupQueries {
     "dd_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
           blockCol = "lang", maxHamming = 3,
-          tokenHash = Dedup.portableHash64)
+          portable = true)
         .orderBy(col("ida"), col("idb"))
     }),
 

@@ -125,6 +125,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("streaming near-dup gate: fingerprint anti-join drops indexed near-copies") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingNearDup
+
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark shuffles data between executor partitions"))
+      .toDF("doc_id", "text")
+    val index = StreamingNearDup.indexFingerprints(corpus, "doc_id", "text")
+
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // exact copy → dropped
+      (11L, "the quick brown fox jumps over the lazy cat"),   // near-copy → dropped
+      (12L, "completely unrelated content about databases and storage engines"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(incoming)
+    val gated = StreamingNearDup.gate(
+      stream.toDF().toDF("doc_id", "text"), "text", index, maxHamming = 3)
+    val q = gated.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val survived = spark.table("neardup_out")
+      .select("doc_id").as[Long].collect().toSet
+    // derived expectation: a doc is dropped iff its fingerprint is
+    // within maxHamming of some corpus fingerprint (the exact copy,
+    // hamming 0, is always dropped; short near-copies may legitimately
+    // exceed 3 — simhash is length-sensitive)
+    val fpOf = (df: org.apache.spark.sql.DataFrame) =>
+      graft.dedup.Dedup.simHash(df, "doc_id", "text")
+        .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val corpusFps = fpOf(corpus).values.toSeq
+    val expected = fpOf(incoming.toDF("doc_id", "text")).collect {
+      case (id, f) if corpusFps.forall(c =>
+        java.lang.Long.bitCount(c ^ f) > 3) => id
+    }.toSet
+    assert(!expected.contains(10L)) // the exact copy must be gated
+    assert(expected.contains(12L))  // unrelated content must survive
+    assert(survived == expected)
+
+    // the same gate over a BATCH frame returns the same survivors
+    val batchSurvived = StreamingNearDup.gate(
+        incoming.toDF("doc_id", "text"), "text", index, maxHamming = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchSurvived == survived)
+  }
+
   test("streaming exact dedup matches batch survivors' hashes") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
