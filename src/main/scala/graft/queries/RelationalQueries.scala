@@ -117,6 +117,24 @@ object RelationalQueries {
         .orderBy(col("flag"), col("status"))
     }),
 
+    // PIVOT: long→wide per-user event-type totals in one aggregation
+    // pass. The value list is EXPLICIT (the five generator types) —
+    // .pivot(col) without values runs a driver-side distinct scan,
+    // which a 100 TB pipeline must never do implicitly.
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(dsum(col("value")))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0.0)).as("click"),
+          coalesce(col("error"), lit(0.0)).as("error"),
+          coalesce(col("purchase"), lit(0.0)).as("purchase"),
+          coalesce(col("signup"), lit(0.0)).as("signup"),
+          coalesce(col("view"), lit(0.0)).as("view"))
+        .orderBy(col("user_id"))
+    }),
+
     // CUBE: all 2^k grouping-set combinations in ONE pass (Spark
     // expands the sets map-side — the corpus is still scanned once,
     // unlike k separate GROUP BYs)
@@ -286,6 +304,14 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+
+    "q_pivot" -> {
+      def c(t: String) =
+        s"""coalesce(round(CAST(sum(CAST(value AS DECIMAL(28,10)))
+           |  FILTER (event_type = '$t') AS DOUBLE), 2), 0.0) AS $t""".stripMargin
+      s"""SELECT user_id, ${Seq("click", "error", "purchase", "signup", "view").map(c).mkString(",\n  ")}
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
 
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
