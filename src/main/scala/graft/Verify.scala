@@ -7,8 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional third arg: comma-separated subset of query names (local
-    // oracle iteration without the full 58-query sweep)
+    // oracle iteration without the full sweep). Unknown names fail
+    // loudly — a typo'd subset would otherwise run NOTHING and
+    // overwrite oracle_sql.json with '{}'.
     val only = args.drop(2).headOption.map(_.split(',').toSet)
+    only.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"Verify: unknown query names ${unknown.mkString(", ")} — " +
+          s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -245,7 +245,13 @@ object Dedup {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val fp = ColumnBridge.column(graft.functions.expr.SimHash64(
       ColumnBridge.expression(wsTokens(normText(col(textCol)))), portable))
+    // null-text rows are dropped, matching the old explode+groupBy
+    // formulation (a kept null fingerprint would make all null-text
+    // docs mutually "identical" to an equality-based consumer). Unlike
+    // that formulation, duplicate ids are NOT collapsed: one input row
+    // = one fingerprint row.
     graft.Tables.fanOut(docs)
+      .filter(col(textCol).isNotNull)
       .select((idCol +: textCol +: keepCols).distinct.map(col): _*)
       .withColumn("simhash", fp)
       .drop(textCol)
@@ -259,6 +265,10 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, maxHamming: Int,
       portable: Boolean = false): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simHashPairs: maxHamming=$maxHamming — the 4×16-bit chunk " +
+        "blocking guarantees a shared chunk only for hamming <= 3; a " +
+        "larger radius silently loses recall (use more/narrower chunks)")
     val fp = simHash(docs, idCol, textCol, keepCols = Seq(blockCol), portable)
       .select(col(idCol), col(blockCol), col("simhash"))
     val chunked = fp.select(col(idCol), col(blockCol), col("simhash"),

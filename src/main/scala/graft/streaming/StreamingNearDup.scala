@@ -44,13 +44,24 @@ object StreamingNearDup {
       maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     import graft.functions.TextFunctions._
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"gate: maxHamming=$maxHamming — 4×16-bit chunk blocking only " +
+        "guarantees a shared chunk for hamming <= 3 (pigeonhole); a " +
+        "larger radius would silently pass near-copies")
+    // materialize the index ONCE: the four anti-join subtrees below
+    // each reference it, and an un-materialized subplan would re-run
+    // the full corpus fingerprint pass 4× per micro-batch. The pin
+    // lives for the streaming query's life — Barrier.release(spark)
+    // after stopping it; refreshing the corpus = rebuild the index
+    // frame and re-create the gate.
+    val idx = graft.Barrier.checkpoint(index)
     val fp = ColumnBridge.column(graft.functions.expr.SimHash64(
       ColumnBridge.expression(wsTokens(normText(col(textCol)))), portable))
     var survivors = stream.withColumn("_fp", fp)
     // one stateless stream-static anti join per chunk position: a doc
     // is dropped iff ANY chunk finds an indexed fp within maxHamming
     for (c <- 0 until 4) {
-      val idxC = index.filter(col("chunk_i") === c)
+      val idxC = idx.filter(col("chunk_i") === c)
         .select(col("chunk_v").as(s"_cv$c"), col("idx_fp").as(s"_if$c"))
       survivors = survivors
         .withColumn(s"_k$c",

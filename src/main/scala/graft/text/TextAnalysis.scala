@@ -128,11 +128,11 @@ object TextAnalysis {
     * threshold these columns (Gopher drops docs with top-2-gram
     * fraction > 0.2).
     *
-    * Everything is computed per row from the token array — counts via
-    * a single max-run fold over the SORTED array (multiplicity of the
-    * most frequent element = longest equal-run after sorting), so the
-    * whole operator is one narrow map stage with zero shuffle and
-    * integer-exact arithmetic (ratios round deterministic integers).
+    * Everything is computed per row from the token array by the
+    * TokenRunStats kernel (one sorted sweep per array → [distinct,
+    * top multiplicity]), so the whole operator is one narrow map
+    * stage with zero shuffle, integer-exact arithmetic, and no
+    * interpreted HOF lambdas on the corpus-scan hot path.
     */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
@@ -141,35 +141,27 @@ object TextAnalysis {
     def rawShingles(tokens: Column, n: Int): Column =
       ColumnBridge.column(graft.functions.expr.WordShingles(
         ColumnBridge.expression(tokens), n))
-    // multiplicity of the most frequent element: one O(n) fold over the
-    // sorted array with integer state — not the O(n·distinct)
-    // count-each-distinct formulation
-    def topCount(arr: Column): Column = aggregate(
-      array_sort(arr),
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    def runStats(arr: Column): Column =
+      ColumnBridge.column(graft.functions.expr.TokenRunStats(
+        ColumnBridge.expression(arr)))
     val base = graft.Tables.fanOut(docs)
       .withColumn("_toks", wsTokens(normText(col(textCol))))
       .withColumn("_bi", rawShingles(col("_toks"), 2))
       .withColumn("_nw", size(col("_toks")).cast("long"))
       .withColumn("_nb", size(col("_bi")).cast("long"))
-      .withColumn("_topw", topCount(col("_toks")))
-      .withColumn("_topb", topCount(col("_bi")))
+      .withColumn("_ws", runStats(col("_toks")))
+      .withColumn("_bs", runStats(col("_bi")))
     base
       .withColumn("n_words", col("_nw"))
       .withColumn("dup_word_ratio",
-        round((col("_nw") - size(array_distinct(col("_toks")))) / col("_nw"), 6))
-      .withColumn("top_word_ratio", round(col("_topw") / col("_nw"), 6))
+        round((col("_nw") - element_at(col("_ws"), 1)) / col("_nw"), 6))
+      .withColumn("top_word_ratio",
+        round(element_at(col("_ws"), 2) / col("_nw"), 6))
       .withColumn("dup_bigram_ratio",
-        round((col("_nb") - size(array_distinct(col("_bi")))) / col("_nb"), 6))
-      .withColumn("top_bigram_ratio", round(col("_topb") / col("_nb"), 6))
-      .drop("_toks", "_bi", "_nw", "_nb", "_topw", "_topb")
+        round((col("_nb") - element_at(col("_bs"), 1)) / col("_nb"), 6))
+      .withColumn("top_bigram_ratio",
+        round(element_at(col("_bs"), 2) / col("_nb"), 6))
+      .drop("_toks", "_bi", "_nw", "_nb", "_ws", "_bs")
   }
 
   /** Document fingerprint: full-text 60-bit digest plus winnowing-style
