@@ -46,6 +46,28 @@ class TextSignalsSpec extends SparkSpecBase {
     }
   }
 
+  test("TokenRunStats kernel equals brute-force distinct/top counts on random arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(s"w${rnd.nextInt(1 + rnd.nextInt(12))}").mkString(" "))
+    }
+    val got = TextAnalysis.repetition(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id", $"dup_word_ratio", $"top_word_ratio")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def r6(x: Double) =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val counts = toks.groupBy(identity).values.map(_.length)
+      val want = (r6((toks.length - counts.size).toDouble / toks.length),
+        r6(counts.max.toDouble / toks.length))
+      assert(got(id) == want, s"doc $id ('$text')")
+    }
+  }
+
   test("unigram LM: hand-computed NLL on a 2-doc corpus") {
     import spark.implicits._
     val d = Seq((1L, "x x"), (2L, "x y")).toDF("doc_id", "text")
