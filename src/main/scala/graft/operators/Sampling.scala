@@ -36,4 +36,30 @@ object Sampling {
   /** The sampling hash: uniform in [0, M). */
   def sampleHash(id: Column): Column =
     pmod(portableHash(id.cast("string")), lit(M))
+
+  /** Temperature sampling (the mT5/XLM-R language-balancing recipe):
+    * target language share p_l ∝ n_l^alpha, realized as an
+    * independent per-doc keep rate q_l = min(1, budgetFrac·N·p_l/n_l)
+    * — rare languages are kept (near-)whole, dominant ones are
+    * downsampled. The rates are DERIVED from corpus counts in-plan
+    * (one tiny groupBy broadcast back — a fixed rate map is the
+    * "frozen parameter" trap the AnnTuner work removed from the
+    * dedup/ANN family). Thresholds are rounded to integer hash units
+    * so the keep decision is cross-engine exact.
+    */
+  def temperature(df: DataFrame, idCol: String, strataCol: String,
+      alpha: Double, budgetFrac: Double): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    val tot = counts.agg(
+      sum(pow(col("_n"), alpha)).as("_z"), sum(col("_n")).as("_nn"))
+    val thresholds = counts.crossJoin(broadcast(tot))
+      .withColumn("_thr",
+        round(least(lit(1.0),
+          lit(budgetFrac) * col("_nn") * (pow(col("_n"), alpha) / col("_z")) / col("_n"))
+          * M, 0).cast("long"))
+      .select(col(strataCol), col("_thr"))
+    df.join(broadcast(thresholds), strataCol)
+      .filter(sampleHash(col(idCol)) < col("_thr"))
+      .drop("_thr")
+  }
 }

@@ -198,6 +198,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature-based language rebalancing (Sampling.temperature —
+    // the mT5 n^alpha recipe): per-lang keep rates DERIVED from corpus
+    // counts in-plan, dominant languages downsampled toward the
+    // alpha-tempered share. alpha=0.5, half-corpus budget.
+    "ta_mix" -> ((s, dir) => {
+      graft.operators.Sampling.temperature(
+          t(s, dir, "documents"), "doc_id", "lang",
+          alpha = 0.5, budgetFrac = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic hash-based stratified sampling
     // (graft.operators.Sampling) — the reproducible data-recipe mixer
     "ta_sample" -> ((s, dir) => {
@@ -549,6 +561,17 @@ object TextQueries {
          |  round(CAST(sum(CAST(nll AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_nll,
          |  max(nll) AS max_nll
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ta_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS nn FROM counts),
+        |thr AS (
+        |  SELECT lang,
+        |    CAST(round(least(1.0, 0.5 * nn * (pow(n, 0.5) / z) / n) * 1000000, 0) AS BIGINT) AS t
+        |  FROM counts, tot)
+        |SELECT doc_id, lang FROM documents JOIN thr USING (lang)
+        |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < t
+        |ORDER BY doc_id""".stripMargin,
 
     "ta_sample" ->
       """SELECT doc_id, lang FROM documents

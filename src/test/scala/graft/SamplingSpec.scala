@@ -27,6 +27,26 @@ class SamplingSpec extends SparkSpecBase {
     assert(small.subsetOf(big))
   }
 
+  test("temperature sampling upweights rare strata toward the alpha share") {
+    import spark.implicits._
+    // 9500 "big" vs 500 "rare": natural share 5%; alpha=0.5 tempered
+    // target share = sqrt(500)/(sqrt(9500)+sqrt(500)) ≈ 18.7%
+    val skewed = (0L until 10000L)
+      .map(i => (i, if (i < 500) "rare" else "big")).toDF("id", "grp")
+    val out = Sampling.temperature(skewed, "id", "grp",
+      alpha = 0.5, budgetFrac = 0.3)
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    // rare stratum keep rate should far exceed its natural sampling
+    // rate (0.3), while big is downsampled below it
+    val rareRate = byGrp("rare") / 500.0
+    val bigRate = byGrp("big") / 9500.0
+    assert(rareRate > 0.8, s"rare keep rate $rareRate")
+    assert(bigRate < 0.3, s"big keep rate $bigRate")
+    // tempered share realized approximately
+    val share = byGrp("rare").toDouble / (byGrp("rare") + byGrp("big"))
+    assert(share > 0.12 && share < 0.25, s"tempered share $share")
+  }
+
   test("stratified rates apply per stratum") {
     import spark.implicits._
     val out = Sampling.stratified(df, "id", "grp", Map("a" -> 0.5), defaultRate = 0.05)
