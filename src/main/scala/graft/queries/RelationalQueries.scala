@@ -117,6 +117,25 @@ object RelationalQueries {
         .orderBy(col("flag"), col("status"))
     }),
 
+    // salted (two-phase) aggregation for hot keys
+    // (graft.operators.Skew.saltedSumCount): groupBy(key, salt)
+    // partials then groupBy(key) finals — the shape that spreads one
+    // monster group over `saltBuckets` reducers when map-side combine
+    // alone can't save the single hot reduce partition. Values
+    // accumulate in DECIMAL so the two-phase sum is exact and the
+    // plain-GROUP-BY oracle hash-matches (a double sum would drift
+    // with phase boundaries).
+    "q_skew_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = t(s, dir, "events")
+        .withColumn("v", col("value").cast(DecimalType(28, 10)))
+      graft.operators.Skew.saltedSumCount(ev, Seq("event_type"), "v", saltBuckets = 8)
+        .select(col("event_type"),
+          round(col("sum_v").cast("double"), 2).as("sum_value"),
+          col("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // PIVOT: long→wide per-user event-type totals in one aggregation
     // pass. The value list is EXPLICIT (the five generator types) —
     // .pivot(col) without values runs a driver-side distinct scan,
@@ -304,6 +323,13 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+
+    // salting is plan-level only — results are the plain aggregate
+    "q_skew_agg" ->
+      """SELECT event_type,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_pivot" -> {
       def c(t: String) =
