@@ -37,7 +37,8 @@ object Bench {
     // deployment pays at add time — timing it in sweep 1 would make
     // min-of-N report build+query for single-rep runs while the
     // entry's contract is "query a prebuilt index".
-    Seq("q1_agg", "v_topk", "ann_ivf_persisted", "d_sections_persisted")
+    Seq("q1_agg", "v_topk", "ann_ivf_persisted", "d_sections_persisted",
+        "d_query_documents_persisted")
       .foreach { w =>
         try force(w) catch { case _: Throwable => () }
       }
@@ -82,12 +83,19 @@ object Bench {
     * the bench runs at a measured scale.
     */
   private val RefSec: Map[String, Map[String, Double]] = Map(
+    // d_query_documents_persisted reuses the reference's
+    // d_query_documents seconds: the reference measurement IS a
+    // prebuilt-in-memory-index query, so the persisted entry is the
+    // like-for-like twin (BASELINE.md ¹); the in-plan re-chunking
+    // entry keeps its own row for transparency.
     "sf0.1" -> Map( // 2k vectors, 5k documents
       "v_upsert" -> 0.2505, "v_topk" -> 0.0094, "v_topk_filtered" -> 0.0104,
-      "v_meta_filter" -> 0.0038, "d_chunk" -> 0.4627, "d_query_documents" -> 0.047),
+      "v_meta_filter" -> 0.0038, "d_chunk" -> 0.4627, "d_query_documents" -> 0.047,
+      "d_query_documents_persisted" -> 0.047),
     "sf1x10" -> Map( // 20k vectors, 50k documents (BENCH_LOCAL.md 10x recipe)
       "v_upsert" -> 9.2659, "v_topk" -> 0.0981, "v_topk_filtered" -> 0.0784,
-      "v_meta_filter" -> 0.0388, "d_chunk" -> 4.8976, "d_query_documents" -> 0.6))
+      "v_meta_filter" -> 0.0388, "d_chunk" -> 4.8976, "d_query_documents" -> 0.6,
+      "d_query_documents_persisted" -> 0.6))
 
   private def baselineBlock(sfDir: String, graft: Map[String, Double]): String =
     // exact basename match: substring matching paired /tmp/sf1x100

@@ -58,22 +58,20 @@ object DocQueries {
 
     // The vectra query_documents SHAPE with portable chunking/scoring
     // (reference: local_document_index.py:221-254).
-    "d_query_documents" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), normText(col("text")).as("t"))
-      val chunks = docs
-        .select(col("doc_id"),
-          explode(sequence(lit(0), ceil(length(col("t")) / 200.0).cast("int") - 1)).as("i"))
-        .join(docs, "doc_id")
-        .select(col("doc_id"), col("i"), col("t").substr(col("i") * 200 + 1, lit(200)).as("chunk"))
-        .withColumn("score_raw", (portableHash(col("chunk")) % 1000000).cast("double") / 1000000.0)
-      chunks
-        .orderBy(desc("score_raw"), col("doc_id"), col("i"))
-        .limit(50)
-        .groupBy(col("doc_id"))
-        .agg(round(avg(col("score_raw")), 6).as("score"), count(lit(1)).as("n_chunks"))
-        .orderBy(desc("score"), col("doc_id"))
-        .limit(10)
+    "d_query_documents" -> ((s, dir) =>
+      queryDocsTop(scoredChunkFrame(s, dir))),
+
+    // The same query over a PERSISTED chunk-score table — the
+    // reference's measurement shape (BASELINE.md ¹: vectra chunks at
+    // add time; query_documents reads the stored index). Identical
+    // results by construction (the chunk slices and pseudo-scores are
+    // deterministic), so the d_query_documents oracle applies
+    // unchanged; the timed work is scan + top-k + tiny agg only.
+    "d_query_documents_persisted" -> ((s, dir) => {
+      val path = persistedArtifact("qdchunks", dir) { p =>
+        scoredChunkFrame(s, dir).write.parquet(p)
+      }
+      queryDocsTop(s.read.parquet(path))
     }),
 
     // query_documents under a Mongo metadata filter (reference:
@@ -137,6 +135,34 @@ object DocQueries {
       }
       sectionsProjection(DocumentIndex.load(s, path, ChunkCfg))
     }))
+
+  /** The portable chunk-score frame shared by d_query_documents and
+    * its persisted twin: fixed 200-char slices of the normalized text,
+    * md5 pseudo-scores — engine-portable so DuckDB hash-checks the
+    * whole query shape.
+    */
+  private def scoredChunkFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("t"))
+    docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0), ceil(length(col("t")) / 200.0).cast("int") - 1)).as("i"))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("i"), col("t").substr(col("i") * 200 + 1, lit(200)).as("chunk"))
+      .withColumn("score_raw", (portableHash(col("chunk")) % 1000000).cast("double") / 1000000.0)
+  }
+
+  /** Top-50 chunks → per-doc mean → top-10 docs (the query_documents
+    * shape over any scored chunk frame).
+    */
+  private def queryDocsTop(chunks: org.apache.spark.sql.DataFrame) =
+    chunks
+      .orderBy(desc("score_raw"), col("doc_id"), col("i"))
+      .limit(50)
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("score_raw")), 6).as("score"), count(lit(1)).as("n_chunks"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(10)
 
   private def sectionsProjection(idx: DocumentIndex) =
     idx.renderSections("spark table join query",
@@ -221,6 +247,25 @@ object DocQueries {
        |ORDER BY uri, section_idx""".stripMargin
   }
 
+  /** Shared by d_query_documents and d_query_documents_persisted. */
+  private lazy val QueryDocsOracle: String =
+    """WITH norm AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, i, substr(t, (i*200+1)::INT, 200) AS chunk
+      |  FROM norm, unnest(range(0, CAST(ceil(len(t)/200.0) AS BIGINT))) AS u(i)),
+      |scored AS (
+      |  SELECT doc_id, i,
+      |    (('0x'||substr(md5(chunk), 1, 15))::BIGINT % 1000000) / 1000000.0 AS score_raw
+      |  FROM chunks),
+      |topc AS (
+      |  SELECT doc_id, score_raw FROM scored
+      |  ORDER BY score_raw DESC, doc_id, i LIMIT 50)
+      |SELECT doc_id, round(avg(score_raw), 6) AS score, count(*) AS n_chunks
+      |FROM topc GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d_sections" -> sectionsOracleSql,
 
@@ -291,23 +336,12 @@ object DocQueries {
         |SELECT * FROM single UNION ALL SELECT * FROM multi
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
-    "d_query_documents" ->
-      """WITH norm AS (
-        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
-        |  FROM documents),
-        |chunks AS (
-        |  SELECT doc_id, i, substr(t, (i*200+1)::INT, 200) AS chunk
-        |  FROM norm, unnest(range(0, CAST(ceil(len(t)/200.0) AS BIGINT))) AS u(i)),
-        |scored AS (
-        |  SELECT doc_id, i,
-        |    (('0x'||substr(md5(chunk), 1, 15))::BIGINT % 1000000) / 1000000.0 AS score_raw
-        |  FROM chunks),
-        |topc AS (
-        |  SELECT doc_id, score_raw FROM scored
-        |  ORDER BY score_raw DESC, doc_id, i LIMIT 50)
-        |SELECT doc_id, round(avg(score_raw), 6) AS score, count(*) AS n_chunks
-        |FROM topc GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "d_query_documents" -> QueryDocsOracle,
+
+    // identical semantics by construction — the entry differs only in
+    // WHERE the scored chunks live (persisted parquet vs in-plan),
+    // which SQL cannot observe
+    "d_query_documents_persisted" -> QueryDocsOracle,
 
     "d_query_documents_filtered" ->
       """WITH norm AS (

@@ -26,6 +26,11 @@ class PersistedQueriesSpec extends SparkSpecBase {
     assert(rows("d_sections_persisted") == rows("d_sections"))
   }
 
+  test("d_query_documents_persisted returns exactly d_query_documents' rows") {
+    assume(haveData)
+    assert(rows("d_query_documents_persisted") == rows("d_query_documents"))
+  }
+
   test("persisted artifacts are built once per JVM and reused") {
     assume(haveData)
     var builds = 0
