@@ -106,6 +106,30 @@ object AnnQueries {
         .orderBy(desc("score"), col("vec_id"))
     }),
 
+    // recall@5 of the LSH index against exact brute-force ground
+    // truth — the index-quality metric that decides plane counts /
+    // probe budgets in production. Composes the two already-oracled
+    // plans; the oracle nests both queries' SQL verbatim.
+    "ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 4)
+      val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("vec_id"))
+      val lsh = Ann.lshSearch(emb, "vec_id", "embedding",
+          qs, "vec_id", "embedding", nPlanes = 4, dim = Dim, k = 5)
+        .select(col("qid"), col("vec_id"))
+      // both sides are ≤ nQueries×k rows by construction — broadcast
+      // (the planner's stats can't see that through the topK aggs)
+      val hits = brute.join(broadcast(lsh), Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      brute.select(col("qid")).distinct()
+        .join(broadcast(hits), Seq("qid"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall", round(col("n_hits") / 5.0, 6))
+        .orderBy(col("qid"))
+    }),
+
     // approximate kNN: (label × LSH bucket) blocking, multi-probe
     // hamming-1 — the exact label-blocked join is quadratic in block
     // size (162s at a 10× scale-up). The plane count comes from
@@ -120,46 +144,67 @@ object AnnQueries {
         .orderBy(col("vec_id"), col("rk"))
     }))
 
+  private lazy val LshOracleSql: String =
+    s"""WITH planes AS (
+       |  SELECT p, [(((('0x'||substr(md5(p::VARCHAR||','||j::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
+       |             for j in range(0, $Dim)] AS plane
+       |  FROM range(0, 4) AS rp(p)),
+       |bucketed AS (
+       |  SELECT vec_id, v,
+       |    string_agg(
+       |      CASE WHEN list_reduce(
+       |        list_prepend(0.0, [v[j+1] * plane[j+1] for j in range(0, $Dim)]),
+       |        (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), planes
+       |  GROUP BY vec_id, v),
+       |qs AS (SELECT b.vec_id AS qid, b.v AS qv, b.bucket FROM bucketed b WHERE b.vec_id < 4),
+       |cand AS (
+       |  SELECT qs.qid, c.vec_id, qs.bucket,
+       |    ${sqlCos("c.v", "qs.qv")} AS score_raw
+       |  FROM bucketed c JOIN qs ON c.bucket = qs.bucket AND c.vec_id <> qs.qid)
+       |SELECT qid, vec_id, bucket, round(score_raw, 6) AS score,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_raw DESC, vec_id) AS BIGINT) AS rk
+       |FROM cand QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  private lazy val BruteOracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT qid, vec_id,
+       |    ${sqlCos("CAST(embedding AS DOUBLE[])", "qv")} AS score_raw
+       |  FROM embeddings, q WHERE vec_id <> qid)
+       |SELECT qid, vec_id, round(score_raw, 6) AS score,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_raw DESC, vec_id) AS BIGINT) AS rk
+       |FROM scored QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "ann_brute_batch" ->
-      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-         |           FROM embeddings WHERE vec_id < 8),
-         |scored AS (
-         |  SELECT qid, vec_id,
-         |    ${sqlCos("CAST(embedding AS DOUBLE[])", "qv")} AS score_raw
-         |  FROM embeddings, q WHERE vec_id <> qid)
-         |SELECT qid, vec_id, round(score_raw, 6) AS score,
-         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_raw DESC, vec_id) AS BIGINT) AS rk
-         |FROM scored QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "ann_brute_batch" -> BruteOracleSql,
 
     "ann_ivf" -> IvfOracleSql,
+
+    // recall@5 of the LSH index against the exact ground truth — both
+    // sides are the already-oracled queries nested as subqueries, so
+    // this entry can only pass if the composition semantics match too
+    "ann_recall" ->
+      s"""WITH brute AS (
+         |  SELECT qid, vec_id FROM ($BruteOracleSql) WHERE qid < 4),
+         |lsh AS (
+         |  SELECT qid, vec_id FROM ($LshOracleSql)),
+         |hits AS (
+         |  SELECT b.qid, count(*) AS n
+         |  FROM brute b JOIN lsh l ON b.qid = l.qid AND b.vec_id = l.vec_id
+         |  GROUP BY 1)
+         |SELECT q.qid, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |  round(coalesce(h.n, 0) / 5.0, 6) AS recall
+         |FROM (SELECT DISTINCT qid FROM brute) q LEFT JOIN hits h USING (qid)
+         |ORDER BY qid""".stripMargin,
 
     // identical search semantics by construction — the entry differs
     // only in WHERE the cells live (loaded partitioned parquet vs the
     // in-plan assignment), which SQL cannot observe
     "ann_ivf_persisted" -> IvfOracleSql,
 
-    "ann_lsh" ->
-      s"""WITH planes AS (
-         |  SELECT p, [(((('0x'||substr(md5(p::VARCHAR||','||j::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
-         |             for j in range(0, $Dim)] AS plane
-         |  FROM range(0, 4) AS rp(p)),
-         |bucketed AS (
-         |  SELECT vec_id, v,
-         |    string_agg(
-         |      CASE WHEN list_reduce(
-         |        list_prepend(0.0, [v[j+1] * plane[j+1] for j in range(0, $Dim)]),
-         |        (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), planes
-         |  GROUP BY vec_id, v),
-         |qs AS (SELECT b.vec_id AS qid, b.v AS qv, b.bucket FROM bucketed b WHERE b.vec_id < 4),
-         |cand AS (
-         |  SELECT qs.qid, c.vec_id, qs.bucket,
-         |    ${sqlCos("c.v", "qs.qv")} AS score_raw
-         |  FROM bucketed c JOIN qs ON c.bucket = qs.bucket AND c.vec_id <> qs.qid)
-         |SELECT qid, vec_id, bucket, round(score_raw, 6) AS score,
-         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_raw DESC, vec_id) AS BIGINT) AS rk
-         |FROM cand QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "ann_lsh" -> LshOracleSql,
 
     "knn_join" ->
       s"""WITH mb AS (
