@@ -53,7 +53,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // subset runs write to a DISTINCT file: overwriting oracle_sql.json
+    // with only the subset's entries would silently drop the oracle SQL
+    // for every other query if pointed at the standard verify dir.
+    val oracleFile =
+      if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

@@ -241,7 +241,8 @@ object Dedup {
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
       keepCols: Seq[String] = Nil,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      requireUniqueIds: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val fp = ColumnBridge.column(graft.functions.expr.SimHash64(
       ColumnBridge.expression(wsTokens(normText(col(textCol)))), portable))
@@ -250,11 +251,27 @@ object Dedup {
     // docs mutually "identical" to an equality-based consumer). Unlike
     // that formulation, duplicate ids are NOT collapsed: one input row
     // = one fingerprint row.
-    graft.Tables.fanOut(docs)
+    val base = graft.Tables.fanOut(docs)
       .filter(col(textCol).isNotNull)
       .select((idCol +: textCol +: keepCols).distinct.map(col): _*)
       .withColumn("simhash", fp)
       .drop(textCol)
+    if (!requireUniqueIds) base
+    else {
+      // Opt-in guard for callers that relied on the pre-round-5
+      // collapsing semantics (groupBy(id) merged token counts):
+      // duplicate ids now pass through one-row-per-input, so such a
+      // caller would silently emit duplicate fingerprint rows/pairs.
+      // Fail loudly in-plan instead — a window count per id, no
+      // driver action (same pattern as the maxBlockSize raise_error).
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      base.withColumn("_idc", count(lit(1)).over(w))
+        .withColumn("simhash", when(col("_idc") <= 1, col("simhash"))
+          .otherwise(raise_error(concat(
+            lit(s"simHash: duplicate $idCol "), col(idCol).cast("string"),
+            lit(" — requireUniqueIds is set; dedup ids upstream or drop the flag")))))
+        .drop("_idc")
+    }
   }
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming, blocked by a

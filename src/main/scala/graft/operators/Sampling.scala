@@ -46,16 +46,26 @@ object Sampling {
     * "frozen parameter" trap the AnnTuner work removed from the
     * dedup/ANN family). Thresholds are rounded to integer hash units
     * so the keep decision is cross-engine exact.
+    *
+    * Determinism: each stratum's tempered weight pow(n, alpha) is
+    * quantized to 6 decimals (cast to DECIMAL(38,6)) and the
+    * normalizer Z is accumulated in that decimal type — an exact,
+    * order-independent sum — so the derived integer thresholds are
+    * bit-identical across engines (JVM vs DuckDB libm pow may differ
+    * in the last ulp; a double sum is combine-order-dependent under
+    * reshuffling — both killed here).
     */
   def temperature(df: DataFrame, idCol: String, strataCol: String,
       alpha: Double, budgetFrac: Double): DataFrame = {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    val powW = pow(col("_n"), alpha).cast("decimal(38,6)")
     val tot = counts.agg(
-      sum(pow(col("_n"), alpha)).as("_z"), sum(col("_n")).as("_nn"))
+      sum(powW).as("_zd"), sum(col("_n")).as("_nn"))
     val thresholds = counts.crossJoin(broadcast(tot))
       .withColumn("_thr",
         round(least(lit(1.0),
-          lit(budgetFrac) * col("_nn") * (pow(col("_n"), alpha) / col("_z")) / col("_n"))
+          lit(budgetFrac) * col("_nn").cast("double") *
+            (powW.cast("double") / col("_zd").cast("double")) / col("_n"))
           * M, 0).cast("long"))
       .select(col(strataCol), col("_thr"))
     df.join(broadcast(thresholds), strataCol)

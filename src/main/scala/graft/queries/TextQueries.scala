@@ -564,10 +564,11 @@ object TextQueries {
 
     "ta_mix" ->
       """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-        |tot AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS nn FROM counts),
+        |tot AS (SELECT CAST(sum(CAST(pow(n, 0.5) AS DECIMAL(38,6))) AS DOUBLE) AS z,
+        |               CAST(sum(n) AS DOUBLE) AS nn FROM counts),
         |thr AS (
         |  SELECT lang,
-        |    CAST(round(least(1.0, 0.5 * nn * (pow(n, 0.5) / z) / n) * 1000000, 0) AS BIGINT) AS t
+        |    CAST(round(least(1.0, 0.5 * nn * (CAST(CAST(pow(n, 0.5) AS DECIMAL(38,6)) AS DOUBLE) / z) / n) * 1000000, 0) AS BIGINT) AS t
         |  FROM counts, tot)
         |SELECT doc_id, lang FROM documents JOIN thr USING (lang)
         |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < t

@@ -39,7 +39,11 @@ def eq(a, b) -> bool:
 
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
-    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    # subset Verify runs write oracle_sql.partial.json (never clobbering
+    # the full oracle_sql.json) — prefer it when present
+    partial = out_dir / "oracle_sql.partial.json"
+    oracle_file = partial if partial.exists() else out_dir / "oracle_sql.json"
+    oracle = json.loads(oracle_file.read_text())
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
