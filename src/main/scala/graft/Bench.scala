@@ -72,8 +72,87 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val baseline = baselineBlock(sfDir, results.toMap)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"$baseline}""")
+    val serve = serveBlock(spark, sfDir)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"$baseline$serve}""")
     spark.stop()
+  }
+
+  /** Warm-serving latencies for the single-query ops whose cold
+    * numbers are dominated by Spark's per-job plan/schedule floor.
+    * Protocol mirrors the reference measurement exactly (BASELINE.md
+    * "Measurement setup": mean of 10 repetitions on a warm in-memory
+    * index): index pinned + plan reused (graft.serve), 3 untimed
+    * warm-ups, then mean of 10. d_query_documents serves from the
+    * memory-pinned chunk frame (the reference holds chunks in RAM);
+    * the persisted twin serves off parquet with plan reuse only —
+    * the two bracket a deployment's memory-budget choices.
+    */
+  private def serveBlock(spark: SparkSession, sfDir: String): String = {
+    if (sys.env.get("SPARK_GRAFT_SERVE").contains("0")) return ""
+    import org.apache.spark.sql.functions.col
+    try {
+      val reps = 10
+      val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding")).head()
+        .getSeq[Number](0).map(_.doubleValue()).toSeq
+      val vs = new graft.serve.VectorServing(
+        graft.index.VectorIndex.build(emb, "vec_id", "embedding")).warm()
+      val topkF = graft.filters.MetaFilter.parse("""{"label":{"$in":[2,4,6]}}""")
+      val metaF = graft.filters.MetaFilter.parse(
+        """{"$or":[{"label":{"$in":[1,3]}},
+          |        {"$and":[{"label":{"$gte":7}},{"label":{"$lt":9}}]}]}""".stripMargin)
+      val dsMem = new graft.serve.DocServing(
+        graft.queries.DocQueries.scoredChunkFrame(spark, sfDir)).warm()
+      val dsDisk = new graft.serve.DocServing(
+        spark.read.parquet(graft.queries.DocQueries.persistedChunksPath(spark, sfDir)),
+        servePartitions = 0, pin = false)
+      def mean(f: => Unit): Double = {
+        (1 to 3).foreach(_ => f)
+        val t0 = System.nanoTime()
+        (1 to reps).foreach(_ => f)
+        (System.nanoTime() - t0) / 1e9 / reps
+      }
+      val ops = Seq(
+        "v_topk" -> mean(vs.queryItems(q, 10): Unit),
+        "v_topk_filtered" -> mean(vs.queryItems(q, 10, Some(topkF)): Unit),
+        "v_meta_filter" -> mean(vs.listItemsByMetadata(metaF): Unit),
+        "d_query_documents" -> mean(dsMem.queryDocuments(): Unit),
+        "d_query_documents_persisted" -> mean(dsDisk.queryDocuments(): Unit))
+      vs.close(); dsMem.close(); dsDisk.close()
+      // the serving-TIER path: Spark builds the index, a bounded shard
+      // snapshot serves in-process (the reference's own execution
+      // model) — zero jobs per query, so no scheduler floor at all
+      val lvs = graft.serve.LocalVectorServing.load(
+        graft.index.VectorIndex.build(emb, "vec_id", "embedding"))
+      val localOps = Seq(
+        "v_topk" -> mean(lvs.queryItems(q, 10): Unit),
+        "v_topk_filtered" -> mean(lvs.queryItems(q, 10, Some(topkF)): Unit),
+        "v_meta_filter" -> mean(lvs.listItemsByMetadata(metaF): Unit))
+      (ops.map(("serve", _)) ++ localOps.map(("serve_local", _))).foreach {
+        case (tag, (k, v)) =>
+          System.err.println(f"[bench] $tag%-11s $k%-28s ${v * 1000}%8.2f ms (mean of $reps warm)")
+      }
+      val ref = RefSec.get(new java.io.File(sfDir).getName)
+      def block(tag: String, xs: Seq[(String, Double)], protocol: String) = {
+        val secJson = xs.map { case (k, v) => s"\"" + k + "\":" + f"$v%.6f" }
+          .mkString("{", ",", "}")
+        val ratios = ref.map { rf =>
+          val r = xs.collect { case (k, v) if rf.get(k).exists(_ > 0) =>
+            s"\"" + k + "\":" + f"${v / rf(k)}%.3f"
+          }.mkString("{", ",", "}")
+          s""","ratio":$r"""
+        }.getOrElse("")
+        s""""$tag":{"reps":$reps,"protocol":"$protocol","mean_sec":$secJson$ratios}"""
+      }
+      "," + block("serve", ops,
+        s"warm pinned index + reused plan, mean of $reps (reference protocol)") +
+      "," + block("serve_local", localOps,
+        s"driver-side bounded shard snapshot (LocalVectorServing), mean of $reps")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] serve block failed: ${e.getMessage}")
+        ""
+    }
   }
 
   /** Reference (vectra-py) wall times measured in-process by

@@ -53,6 +53,46 @@ object MetaFilter {
     case Or(fs)     => fs.map(compile).reduce(_ || _)
   }
 
+  /** Row-level evaluator for the driver-side serving tier
+    * (graft.serve.LocalVectorServing): identical match semantics to
+    * the compiled `Column` on homogeneous-typed fields — numerics
+    * compare by value across widths (Catalyst coerces int/long/double
+    * the same way), strings lexically, booleans by equality, and a
+    * missing/null field never matches ANY leaf (the reference's
+    * `return False`; SQL three-valued logic reaches the same outcome
+    * at the Filter). `get` returns the field's value or null.
+    */
+  def matches(f: MetaFilter, get: String => Any): Boolean = {
+    def num(a: Any): Option[Double] = a match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _                   => None
+    }
+    def eqv(a: Any, b: Any): Boolean = (num(a), num(b)) match {
+      case (Some(x), Some(y)) => x == y
+      case _                  => a == b
+    }
+    def cmp(a: Any, b: Any): Option[Int] = (num(a), num(b)) match {
+      case (Some(x), Some(y)) => Some(java.lang.Double.compare(x, y))
+      case _ => (a, b) match {
+        case (x: String, y: String) => Some(x.compareTo(y))
+        case _                      => None
+      }
+    }
+    def go(f: MetaFilter): Boolean = f match {
+      case And(fs)    => fs.forall(go)
+      case Or(fs)     => fs.exists(go)
+      case Eq(k, v)   => val a = get(k); a != null && eqv(a, v)
+      case Ne(k, v)   => val a = get(k); a != null && !eqv(a, v)
+      case Gt(k, v)   => cmp(get(k), v).exists(_ > 0)
+      case Gte(k, v)  => cmp(get(k), v).exists(_ >= 0)
+      case Lt(k, v)   => cmp(get(k), v).exists(_ < 0)
+      case Lte(k, v)  => cmp(get(k), v).exists(_ <= 0)
+      case In(k, vs)  => val a = get(k); a != null && vs.exists(eqv(a, _))
+      case Nin(k, vs) => val a = get(k); a != null && !vs.exists(eqv(a, _))
+    }
+    go(f)
+  }
+
   /** Parse the reference's JSON filter syntax, e.g.
     * `{"$or":[{"label":{"$in":[1,3]}},{"label":{"$gte":7}}]}`.
     * Uses json4s (bundled with Spark).

@@ -67,12 +67,8 @@ object DocQueries {
     // results by construction (the chunk slices and pseudo-scores are
     // deterministic), so the d_query_documents oracle applies
     // unchanged; the timed work is scan + top-k + tiny agg only.
-    "d_query_documents_persisted" -> ((s, dir) => {
-      val path = persistedArtifact("qdchunks", dir) { p =>
-        scoredChunkFrame(s, dir).write.parquet(p)
-      }
-      queryDocsTop(s.read.parquet(path))
-    }),
+    "d_query_documents_persisted" -> ((s, dir) =>
+      queryDocsTop(s.read.parquet(persistedChunksPath(s, dir)))),
 
     // query_documents under a Mongo metadata filter (reference:
     // local_document_index.py:221-254 query_documents with
@@ -136,12 +132,22 @@ object DocQueries {
       sectionsProjection(DocumentIndex.load(s, path, ChunkCfg))
     }))
 
+  /** Path of the once-per-JVM persisted chunk-score table (built on
+    * first use; shared with d_query_documents_persisted and the warm
+    * serving bench).
+    */
+  private[graft] def persistedChunksPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    persistedArtifact("qdchunks", dir) { p =>
+      scoredChunkFrame(s, dir).write.parquet(p)
+    }
+
   /** The portable chunk-score frame shared by d_query_documents and
     * its persisted twin: fixed 200-char slices of the normalized text,
     * md5 pseudo-scores — engine-portable so DuckDB hash-checks the
     * whole query shape.
     */
-  private def scoredChunkFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def scoredChunkFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), normText(col("text")).as("t"))
     docs

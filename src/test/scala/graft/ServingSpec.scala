@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.filters.MetaFilter
+import graft.index.VectorIndex
+import graft.serve.{DocServing, VectorServing}
+
+/** The warm serving path (graft.serve) is a latency optimization, not
+  * a semantics change: every serving call must return exactly what the
+  * cold oracle-checked query entry returns. Also pins the plan-reuse
+  * contract — repeated calls return the identical result (same
+  * DataFrame re-executed), and close() releases the pinned cache.
+  */
+class ServingSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$dir/embeddings.parquet").exists()
+
+  private def queryVec: Seq[Double] =
+    Tables.load(spark, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding")).head()
+      .getSeq[Number](0).map(_.doubleValue()).toSeq
+
+  test("warm queryItems matches the cold v_topk entry") {
+    assume(haveData)
+    val vs = new VectorServing(VectorIndex.build(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")).warm()
+    try {
+      val warm = vs.queryItems(queryVec, 10)
+        .map(r => (r.getAs[Long]("vec_id"),
+          BigDecimal(r.getAs[Double]("score")).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      val cold = SparkEntry.queries("v_topk")(spark, dir).collect()
+        .map(r => (r.getAs[Long]("vec_id"),
+          BigDecimal(r.getAs[Double]("score")).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      assert(warm.map(_._1).toSeq == cold.map(_._1).toSeq)
+      assert(warm.map(_._2).toSeq == cold.map(_._2).toSeq)
+      // plan reuse: a second call returns the identical rows
+      assert(vs.queryItems(queryVec, 10).map(_.getAs[Long]("vec_id")).toSeq ==
+        warm.map(_._1).toSeq)
+    } finally vs.close()
+  }
+
+  test("warm filtered queryItems and listItemsByMetadata match cold entries") {
+    assume(haveData)
+    val vs = new VectorServing(VectorIndex.build(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")).warm()
+    try {
+      val f = MetaFilter.parse("""{"label":{"$in":[2,4,6]}}""")
+      val warmTopk = vs.queryItems(queryVec, 10, Some(f))
+        .map(_.getAs[Long]("vec_id")).toSeq
+      val coldTopk = SparkEntry.queries("v_topk_filtered")(spark, dir)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(warmTopk == coldTopk)
+
+      val mf = MetaFilter.parse(
+        """{"$or":[{"label":{"$in":[1,3]}},
+          |        {"$and":[{"label":{"$gte":7}},{"label":{"$lt":9}}]}]}""".stripMargin)
+      val warmMeta = vs.listItemsByMetadata(mf)
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"))).toSeq
+      val coldMeta = SparkEntry.queries("v_meta_filter")(spark, dir)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"))).toSeq
+      assert(warmMeta == coldMeta)
+
+      val got = vs.getItem(42L)
+      assert(got.length == 1 && got.head.getAs[Long]("vec_id") == 42L)
+    } finally vs.close()
+  }
+
+  test("LocalVectorServing matches the cold v_topk / v_topk_filtered / v_meta_filter entries") {
+    assume(haveData)
+    val idx = VectorIndex.build(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
+    val lvs = graft.serve.LocalVectorServing.load(idx)
+
+    val top = lvs.queryItems(queryVec, 10)
+    val coldTop = SparkEntry.queries("v_topk")(spark, dir).collect()
+    assert(top.map(_._1.getAs[Long]("vec_id")) ==
+      coldTop.map(_.getAs[Long]("vec_id")).toSeq)
+    assert(top.map(t => BigDecimal(t._2).setScale(6, BigDecimal.RoundingMode.HALF_UP)) ==
+      coldTop.map(r => BigDecimal(r.getAs[Double]("score"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).toSeq)
+
+    val f = MetaFilter.parse("""{"label":{"$in":[2,4,6]}}""")
+    assert(lvs.queryItems(queryVec, 10, Some(f)).map(_._1.getAs[Long]("vec_id")) ==
+      SparkEntry.queries("v_topk_filtered")(spark, dir).collect()
+        .map(_.getAs[Long]("vec_id")).toSeq)
+
+    val mf = MetaFilter.parse(
+      """{"$or":[{"label":{"$in":[1,3]}},
+        |        {"$and":[{"label":{"$gte":7}},{"label":{"$lt":9}}]}]}""".stripMargin)
+    assert(lvs.listItemsByMetadata(mf).map(r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Int]("label"))) ==
+      SparkEntry.queries("v_meta_filter")(spark, dir).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"))).toSeq)
+
+    assert(lvs.getItem(42L).exists(_.getAs[Long]("vec_id") == 42L))
+    assert(lvs.getItem(-1L).isEmpty)
+  }
+
+  test("LocalVectorServing refuses an index over maxLocalItems") {
+    assume(haveData)
+    val idx = VectorIndex.build(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.serve.LocalVectorServing.load(idx, maxLocalItems = 5)
+    }
+    assert(e.getMessage.contains("maxLocalItems"))
+  }
+
+  test("DocServing (pinned and unpinned) matches the cold d_query_documents entry") {
+    assume(haveData)
+    val cold = SparkEntry.queries("d_query_documents")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Long]("n_chunks"))).toSeq
+    val mem = new DocServing(
+      graft.queries.DocQueries.scoredChunkFrame(spark, dir)).warm()
+    val disk = new DocServing(
+      spark.read.parquet(graft.queries.DocQueries.persistedChunksPath(spark, dir)),
+      servePartitions = 0, pin = false)
+    try {
+      def asTuples(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+          r.getAs[Long]("n_chunks"))).toSeq
+      assert(asTuples(mem.queryDocuments()) == cold)
+      assert(asTuples(disk.queryDocuments()) == cold)
+      // plan reuse across repeated calls
+      assert(asTuples(mem.queryDocuments()) == cold)
+    } finally { mem.close(); disk.close() }
+  }
+}
