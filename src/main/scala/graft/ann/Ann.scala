@@ -198,8 +198,15 @@ object Ann {
     * aggregate, then the identical plan.
     */
   def knnJoinLshTuned(vecs: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, k: Int, targetCandidates: Int = 64): DataFrame = {
-    val st = AnnTuner.stats(vecs, vecCol, Some(blockCol))
+      blockCol: String, k: Int, targetCandidates: Int = 64,
+      statsKey: Option[String] = None): DataFrame = {
+    // statsKey memoizes the planning aggregate per corpus per JVM
+    // (AnnTuner.statsCached) — pass it from any caller that builds
+    // this query repeatedly over the same corpus
+    val st = statsKey match {
+      case Some(key) => AnnTuner.statsCached(key, vecs, vecCol, Some(blockCol))
+      case None      => AnnTuner.stats(vecs, vecCol, Some(blockCol))
+    }
     knnJoinLsh(vecs, idCol, vecCol, blockCol, k,
       nPlanes = AnnTuner.lshPlanes(st.maxBlock, targetCandidates), dim = st.dim)
   }

@@ -33,6 +33,22 @@ object AnnTuner {
 
   final case class CorpusStats(n: Long, dim: Int, maxBlock: Long)
 
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CorpusStats]()
+
+  /** `stats`, memoized per (corpusKey, vecCol, blockCol) for the JVM's
+    * life — a standing service (query build per request) must not
+    * re-run even a tiny count job per build (round-5 review:
+    * AnnQueries ran a driver count at every query build). The caller
+    * owns the key; use the corpus path/table identity, and a NEW key
+    * after mutating the corpus (stats snapshots are as stale as the
+    * key lets them be).
+    */
+  def statsCached(corpusKey: String, vecs: => DataFrame, vecCol: String,
+      blockCol: Option[String]): CorpusStats =
+    statsCache.computeIfAbsent(s"$corpusKey|$vecCol|${blockCol.getOrElse("")}",
+      _ => stats(vecs, vecCol, blockCol))
+
   /** One-pass planning stats: corpus size, vector dim, largest block
     * (blockCol = None → the whole corpus is one block).
     */

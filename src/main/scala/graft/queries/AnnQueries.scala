@@ -56,11 +56,13 @@ object AnnQueries {
       // crossJoin O(n²/M) — the 100× sweep caught exactly that (a
       // %50 literal meant 4000 centroids × 200k vectors). Selecting ids
       // ≡ 0 (mod ⌊√n⌋) keeps ~√n centroids so assignment stays n·√n.
-      // The modulus is a planning-time count (parquet-metadata job,
-      // the AnnTuner.stats pattern) — an in-plan scalar subquery costs
+      // The modulus comes from the per-corpus-per-JVM stats cache
+      // (AnnTuner.statsCached) — one planning count job per corpus,
+      // not one per query build; an in-plan scalar subquery would cost
       // two broadcast-agg subplans and ~6s of fixed AQE latency.
       val m = math.max(1L, math.floor(math.sqrt(
-        t(s, dir, "embeddings").count().toDouble)).toLong)
+        graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+          t(s, dir, "embeddings"), "embedding", None).n.toDouble)).toLong)
       val cent = emb.filter(pmod(col("vec_id"), lit(m)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cent, "cid", "cv")
@@ -91,7 +93,9 @@ object AnnQueries {
     "ann_ivf_persisted" -> ((s, dir) => {
       val idxPath = persistedArtifact("ivf", dir) { p =>
         val emb = t(s, dir, "embeddings")
-        val m = math.max(1L, math.floor(math.sqrt(emb.count().toDouble)).toLong)
+        val m = math.max(1L, math.floor(math.sqrt(
+          graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+            emb, "embedding", None).n.toDouble)).toLong)
         val cent = emb.filter(pmod(col("vec_id"), lit(m)) === 0)
           .select(col("vec_id").as("cid"), col("embedding").as("cv"))
         graft.ann.IvfIndex.build(emb, "vec_id", "embedding", cent, "cid", "cv", p)
@@ -140,7 +144,8 @@ object AnnQueries {
     // computes the identical p from the same corpus stats.
     "knn_join" -> ((s, dir) => {
       Ann.knnJoinLshTuned(t(s, dir, "embeddings"), "vec_id", "embedding",
-          blockCol = "label", k = 3, targetCandidates = 64)
+          blockCol = "label", k = 3, targetCandidates = 64,
+          statsKey = Some(s"$dir|embeddings"))
         .orderBy(col("vec_id"), col("rk"))
     }))
 

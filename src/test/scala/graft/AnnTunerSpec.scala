@@ -141,4 +141,19 @@ class AnnTunerSpec extends SparkSpecBase {
     val whole = AnnTuner.stats(df, "embedding", None)
     assert(whole.n == 3L && whole.maxBlock == 3L)
   }
+
+  test("statsCached computes once per (key, vecCol, blockCol) per JVM") {
+    import spark.implicits._
+    def df = Seq((1L, "a", Array(1f, 2f)), (2L, "b", Array(3f, 4f)))
+      .toDF("vec_id", "label", "embedding")
+    var builds = 0
+    def counted = { builds += 1; df }
+    val key = s"spec-cache-${System.nanoTime()}"
+    val a = AnnTuner.statsCached(key, counted, "embedding", None)
+    val b = AnnTuner.statsCached(key, counted, "embedding", None)
+    assert(builds == 1 && a == b && a.n == 2L)
+    // a different blockCol is a different cache entry
+    val c = AnnTuner.statsCached(key, counted, "embedding", Some("label"))
+    assert(builds == 2 && c.maxBlock == 1L)
+  }
 }
