@@ -68,12 +68,13 @@ object Barrier {
   }
 
   /** Unpersist every barrier this session created (and only those).
-    * Blocks are dropped asynchronously; the registry entry is cleared
-    * either way.
+    * Blocks are dropped asynchronously by default (`blocking = true`
+    * waits — BarrierSpec uses it to prove the no-recompute contract);
+    * the registry entry is cleared either way.
     */
-  def release(spark: SparkSession): Unit = {
+  def release(spark: SparkSession, blocking: Boolean = false): Unit = {
     val rdds = synchronized { pinned.remove(spark.sparkContext) }
-    rdds.foreach(_.foreach(_.unpersist(blocking = false)))
+    rdds.foreach(_.foreach(_.unpersist(blocking)))
   }
 
   /** The FAULT-TOLERANT flip of [[checkpoint]]: materialize `df` as a

@@ -48,7 +48,12 @@ object MetaFilter {
     case Lt(k, v)   => col(k) < lit(v)
     case Lte(k, v)  => col(k) <= lit(v)
     case In(k, vs)  => col(k).isin(vs: _*)
-    case Nin(k, vs) => !col(k).isin(vs: _*)
+    // the explicit isNotNull matters for the EMPTY value list: the
+    // optimizer folds isin() to literal false, and !false would match
+    // null fields — violating the null-never-matches contract every
+    // other leaf keeps via three-valued logic (MetaFilterFuzzSpec
+    // caught exactly this against the reference twin)
+    case Nin(k, vs) => col(k).isNotNull && !col(k).isin(vs: _*)
     case And(fs)    => fs.map(compile).reduce(_ && _)
     case Or(fs)     => fs.map(compile).reduce(_ || _)
   }

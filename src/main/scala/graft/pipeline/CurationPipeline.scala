@@ -98,4 +98,24 @@ object CurationPipeline {
     // 5. data-recipe sampling
     Sampling.stratified(nearDeduped, idCol, langCol, cfg.sampleRates, cfg.defaultRate)
   }
+
+  /** [[run]] in the FAULT-TOLERANT barrier mode: every inter-stage
+    * hand-off materializes as a parquet stage table under `stageDir`
+    * (stage_0, stage_1, …) instead of executor-pinned localCheckpoint
+    * blocks. Semantics of an executor loss flip from "query death —
+    * truncated lineage cannot recompute" to "re-read the stage table"
+    * (BarrierSpec proves both halves of that contract; results are
+    * byte-identical to the default mode, CurationPipelineSpec). This
+    * is the mode a standing production pipeline on a real cluster
+    * runs; the default stays checkpoint because single-session sweeps
+    * prefer the ~free executor-local write. `stageDir` should be on
+    * the shared filesystem (HDFS/object store) at cluster scale.
+    */
+  def runStaged(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, stageDir: String,
+      cfg: Config = Config()): DataFrame = {
+    val n = new java.util.concurrent.atomic.AtomicInteger()
+    run(docs, idCol, textCol, langCol, cfg,
+      barrier = df => graft.Barrier.stage(df, s"$stageDir/stage_${n.getAndIncrement()}"))
+  }
 }

@@ -31,4 +31,24 @@ class BarrierSpec extends SparkSpecBase {
     // the staged frame scans the parquet, not the original lineage
     assert(staged.queryExecution.executedPlan.toString.contains("parquet"))
   }
+
+  test("loss of materialized state: stage re-reads, checkpoint dies loudly") {
+    import spark.implicits._
+    // Simulate total loss of executor-held blocks (the executor-loss
+    // failure mode localCheckpoint cannot survive): drop every cached/
+    // pinned block, then re-execute each barrier's DataFrame.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage_ft").toString
+    val staged = Barrier.stage((1 to 50).toDF("x"), s"$dir/t")
+    val ck = Barrier.checkpoint((1 to 50).toDF("x"))
+    assert(staged.count() == 50L && ck.count() == 50L)
+
+    Barrier.release(spark, blocking = true) // the "lost executor"
+    spark.catalog.clearCache()
+
+    // stage table: recovery semantics = re-read from shared storage
+    assert(staged.count() == 50L)
+    // checkpoint: truncated lineage has no recompute path — the query
+    // fails (loudly), which is the documented trade (Barrier scaladoc)
+    intercept[Exception] { ck.count() }
+  }
 }

@@ -32,5 +32,13 @@ class CurationPipelineSpec extends SparkSpecBase {
     assert(n.get() == 3, "expected the three documented inter-stage barriers")
     assert(viaStage == viaCheckpoint)
     assert(viaCheckpoint.nonEmpty)
+
+    // the first-class mode flag produces the same rows and lays the
+    // stage tables out under the given dir
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_pipe_staged").toString
+    val viaMode = rows(CurationPipeline.runStaged(docs, "doc_id", "text", "lang", tmp2))
+    assert(viaMode == viaCheckpoint)
+    assert(new java.io.File(s"$tmp2/stage_0").exists() &&
+      new java.io.File(s"$tmp2/stage_2").exists())
   }
 }
