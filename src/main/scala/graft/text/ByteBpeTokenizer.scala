@@ -28,23 +28,31 @@ import scala.collection.mutable
   * reproducible across the cluster and across rounds.
   *
   * DIVERGENCE FROM PRODUCTION VOCABULARIES (quantified in BpeSpec's
-  * golden test): the algorithm is exactly tiktoken/GPT-2's, but this
-  * 512-merge table learned from the embedded seed stops at short
-  * subwords, so counts are NOT comparable to any production model's —
-  * on a fixed public English sentence set it emits ~0.51 tokens/char
-  * where GPT-2's 50k-merge vocabulary averages ~0.25 (OpenAI's
-  * published "1 token ≈ 4 characters" rule), i.e. ≈2× the tokens for
-  * the same text. Budgets tuned against real GPT-2 counts (the
-  * reference's gpt3_tokenizer.py path) must halve `n_bpe_tokens`, or
-  * swap in a real merge table — the encode/decode loop accepts any
-  * table; only the zero-egress build rules out shipping one.
+  * golden test): the algorithm is exactly tiktoken/GPT-2's, but the
+  * default table is learned from the embedded seed, so counts are NOT
+  * identical to any production model's — on a fixed public English
+  * sentence set the default table emits ~0.34 tokens/char where
+  * GPT-2's 50k-merge vocabulary averages ~0.25 (OpenAI's published
+  * "1 token ≈ 4 characters" rule), i.e. ≈1.4× the tokens for the same
+  * text (the round-5 512-merge table was ≈2×). Budgets tuned against
+  * real GPT-2 counts (the reference's gpt3_tokenizer.py path) should
+  * scale `n_bpe_tokens` by that measured factor — or load the REAL
+  * public table: [[ByteBpeTokenizer.fromMergesFile]] reads the
+  * standard GPT-2 `merges.txt` format directly (the byte↔unicode
+  * symbol mapping here is exactly GPT-2's `bytes_to_unicode`, so the
+  * published 50k-merge file drops in unchanged); only the zero-egress
+  * build keeps it from shipping embedded.
   */
-final class ByteBpeTokenizer(nMerges: Int = ByteBpeTokenizer.DefaultMerges)
-    extends Tokenizer {
+final class ByteBpeTokenizer private (
+    private val merges: Map[(String, String), Int]) extends Tokenizer {
 
   import ByteBpeTokenizer._
 
-  private val merges: Map[(String, String), Int] = learnMerges(nMerges)
+  /** Default: the table learned from the embedded seed corpus
+    * (memoized per nMerges — training runs once per JVM).
+    */
+  def this(nMerges: Int = ByteBpeTokenizer.DefaultMerges) =
+    this(ByteBpeTokenizer.learnedMerges(nMerges))
 
   /** token string (in byte-symbol space) → stable id; ids 0-255 are
     * the base byte alphabet, merged tokens follow in rank order.
@@ -108,6 +116,20 @@ final class ByteBpeTokenizer(nMerges: Int = ByteBpeTokenizer.DefaultMerges)
       (decode(Seq(a)), decode(Seq(b)), 256 + rank)
     }
 
+  /** The merge table in the standard GPT-2 `merges.txt` line format
+    * (byte-symbol space, one "left right" pair per line, rank order,
+    * version header) — [[ByteBpeTokenizer.fromMergesLines]] inverts
+    * exactly, so a learned table round-trips through the same file
+    * format a real GPT-2 vocabulary ships in.
+    */
+  def mergesLines: Seq[String] =
+    "#version: 0.2" +: merges.toSeq.sortBy(_._2).map { case ((a, b), _) => s"$a $b" }
+
+  /** Write the table as a standard merges.txt. */
+  def saveMergesFile(path: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mergesLines.mkString("\n").getBytes(StandardCharsets.UTF_8)): Unit
+
   /** Greedy rank-ordered merging — the standard BPE encode loop. */
   private def bpe(word: Vector[String]): Vector[String] = {
     var w = word
@@ -140,8 +162,58 @@ final class ByteBpeTokenizer(nMerges: Int = ByteBpeTokenizer.DefaultMerges)
 
 object ByteBpeTokenizer {
 
-  val DefaultMerges = 512
+  val DefaultMerges = 4096
   private val CacheMax = 65536
+
+  /** Learned tables are memoized per nMerges: training over the seed
+    * corpus is O(nMerges × seed words) and must run once per JVM, not
+    * once per query build / executor task.
+    */
+  private val learned =
+    new java.util.concurrent.ConcurrentHashMap[Int, Map[(String, String), Int]]()
+
+  private[text] def learnedMerges(nMerges: Int): Map[(String, String), Int] =
+    learned.computeIfAbsent(nMerges, learnMerges(_))
+
+  /** Build from an explicit rank-ordered pair list (byte-symbol
+    * space) — the loaded-vocabulary path.
+    */
+  def fromMerges(pairs: Seq[(String, String)]): ByteBpeTokenizer =
+    new ByteBpeTokenizer(pairs.zipWithIndex.toMap)
+
+  /** Parse the standard GPT-2 `merges.txt` format: optional
+    * `#version` header and comment/blank lines, then one
+    * "left right" pair per line in rank order, sides written in the
+    * byte→unicode symbol alphabet (identical to [[byteToChar]], so
+    * the published GPT-2/RoBERTa files load unchanged — byte 0x20 is
+    * 'Ġ', never a literal space, making the single-space split
+    * unambiguous). Malformed lines fail loudly with their line
+    * number.
+    */
+  def fromMergesLines(lines: IterableOnce[String]): ByteBpeTokenizer = {
+    val pairs = lines.iterator.zipWithIndex
+      .filterNot { case (l, _) => l.isEmpty || l.startsWith("#") }
+      .map { case (line, ln) =>
+        val parts = line.split(" ", -1)
+        require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+          s"merges line ${ln + 1}: expected 'left right', got '$line'")
+        parts.foreach(_.foreach { c =>
+          require(charToByte.contains(c),
+            s"merges line ${ln + 1}: symbol '$c' (U+${c.toInt.toHexString}) " +
+              "is outside the byte-symbol alphabet")
+        })
+        (parts(0), parts(1))
+      }.toVector
+    fromMerges(pairs)
+  }
+
+  /** Load a standard GPT-2-format merges.txt (see
+    * [[fromMergesLines]]).
+    */
+  def fromMergesFile(path: String): ByteBpeTokenizer = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try fromMergesLines(src.getLines()) finally src.close()
+  }
 
   /** GPT-2's pre-tokenization split (public): contractions, letter
     * runs, digit runs, symbol runs, whitespace — each with optional
@@ -223,8 +295,144 @@ object ByteBpeTokenizer {
     * Deliberately mundane — the point is a stable merge table with
     * sensible English subwords, not linguistic coverage. Editing this
     * string changes every token count downstream; treat it as frozen.
+    * (Round 6 deliberately grew it — together with DefaultMerges
+    * 512 → 4096 — to recalibrate tokens/char from ~0.51 toward the
+    * ~0.25 of production vocabularies; BpeSpec's goldens were
+    * re-pinned with it. It is general common English on purpose:
+    * BpeSpec's held-out golden sentences are NOT included.)
     */
-  private val SeedCorpus: String = """
+  private lazy val SeedCorpus: String = SeedCorpusCore + """
+    |People said that the old house at the end of the road had been
+    |empty for years, but nobody could remember who had lived there
+    |before. In the morning she walked down to the water and watched
+    |the boats come in, and in the evening she wrote letters that she
+    |never sent. He thought about what his father had told him, that
+    |work done well is its own reward, and that a person should never
+    |promise more than they can deliver. The children were playing in
+    |the garden behind the school while their teacher talked with the
+    |other parents about the coming winter. It was already getting
+    |dark when they finally reached the village, and the lights in the
+    |windows made everything look warm and quiet. There is nothing
+    |more important than knowing when to speak and when to listen.
+    |
+    |The government announced a new program that would provide money
+    |for schools and hospitals in every part of the country. Members
+    |of the committee argued about the best way to measure the results
+    |of the policy, and the discussion continued late into the night.
+    |According to the report, the number of people working in the
+    |industry increased again last year, although growth was slower
+    |than expected. The company developed a system that allows users
+    |to manage their accounts, change their settings, and download
+    |their information at any time. Scientists studying the climate
+    |have found that small changes in temperature can have large
+    |effects on plants and animals across entire regions. The history
+    |of writing is the history of civilization itself; without records
+    |there can be no memory, and without memory there can be no
+    |learning. Students should always question what they read,
+    |consider the evidence carefully, and form their own conclusions.
+    |
+    |She opened the window because the room was too warm, and the
+    |sound of the street filled the apartment. They would have gone
+    |earlier if the weather had been better. I don't know whether he
+    |will come, but we're ready either way. You shouldn't worry about
+    |things that haven't happened yet. We've seen this before, and
+    |it's never been a problem. The first thing you notice about the
+    |city is how quickly everything moves, and the second is how
+    |easily people make room for one another. Every generation
+    |believes that the world is changing faster than ever before, and
+    |every generation is right. Reading a good book is like talking
+    |with a friend who always has something interesting to say.
+    |
+    |The national team played well in the first half, but the visitors
+    |scored twice after the break and won the match three to one. The
+    |doctor explained the treatment slowly, making sure the patient
+    |understood each step before moving to the next. The market opened
+    |higher this morning following strong results from several large
+    |technology companies. Police said the road would remain closed
+    |until the damage from the storm could be repaired. The museum's
+    |new exhibition brings together paintings and photographs from
+    |three different collections, telling the story of the city over
+    |two hundred years. The recipe calls for flour, butter, sugar,
+    |three eggs, and a little salt, mixed together until smooth.
+    |Travelers are advised to arrive early, carry water, and check the
+    |schedule for changes. The building was designed to use natural
+    |light throughout the day, reducing the energy needed for heating
+    |and cooling. Music, like language, is learned first by listening
+    |and only later by study and practice.
+    |
+    |management development environment information international
+    |understanding organization relationship responsibility particular
+    |production education experience community television statement
+    |performance difference population significant individual
+    |especially probably actually certainly recently quickly slowly
+    |carefully completely suddenly finally usually really working
+    |playing running walking talking looking thinking feeling being
+    |having doing saying getting making going coming seeing knowing
+    |wanted needed seemed turned called asked moved lived believed
+    |happened watched followed stopped created included considered
+    |national natural general special public private possible likely
+    |available different important interesting beautiful wonderful
+    |stronger strongest larger largest smaller smallest better best
+    |kindness darkness weakness happiness business witness careless
+    |hopeful useful helpful powerful successful agreement movement
+    |moment treatment department apartment equipment argument payment
+    |action station nation section attention question direction
+    |position condition situation education relation collection
+    |
+    |Why do some ideas spread while others disappear? The answer
+    |depends partly on chance and partly on how simply an idea can be
+    |explained. When you ask people what they value most, they rarely
+    |mention objects; they talk about family, friends, health, and
+    |time. Consider the humble bicycle: invented in the nineteenth
+    |century, it remains among the most efficient machines ever built,
+    |converting almost all of a rider's effort into motion. Between
+    |1950 and 2000 the population of many cities doubled, while the
+    |area they covered grew even faster. On 15 March 2021, after
+    |months of preparation, the expedition finally set out toward the
+    |mountains. Prices rose by 3.5 percent in the second quarter,
+    |slightly below the 4.2 percent forecast. "Where are you going?"
+    |she asked. "Home," he said, "before the rain starts." Numbers
+    |like 7, 21, 365, and 1000 appear everywhere once you start
+    |looking for them. The train leaves at 08:45 from platform 6.
+    |
+    |Knowledge grows when observations are recorded, compared, and
+    |tested against each other. A hypothesis that cannot be tested is
+    |merely an opinion. Early astronomers charted the motion of the
+    |planets with remarkable accuracy using nothing but patience and
+    |simple instruments. Modern medicine depends on careful trials in
+    |which neither the patient nor the doctor knows who received the
+    |treatment. Engineers learn more from a bridge that fails than
+    |from a hundred that stand, because failure reveals the limits of
+    |their assumptions. Languages borrow words from their neighbors:
+    |English took its vocabulary from Latin, French, Norse, and a
+    |dozen others, which is why its spelling follows no single rule.
+    |The ocean covers more than two thirds of the planet, yet we have
+    |mapped the surface of the moon in greater detail. Farmers have
+    |always watched the sky, reading tomorrow's weather in tonight's
+    |clouds. Everyone agrees that exercise matters; fewer agree on how
+    |much is enough. If you want to understand a society, look first
+    |at what it builds and second at what it throws away.
+    |
+    |although however therefore because whether against between among
+    |through during without within toward beyond across behind beneath
+    |anyone everyone someone nothing anything everything somewhere
+    |themselves yourself himself herself ourselves whatever whenever
+    |answered appeared arrived attempted avoided brought carried
+    |changed charged checked claimed climbed closed compared continued
+    |covered crossed decided delivered described designed discovered
+    |discussed dropped earned entered expected explained expressed
+    |finished forgotten gathered handled imagined improved increased
+    |introduced invited joined jumped knocked landed laughed learned
+    |listened managed marked married matched mentioned missed noticed
+    |offered opened ordered organized passed performed picked planned
+    |pointed prepared presented pressed produced promised pronounced
+    |protected proved provided pulled pushed raised reached realized
+    |received recognized recorded remained remembered removed repeated
+    |replaced replied reported required returned revealed rolled
+    |"""
+    .stripMargin
+
+  private val SeedCorpusCore: String = """
     |The quick brown fox jumps over the lazy dog. A distributed query
     |engine reads data from storage, filters and projects the columns
     |it needs, joins tables on their keys, groups rows to aggregate

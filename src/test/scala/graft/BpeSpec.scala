@@ -65,15 +65,18 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("golden divergence vs production GPT-2 counts on fixed public sentences") {
-    // Fixed public-domain sentence set. The per-sentence counts are
-    // GOLDEN (they pin the learned merge table: any SeedCorpus or
-    // training-loop change shows up here first), and the aggregate
-    // quantifies the divergence consumers of n_bpe_tokens must expect:
-    // this 512-merge table produces ~0.51 tokens/char on English prose
-    // vs the ~0.25 tokens/char of the reference's tiktoken/GPT-2
-    // 50k-merge vocabulary (OpenAI's published rule of thumb: 1 token
-    // ≈ 4 characters ≈ 3/4 of a word) — i.e. ~2x the tokens for the
-    // same text, because a 512-merge table stops at short subwords.
+    // Fixed public-domain sentence set, HELD OUT of the seed corpus.
+    // The per-sentence counts are GOLDEN (they pin the learned merge
+    // table: any SeedCorpus or training-loop change shows up here
+    // first), and the aggregate quantifies the divergence consumers
+    // of n_bpe_tokens must expect: the round-6 table (seed grown,
+    // merges exhausted at ~2.1k) produces ~0.34 tokens/char on
+    // English prose vs the ~0.25 of the reference's tiktoken/GPT-2
+    // 50k-merge vocabulary (OpenAI's rule of thumb: 1 token ≈ 4
+    // characters) — i.e. ~1.4x the tokens for the same text (was ~2x
+    // with the round-5 512-merge table). Exact parity needs the real
+    // public table: ByteBpeTokenizer.fromMergesFile loads a standard
+    // GPT-2 merges.txt unchanged.
     val sentences = Seq(
       "The quick brown fox jumps over the lazy dog.",
       "We hold these truths to be self-evident, that all men are created equal.",
@@ -84,13 +87,47 @@ class BpeSpec extends AnyFunSuite {
       "To be, or not to be, that is the question.",
       "A distributed query engine reads data from storage and filters the columns it needs.")
     val counts = sentences.map(s => bpe.encode(s).length)
-    assert(counts == Seq(19, 37, 26, 52, 26, 50, 24, 21),
+    assert(counts == Seq(10, 28, 20, 32, 20, 33, 15, 15),
       s"merge table drifted: $counts")
     val tokensPerChar = counts.sum.toDouble / sentences.map(_.length).sum
-    // strictly coarser than tiktoken's ~0.25, but still sub-word
-    // (word-count tokenization would be ~0.19; per-char ~1.0)
-    assert(tokensPerChar > 0.40 && tokensPerChar < 0.60,
-      f"tokens/char $tokensPerChar%.4f outside the documented ~2x-GPT-2 band")
+    // coarser than tiktoken's ~0.25 but inside the documented ~1.4x
+    // band (word-count tokenization would be ~0.19; per-char ~1.0)
+    assert(tokensPerChar > 0.28 && tokensPerChar < 0.42,
+      f"tokens/char $tokensPerChar%.4f outside the documented ~1.4x-GPT-2 band")
+  }
+
+  test("merges.txt round-trip: save -> fromMergesFile -> identical encodings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    val path = s"$dir/merges.txt"
+    bpe.saveMergesFile(path)
+    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toVector
+    assert(lines.head.startsWith("#version"))
+    assert(lines.tail.forall(_.split(" ").length == 2))
+    val loaded = ByteBpeTokenizer.fromMergesFile(path)
+    val probes = Seq(
+      "The committee's recommendation was unexpectedly thorough.",
+      "emoji 🎉 café mixed 中文 text 42",
+      "SELECT count(*) FROM table WHERE x > 0")
+    probes.foreach { s =>
+      assert(loaded.encodeIds(s) == bpe.encodeIds(s), s)
+      assert(loaded.decode(loaded.encode(s)) == s, s)
+    }
+  }
+
+  test("fromMergesLines accepts a hand-authored public-format table and rejects junk") {
+    // a tiny hand-built table in GPT-2 symbol space: 'Ġ' is byte 0x20
+    val tiny = ByteBpeTokenizer.fromMergesLines(Seq(
+      "#version: 0.2", "", "t h", "th e", "Ġ the"))
+    assert(tiny.encode("the the") == Vector("the", "Ġthe"))
+    assert(tiny.decode(tiny.encode("the the")) == "the the")
+    val bad = intercept[IllegalArgumentException] {
+      ByteBpeTokenizer.fromMergesLines(Seq("a b c"))
+    }
+    assert(bad.getMessage.contains("line 1"))
+    val badSym = intercept[IllegalArgumentException] {
+      ByteBpeTokenizer.fromMergesLines(Seq("a ￿"))
+    }
+    assert(badSym.getMessage.contains("symbol"))
   }
 
   test("merge table is deterministic across instances") {
@@ -101,8 +138,11 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("vocab = 256 base bytes + learned merges") {
-    assert(bpe.vocab.size >= 256 + 400,
-      s"expected most of the 512 merges to be learnable, got ${bpe.vocab.size - 256}")
+    // DefaultMerges=4096 is a CAP; the seed exhausts its pair
+    // diversity around ~2.1k merges — assert the table actually got
+    // big enough to deliver the documented ~1.4x calibration
+    assert(bpe.vocab.size >= 256 + 1500,
+      s"expected 1500+ learnable merges, got ${bpe.vocab.size - 256}")
   }
 
   test("BPE compresses English (fewer tokens than bytes, and than chars/2)") {
