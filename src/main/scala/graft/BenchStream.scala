@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Sustained-load bench of the streaming ANN serving path
+  * (graft.streaming.AnnServe — the s_ann_serve surface): a static
+  * cached corpus index, a memory-stream of query batches, per-batch
+  * top-k in foreachBatch. Measures steady-state micro-batch latency
+  * (mean/p50/p95 across rounds after warm-up) and query throughput —
+  * the serving-tier numbers that complement the per-call latencies in
+  * Bench's serve blocks. Prints one JSON line.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_STREAM_ROUNDS (default 20), SPARK_GRAFT_STREAM_BATCH
+  * (default 64 queries/batch).
+  */
+object BenchStream {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROUNDS", "20").toInt
+    val batch = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "64").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding")).cache()
+    val n = corpus.count()
+
+    // query pool: real corpus vectors, cycled per round
+    val pool = emb.filter(col("vec_id") < batch.toLong)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Float])]
+    val scored = graft.streaming.AnnServe.scoreStreamLsh(
+      stream.toDF().toDF("qid", "qv"), "qid", "qv",
+      corpus, "vec_id", "embedding", nPlanes = 4, dim = 64)
+    @volatile var rowsOut = 0L
+    val query = scored.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // per-batch top-10 per query — the serving sink shape
+        val k = b.groupBy(col("qid"))
+          .agg(graft.functions.VectorFunctions.topK(col("score"), col("vec_id"), 10).as("top"))
+          .count()
+        rowsOut += k
+      }
+      .start()
+
+    def round(r: Int): Double = {
+      val offset = r.toLong * 10000000L
+      val t0 = System.nanoTime()
+      stream.addData(pool.map { case (id, v) => (id + offset, v) }.toSeq)
+      query.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    try {
+      (1 to 3).foreach(round) // warm-up: codegen + state bring-up
+      val lats = (4 to 3 + rounds).map(round).sorted
+      val mean = lats.sum / lats.length
+      def pct(p: Double) = lats(math.min(lats.length - 1, (p * lats.length).toInt))
+      val qps = batch / mean
+      System.err.println(f"[bench-stream] corpus=$n batch=$batch rounds=$rounds " +
+        f"mean=${mean * 1000}%.1f ms p50=${pct(0.5) * 1000}%.1f ms p95=${pct(0.95) * 1000}%.1f ms qps=$qps%.0f")
+      println(f"""{"metric":"stream_serve","corpus":$n,"batch":$batch,"rounds":$rounds,"mean_sec":$mean%.4f,"p50_sec":${pct(0.5)}%.4f,"p95_sec":${pct(0.95)}%.4f,"qps":$qps%.1f,"answered_queries":$rowsOut,"sf":"$sfDir"}""")
+    } finally {
+      query.stop()
+      spark.stop()
+    }
+  }
+}

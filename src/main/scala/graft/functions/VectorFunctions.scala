@@ -32,20 +32,35 @@ object VectorFunctions {
   /** L2 norm (reference: item_selector.py:22-39 `normalize`). */
   def normD(a: Column): Column = sqrt(dotD(a, a))
 
-  /** Cosine similarity (reference: item_selector.py:9-20). */
-  def cosine(a: Column, b: Column): Column =
-    dotD(a, b) / (normD(a) * normD(b))
+  /** Cosine similarity (reference: item_selector.py:9-20). A
+    * zero-norm side scores 0.0 (the standard "no similarity"
+    * convention) instead of dividing by zero: the reference raises
+    * ZeroDivisionError there, and under ANSI SQL the raw division
+    * KILLS the whole query — a single all-cancelling feature-hashed
+    * chunk among 10^9 must not take down a corpus scan (the 100×
+    * sweep hit exactly that in d_sections). Non-zero inputs are
+    * bit-identical to the unguarded form.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = normD(a) * normD(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dotD(a, b) / denom)
+  }
 
   /** Norm-cached cosine (reference: item_selector.py:41-52) — the
-    * fast path when norms are precomputed index columns.
+    * fast path when norms are precomputed index columns. Zero-norm
+    * guard as in [[cosine]].
     */
-  def cosinePreNorm(a: Column, na: Column, b: Column, nb: Column): Column =
-    dotD(a, b) / (na * nb)
+  def cosinePreNorm(a: Column, na: Column, b: Column, nb: Column): Column = {
+    val denom = na * nb
+    when(denom === 0.0, lit(0.0)).otherwise(dotD(a, b) / denom)
+  }
 
-  /** Unit-normalize a vector column (element-wise divide by norm). */
+  /** Unit-normalize a vector column (element-wise divide by norm; a
+    * zero vector stays zero).
+    */
   def unitD(a: Column): Column = {
     val n = normD(a)
-    transform(a, x => x.cast("double") / n)
+    transform(a, x => when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
   }
 
   /** Per-group top-k aggregate (graft.functions.expr.TopKAgg): use as

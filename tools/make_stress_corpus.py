@@ -75,5 +75,50 @@ def main():
     print("emb", len(bige))
 
 
+def replicate_relational(out, n):
+    """NX-replicate the relational tables so a FULL 65-query sweep can
+    run against the stress dir: fact tables (orders, lineitem, events)
+    replicate with offset keys (orderkeys stay FK-consistent between
+    orders and lineitem; events get fresh event_ids AND fresh user_ids
+    so per-user session shapes are preserved while user count scales);
+    dimension tables copy as-is — the realistic shape (dims grow far
+    slower than facts) and every FK stays valid.
+    """
+    import shutil
+    import duckdb
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+        print(t, "copied")
+    ok = con.sql(f"SELECT max(o_orderkey)+1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+    con.sql(f"""COPY (
+        SELECT o.* REPLACE (o.o_orderkey + t.r*{ok} AS o_orderkey)
+        FROM '{SRC}/orders.parquet' o, range({n}) t(r))
+        TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+    print("orders", con.sql(f"SELECT count(*) FROM '{out}/orders.parquet'").fetchone()[0])
+    con.sql(f"""COPY (
+        SELECT l.* REPLACE (l.l_orderkey + t.r*{ok} AS l_orderkey)
+        FROM '{SRC}/lineitem.parquet' l, range({n}) t(r))
+        TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+    print("lineitem", con.sql(f"SELECT count(*) FROM '{out}/lineitem.parquet'").fetchone()[0])
+    # events via pyarrow to PRESERVE the nanosecond timestamp type
+    # (Tables.load's nanosAsLong path is part of what the sweep tests)
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    eid = ev.column("event_id").to_pandas().max() + 1
+    uid = ev.column("user_id").to_pandas().max() + 1
+    parts = []
+    for r in range(n):
+        d = ev.to_pandas()
+        d["event_id"] = d["event_id"] + r * eid
+        d["user_id"] = d["user_id"] + r * uid
+        parts.append(d)
+    bige = pd.concat(parts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(bige, preserve_index=False, schema=ev.schema),
+                   f"{out}/events.parquet")
+    print("events", len(bige))
+
+
 if __name__ == "__main__":
     main()
+    if "--full" in sys.argv:
+        replicate_relational(sys.argv[1], int(sys.argv[2]))
