@@ -435,6 +435,28 @@ object Dedup {
   def connectedGroups(pairs: DataFrame, aCol: String, bCol: String,
       idOut: String, maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
+    // For the iteration, AQE and broadcast joins are OFF (restored in
+    // finally): each round's frames are materialized label RDDs with
+    // fixed partitioning, so adaptive re-planning buys nothing and
+    // costs ~5 extra stage-jobs per round, and a broadcast of the
+    // label frame — corpus-sized at scale — would both OOM the driver
+    // at 100 TB and cost a separate broadcast-materialization job per
+    // round. Shuffle joins keep every round exactly ONE driver job.
+    val overrides = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try connectedGroupsImpl(spark, pairs, aCol, bCol, idOut, maxIters)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def connectedGroupsImpl(spark: org.apache.spark.sql.SparkSession,
+      pairs: DataFrame, aCol: String, bCol: String,
+      idOut: String, maxIters: Int): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .transform(graft.Barrier.checkpoint)
@@ -443,7 +465,7 @@ object Dedup {
       .transform(graft.Barrier.checkpoint)
     val nullLbl = lit(null).cast(labels.schema("lbl").dataType)
     val shrunk = spark.sparkContext.longAccumulator("graft.cc.shrunk")
-    val pinnedRounds = scala.collection.mutable.Buffer.empty[DataFrame]
+    val pinnedRounds = scala.collection.mutable.Buffer.empty[org.apache.spark.rdd.RDD[_]]
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -461,12 +483,17 @@ object Dedup {
         .groupBy(col("u"))
         .agg(min(col("cand")).as("lbl"), min(col("old")).as("old"))
         .withColumn("_shrunk", col("lbl") < col("old"))
-        .persist()
+      // ONE job materializes the round AND carries the convergence
+      // accumulator; rebuilding the frame from the persisted RDD
+      // truncates lineage (this plan references `labels` three times,
+      // so without truncation the logical plan grows 3^rounds and the
+      // ANALYZER becomes the bottleneck — the 100× sweep hung there)
+      val rdd = next.rdd.persist()
       shrunk.reset()
-      next.foreach(r => if (r.getAs[Boolean]("_shrunk")) shrunk.add(1L))
+      rdd.foreach(r => if (r.getAs[Boolean]("_shrunk")) shrunk.add(1L))
       converged = shrunk.value == 0L
-      pinnedRounds += next
-      labels = next.select(col("u"), col("lbl"))
+      pinnedRounds += rdd
+      labels = spark.createDataFrame(rdd, next.schema).select(col("u"), col("lbl"))
       iter += 1
     }
     lastCcRounds = iter
@@ -474,7 +501,7 @@ object Dedup {
       s"connectedGroups: not converged after $maxIters rounds — component " +
         "diameter exceeds the near-dup-clique assumption; raise maxIters " +
         "or check the pair generator")
-    // truncate the iteration lineage once, then drop the per-round pins
+    // truncate once more past the RDD pins, then drop them
     labels = graft.Barrier.checkpoint(labels)
     pinnedRounds.foreach(_.unpersist(blocking = false))
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("group_size"))
