@@ -173,9 +173,15 @@ object TextQueries {
         .withColumn("text2", concat(
           col("text"), lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
           (col("doc_id") % 256).cast("string"), lit(".7 or 555-123-4567")))
-      graft.text.Redact.scrubWithCounts(withPii, "doc_id", "text2")
-        .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_card"),
-          col("n_phone"), md5(col("redacted")).as("redacted_hash"))
+      // barrier before the total-order sort: a range sort EXECUTES its
+      // child twice (range sampling + the exchange), and here the
+      // child is the corpus-wide regex kernel — the 100× sweep paid
+      // the whole redact pass twice (~2× wall time). One narrow
+      // materialized frame (6 small columns, text-free) sorts instead.
+      graft.Barrier.checkpoint(
+        graft.text.Redact.scrubWithCounts(withPii, "doc_id", "text2")
+          .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_card"),
+            col("n_phone"), md5(col("redacted")).as("redacted_hash")))
         .orderBy(col("doc_id"))
     }),
 
