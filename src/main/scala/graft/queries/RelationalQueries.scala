@@ -180,6 +180,26 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // the SKETCH scale path for q_distinct, made first-class and
+    // hash-oracled: portable HyperLogLog (graft.operators.HllSketch —
+    // md5-derived registers, integer-exact harmonic sum, one division)
+    // joined against the exact count to surface the measured error.
+    // Shuffle: ≤32 register rows per group vs every distinct pair.
+    "q_distinct_sketch" -> ((s, dir) => {
+      import graft.operators.HllSketch
+      val ev = t(s, dir, "events")
+      val sk = HllSketch.distinctSketch(
+        ev, Seq("event_type"), col("user_id").cast("string"))
+        .withColumnRenamed("hll_est", "hll_users")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      sk.join(exact, "event_type")
+        .select(col("event_type"), col("hll_users"), col("n_regs_hit"),
+          col("n_users"),
+          round((col("hll_users") - col("n_users")) / col("n_users"), 6).as("rel_err"))
+        .orderBy(col("event_type"))
+    }),
+
     // exact discrete quantiles per group (at 100 TB the
     // approx_percentile t-digest sketch replaces this plan-compatibly)
     // Exact discrete quantiles via ONE ranked window pass: value at
@@ -353,6 +373,39 @@ object RelationalQueries {
         |  count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // bit-for-bit replay of HllSketch (see its scaladoc): same md5
+    // register coordinates, same integer-scaled harmonic sum, and the
+    // numerator constant embedded as the exact decimal rendering of
+    // the Scala double — the one float division runs on identical bits
+    "q_distinct_sketch" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT % ${graft.operators.HllSketch.M} AS b,
+         |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)), 3, 13))::BIGINT AS w
+         |  FROM events),
+         |regs AS (
+         |  SELECT event_type, b,
+         |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m
+         |  FROM h GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT event_type,
+         |    CAST(sum(1::BIGINT << (53 - m)) AS BIGINT) AS s_hit,
+         |    count(*)::BIGINT AS n_regs_hit
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT event_type, n_regs_hit,
+         |    round(CAST('${graft.operators.HllSketch.NumeratorLit}' AS DOUBLE)
+         |      / CAST(s_hit + (${graft.operators.HllSketch.M} - n_regs_hit)
+         |             * ${graft.operators.HllSketch.Scale} AS DOUBLE), 4) AS hll_users
+         |  FROM agg),
+         |ex AS (
+         |  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+         |  FROM events GROUP BY 1)
+         |SELECT event_type, hll_users, n_regs_hit, n_users,
+         |  round((hll_users - n_users) / n_users, 6) AS rel_err
+         |FROM est JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin,
 
     "q_quantiles" ->
       """SELECT l_returnflag,

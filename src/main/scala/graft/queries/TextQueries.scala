@@ -196,6 +196,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-rule document FILTER (TextAnalysis.gopherFilter): the
+    // published keep/drop decision composed from the quality +
+    // repetition signals — rule-failure bitmask + keep boolean, one
+    // zero-shuffle kernel pass. ta_quality/ta_repetition emit the
+    // signals; this emits the decision a curation pipeline acts on.
+    "ta_gopher" -> ((s, dir) => {
+      TextAnalysis.gopherFilter(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("stop_hits"), col("dup_word_ratio"), col("flags"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-unigram LM scoring (graft.text.UnigramLm) — the CCNet
     // perplexity-filter analogue: mean per-token negative
     // log-likelihood under the corpus' own unigram distribution
@@ -554,6 +566,32 @@ object TextQueries {
          |  round(t2.topb * 1.0 / len(bi), 6) AS top_bigram_ratio
          |FROM big b JOIN wtop w USING (doc_id) JOIN btop t2 USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // thresholds interpolated from the SAME TextAnalysis constants the
+    // query uses (generated, not hand-synced); comparisons run on the
+    // round-6 ratios in both engines so boundary docs cannot flip
+    "ta_gopher" ->
+      s"""$sqlNorm,
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS toks, t FROM norm),
+         |sig AS (
+         |  SELECT doc_id,
+         |    len(toks)::BIGINT AS n_words,
+         |    round((len(t) - (len(toks) - 1)) * 1.0 / len(toks), 6) AS mean_word_len,
+         |    len(list_filter(toks, x -> x IN ${inList(StopwordsEn)}))::BIGINT AS stop_hits,
+         |    round((len(toks) - len(list_distinct(toks))) * 1.0 / len(toks), 6) AS dup_word_ratio
+         |  FROM tok),
+         |flagged AS (
+         |  SELECT *,
+         |    (CASE WHEN n_words < ${TextAnalysis.GopherMinWords}
+         |          OR n_words > ${TextAnalysis.GopherMaxWords} THEN 1 ELSE 0 END
+         |     + CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 2 ELSE 0 END
+         |     + CASE WHEN stop_hits < ${TextAnalysis.GopherMinStopHits} THEN 4 ELSE 0 END
+         |     + CASE WHEN dup_word_ratio > ${TextAnalysis.GopherMaxDupWordRatio} THEN 8 ELSE 0 END
+         |    )::BIGINT AS flags
+         |  FROM sig)
+         |SELECT doc_id, n_words, mean_word_len, stop_hits, dup_word_ratio,
+         |  flags, flags = 0 AS keep
+         |FROM flagged ORDER BY doc_id""".stripMargin,
 
     "ta_unigram_lm" ->
       s"""$sqlNorm,

@@ -164,6 +164,65 @@ object TextAnalysis {
       .drop("_toks", "_bi", "_nw", "_nb", "_ws", "_bs")
   }
 
+  /** Gopher-rule document filter (Rae et al. 2021 "Scaling Language
+    * Models: ... Gopher", table A1 — public recipe), adapted to
+    * word-level signals because the synthetic corpus has no line
+    * structure. One narrow pass over `text` computing every signal,
+    * then a rule bitmask:
+    *
+    *   bit 0 — word count outside [GopherMinWords, GopherMaxWords]
+    *   bit 1 — mean word length outside [3, 10]
+    *   bit 2 — fewer than GopherMinStopHits English stopword hits
+    *            (Gopher's stop-word requirement is an English filter
+    *            by design; non-English docs fail it here too)
+    *   bit 3 — duplicate-word fraction above GopherMaxDupWordRatio
+    *            (the word-level analogue of Gopher's duplicate-line
+    *            fraction rules)
+    *
+    * `keep = (flags == 0)`. Rule comparisons use the ROUNDED (6 dp)
+    * ratios so engine-specific last-ulp division differences cannot
+    * flip a boundary doc (the oracle compares the same rounded
+    * values). Scale shape: zero shuffle — signals come from the
+    * CharClassCounts / TokensInSet / TokenRunStats codegen kernels in
+    * one WholeStageCodegen map stage; only `text` is read.
+    */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    def runStats(arr: Column): Column =
+      ColumnBridge.column(graft.functions.expr.TokenRunStats(
+        ColumnBridge.expression(arr)))
+    val base = graft.Tables.fanOut(docs)
+      .withColumn("_t", normText(col(textCol)))
+      .withColumn("_toks", wsTokens(col("_t")))
+      .withColumn("_ws", runStats(col("_toks")))
+    val nWords = size(col("_toks")).cast("long")
+    val mwl = round((length(col("_t")) - (nWords - 1)).cast("double") / nWords, 6)
+    val stopHits = tokensInSet(col("_toks"), StopwordsEn).cast("long")
+    val dup = round((nWords - element_at(col("_ws"), 1)).cast("double") / nWords, 6)
+    base
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", mwl)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("dup_word_ratio", dup)
+      .withColumn("flags",
+        (when(col("n_words") < GopherMinWords || col("n_words") > GopherMaxWords, 1).otherwise(0)
+          + when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0, 2).otherwise(0)
+          + when(col("stop_hits") < GopherMinStopHits, 4).otherwise(0)
+          + when(col("dup_word_ratio") > GopherMaxDupWordRatio, 8).otherwise(0)).cast("long"))
+      .withColumn("keep", col("flags") === 0L)
+      .drop("_t", "_toks", "_ws")
+  }
+
+  /** Gopher-rule thresholds (word-level adaptation — see gopherFilter).
+    * Min/max words are Gopher's 50/100k scaled to the synthetic corpus
+    * (docs run 10–99 words); the dup-word cutoff sits at the corpus
+    * median so the rule discriminates rather than all-passing.
+    */
+  val GopherMinWords = 25
+  val GopherMaxWords = 100000
+  val GopherMinStopHits = 2
+  val GopherMaxDupWordRatio = 0.55
+
   /** Document fingerprint: full-text 60-bit digest plus winnowing-style
     * min/max 8-gram shingle hashes (the rolling-window extrema are
     * robust to small edits; equal fp_min across docs is a cheap

@@ -93,4 +93,38 @@ class TextSignalsSpec extends SparkSpecBase {
     assert(scores(100L) > scores(0L))
     Barrier.release(spark)
   }
+
+  test("gopher filter: each rule trips its own flag bit") {
+    import spark.implicits._
+    // mean word length must stay in [3,10] on the passing docs — mix
+    // short stopwords with 6+ char filler
+    val longOk = (("the of and to in is it that for a " * 3) +
+      (1 to 31).map(i => s"wordish$i").mkString(" ")).trim
+    val d = Seq(
+      (1L, longOk),                                   // passes everything
+      (2L, "tiny document the of and"),               // <25 words → bit 0
+      (3L, ("xxxx " * 40).trim),                      // all-dup, no stopwords → bits 2+3 (40 words passes length)
+      (4L, ("that for " * 20).trim)                   // stopword-rich but dup 38/40 → bit 3 only
+    ).toDF("doc_id", "text")
+    val byId = TextAnalysis.gopherFilter(d, "doc_id", "text")
+      .select($"doc_id", $"flags", $"keep")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) == ((0L, true)), s"doc 1 got ${byId(1L)}")
+    assert((byId(2L)._1 & 1L) == 1L && !byId(2L)._2)
+    assert((byId(3L)._1 & 4L) == 4L && (byId(3L)._1 & 8L) == 8L)
+    assert(byId(4L)._1 == 8L && !byId(4L)._2)
+  }
+
+  test("gopher filter: keep is exactly flags == 0 on the driver corpus shape") {
+    import spark.implicits._
+    val d = (0L until 200L).map { i =>
+      val words = (0 until (10 + (i % 60)).toInt).map(j => s"wordish${(i + j) % 17}")
+      (i, (if (i % 3 == 0) "the of and " else "") + words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(d, "doc_id", "text")
+    assert(out.filter($"keep" =!= ($"flags" === 0L)).count() == 0)
+    // the rule set must discriminate, not all-pass or all-fail
+    val kept = out.filter($"keep").count()
+    assert(kept > 0 && kept < 200, s"kept $kept of 200")
+  }
 }
