@@ -134,6 +134,27 @@ object AnnQueries {
         .orderBy(col("qid"))
     }),
 
+    // product quantization (graft.ann.Pq): 4 subspace codebooks of
+    // ~16 codewords (deterministic √-free n/16 seed rule, one
+    // decimal-exact Lloyd update), byte-sized codes, then ADC top-10
+    // for the vec_id=0 query — the scan reads ONLY the code columns;
+    // exact_score surfaces the measured PQ approximation error.
+    // Codebooks are Barrier-checkpointed: encode and the ADC tables
+    // both consume them, and each would otherwise re-run the fit.
+    "ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+        emb, "embedding", None).n
+      val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
+          dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
+        .map(graft.Barrier.checkpoint(_))
+      val enc = graft.ann.Pq.encode(emb, "vec_id", "embedding", books, Dim)
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      graft.ann.Pq.adcTopK(enc, "vec_id", "embedding", books, qv, k = 10)
+    }),
+
     // approximate kNN: (label × LSH bucket) blocking, multi-probe
     // hamming-1 — the exact label-blocked join is quadratic in block
     // size (162s at a 10× scale-up). The plane count comes from
@@ -182,10 +203,73 @@ object AnnQueries {
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_raw DESC, vec_id) AS BIGINT) AS rk
        |FROM scored QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  /** PQ geometry: 4 subspaces × ~16 codewords (Dim 64 → subDim 16). */
+  private val PqSub = 4
+  private val PqK = 16
+
+  /** Bit-for-bit replay of Pq.fit + encode + ADC (see Pq scaladoc):
+    * per subspace — slice, relabeled seeds by the same n/K modulus,
+    * one decimal-exact Lloyd update (the dd_semantic CTE shapes on
+    * 16-dim slices), final assignment = codes, query distance table —
+    * then the ADC add chain in subspace order, ordered by the RAW sum
+    * so last-ulp ties resolve identically.
+    */
+  private lazy val PqOracleSql: String = {
+    val subDim = Dim / PqSub
+    def d2(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, [($a[j+1]-$b[j+1])*($a[j+1]-$b[j+1]) " +
+        s"for j in range(0, $subDim)]), (x, y) -> x + y)"
+    val subCtes = (0 until PqSub).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      s"""sub$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM vv),
+         |sd$s AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv AS cv
+         |  FROM sub$s, md WHERE vec_id % md.m = 0),
+         |a$s AS (
+         |  SELECT vec_id, sv, cid AS cell FROM (
+         |    SELECT t.vec_id, t.sv, c.cid,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${d2("t.sv", "c.cv")}, c.cid) AS rn
+         |    FROM sub$s t, sd$s c) WHERE rn = 1),
+         |c$s AS (
+         |  SELECT cell AS cid, list(m ORDER BY j) AS cv FROM (
+         |    SELECT cell, j,
+         |      round(CAST(sum(CAST(sv[j+1] AS DECIMAL(28,10))) AS DOUBLE) / count(*), 9) AS m
+         |    FROM a$s, range(0, $subDim) r(j) GROUP BY cell, j)
+         |  GROUP BY cell),
+         |e$s AS (
+         |  SELECT vec_id, cid AS code FROM (
+         |    SELECT t.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${d2("t.sv", "c.cv")}, c.cid) AS rn
+         |    FROM sub$s t, c$s c) WHERE rn = 1),
+         |t$s AS (SELECT cid, ${d2(s"(q.qv[$lo:$hi])", "cv")} AS d FROM c$s c, q)""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until PqSub).map(s => s"e$s.code AS code$s").mkString(", ")
+    val encJoins = (1 until PqSub).map(s => s"JOIN e$s USING (vec_id)").mkString(" ")
+    val tabJoins = (0 until PqSub).map(s => s"JOIN t$s ON e$s.code = t$s.cid").mkString(" ")
+    val adcSum = (0 until PqSub).map(s => s"t$s.d").mkString(" + ")
+    s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |md AS (SELECT GREATEST(1, CAST(FLOOR(count(*) / $PqK) AS BIGINT)) AS m FROM embeddings),
+       |q AS (SELECT v AS qv FROM vv WHERE vec_id = 0),
+       |$subCtes,
+       |scored AS (
+       |  SELECT e0.vec_id, $codeCols, $adcSum AS adc_raw
+       |  FROM e0 $encJoins $tabJoins)
+       |SELECT s.vec_id, code0, code1, code2, code3,
+       |  round(adc_raw, 6) AS adc,
+       |  round(${sqlCos("vv.v", "q.qv")}, 6) AS exact_score
+       |FROM scored s JOIN vv USING (vec_id), q
+       |ORDER BY adc_raw, s.vec_id LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_brute_batch" -> BruteOracleSql,
 
     "ann_ivf" -> IvfOracleSql,
+
+    "ann_pq" -> PqOracleSql,
 
     // recall@5 of the LSH index against the exact ground truth — both
     // sides are the already-oracled queries nested as subqueries, so
