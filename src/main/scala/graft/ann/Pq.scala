@@ -85,7 +85,8 @@ object Pq {
     * the same row (the measured PQ approximation error).
     */
   def adcTopK(encoded: DataFrame, idCol: String, vecCol: String,
-      books: Seq[DataFrame], queryVec: Array[Double], k: Int): DataFrame = {
+      books: Seq[DataFrame], queryVec: Array[Double], k: Int,
+      carryCols: Seq[String] = Seq.empty): DataFrame = {
     val subDim = queryVec.length / books.size
     val tables: Seq[Map[Long, Double]] = books.zipWithIndex.map { case (book, s) =>
       val rows = book.select(col("cid").cast("long"), col("cv").cast("array<double>"))
@@ -118,14 +119,15 @@ object Pq {
     // a broadcast id-lookup against the corpus (a 10-row fetch, the
     // point-lookup any serving store does after candidate selection)
     val top = encoded
-      .select(Seq(col(idCol)) ++ books.indices.map(s => col(s"code$s")): _*)
+      .select(Seq(col(idCol)) ++ carryCols.map(col) ++
+        books.indices.map(s => col(s"code$s")): _*)
       .withColumn("_adc", adcRaw)
       .orderBy(col("_adc"), col(idCol))
       .limit(k)
     encoded.select(col(idCol), col(vecCol))
       .join(broadcast(top), Seq(idCol))
       .orderBy(col("_adc"), col(idCol))
-      .select(Seq(col(idCol)) ++
+      .select(Seq(col(idCol)) ++ carryCols.map(col) ++
         books.indices.map(s => col(s"code$s")) ++
         Seq(round(col("_adc"), 6).as("adc"),
           round(cosine(col(vecCol).cast("array<double>"), qv), 6).as("exact_score")): _*)

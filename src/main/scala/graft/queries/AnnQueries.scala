@@ -155,6 +155,49 @@ object AnnQueries {
       graft.ann.Pq.adcTopK(enc, "vec_id", "embedding", books, qv, k = 10)
     }),
 
+    // IVF×PQ — the production composition (FAISS's IVFPQ shape): the
+    // IVF coarse layer prunes the scan to nprobe cells (on a
+    // partitionBy(cell) layout that is partition pruning on disk),
+    // then PQ's ADC ranks inside them reading only the byte codes.
+    // At 100 TB: nprobe/nlist of the data touched, 4 bytes per
+    // touched row. The probe-set selection runs driver-side over the
+    // bounded centroid frame with the SAME d² fold and (d², cell)
+    // tiebreak the oracle's probe CTE orders by.
+    "ann_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+        emb, "embedding", None).n
+      val mIvf = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+      val cent = emb.filter(pmod(col("vec_id"), lit(mIvf)) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      // Pq.encode's subspace assigns each reuse the "cell" slot —
+      // stash the IVF cell under its own name first
+      val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cent, "cid", "cv")
+        .withColumnRenamed("cell", "ivf_cell")
+      val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
+          dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
+        .map(graft.Barrier.checkpoint(_))
+      val enc = graft.ann.Pq.encode(assigned, "vec_id", "embedding", books, Dim)
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val centRows = cent
+        .select(col("cid").cast("long"), col("cv").cast("array<double>")).collect()
+      require(centRows.nonEmpty && centRows.length <= 65536,
+        s"ann_ivf_pq: ${centRows.length} centroids (nlist rule bounds this)")
+      val probed = centRows.map { r =>
+        val cv = r.getSeq[Double](1)
+        var d = 0.0
+        var j = 0
+        while (j < qv.length) { val diff = qv(j) - cv(j); d += diff * diff; j += 1 }
+        (r.getLong(0), d)
+      }.sortBy { case (c, d) => (d, c) }.take(3).map(_._1)
+      graft.ann.Pq.adcTopK(
+          enc.filter(col("ivf_cell").isin(probed: _*)),
+          "vec_id", "embedding", books, qv, k = 10, carryCols = Seq("ivf_cell"))
+        .withColumnRenamed("ivf_cell", "cell")
+    }),
+
     // approximate kNN: (label × LSH bucket) blocking, multi-probe
     // hamming-1 — the exact label-blocked join is quadratic in block
     // size (162s at a 10× scale-up). The plane count comes from
@@ -214,12 +257,22 @@ object AnnQueries {
     * then the ADC add chain in subspace order, ordered by the RAW sum
     * so last-ulp ties resolve identically.
     */
-  private lazy val PqOracleSql: String = {
+  /** DuckDB: the exact left-to-right squared-L2 fold the
+    * NearestCentroid kernel and Pq's driver-side tables use.
+    */
+  private def sqlD2(n: Int)(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, [($a[j+1]-$b[j+1])*($a[j+1]-$b[j+1]) " +
+      s"for j in range(0, $n)]), (x, y) -> x + y)"
+
+  /** The per-subspace PQ CTE chain (fit + encode + query distance
+    * table) — shared verbatim by the ann_pq and ann_ivf_pq oracles.
+    * Expects CTEs `vv` (vec_id, v), `md` (m — the seed modulus) and
+    * `q` (qv) upstream.
+    */
+  private def pqSubCtes: String = {
     val subDim = Dim / PqSub
-    def d2(a: String, b: String): String =
-      s"list_reduce(list_prepend(0.0, [($a[j+1]-$b[j+1])*($a[j+1]-$b[j+1]) " +
-        s"for j in range(0, $subDim)]), (x, y) -> x + y)"
-    val subCtes = (0 until PqSub).map { s =>
+    val d2 = sqlD2(subDim) _
+    (0 until PqSub).map { s =>
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
       s"""sub$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM vv),
@@ -246,18 +299,54 @@ object AnnQueries {
          |    FROM sub$s t, c$s c) WHERE rn = 1),
          |t$s AS (SELECT cid, ${d2(s"(q.qv[$lo:$hi])", "cv")} AS d FROM c$s c, q)""".stripMargin
     }.mkString(",\n")
-    val codeCols = (0 until PqSub).map(s => s"e$s.code AS code$s").mkString(", ")
-    val encJoins = (1 until PqSub).map(s => s"JOIN e$s USING (vec_id)").mkString(" ")
-    val tabJoins = (0 until PqSub).map(s => s"JOIN t$s ON e$s.code = t$s.cid").mkString(" ")
-    val adcSum = (0 until PqSub).map(s => s"t$s.d").mkString(" + ")
+  }
+
+  private val PqCodeCols = (0 until PqSub).map(s => s"e$s.code AS code$s").mkString(", ")
+  private val PqEncJoins = (1 until PqSub).map(s => s"JOIN e$s USING (vec_id)").mkString(" ")
+  private val PqTabJoins = (0 until PqSub).map(s => s"JOIN t$s ON e$s.code = t$s.cid").mkString(" ")
+  private val PqAdcSum = (0 until PqSub).map(s => s"t$s.d").mkString(" + ")
+
+  private lazy val PqOracleSql: String =
     s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |md AS (SELECT GREATEST(1, CAST(FLOOR(count(*) / $PqK) AS BIGINT)) AS m FROM embeddings),
        |q AS (SELECT v AS qv FROM vv WHERE vec_id = 0),
-       |$subCtes,
+       |$pqSubCtes,
        |scored AS (
-       |  SELECT e0.vec_id, $codeCols, $adcSum AS adc_raw
-       |  FROM e0 $encJoins $tabJoins)
+       |  SELECT e0.vec_id, $PqCodeCols, $PqAdcSum AS adc_raw
+       |  FROM e0 $PqEncJoins $PqTabJoins)
        |SELECT s.vec_id, code0, code1, code2, code3,
+       |  round(adc_raw, 6) AS adc,
+       |  round(${sqlCos("vv.v", "q.qv")}, 6) AS exact_score
+       |FROM scored s JOIN vv USING (vec_id), q
+       |ORDER BY adc_raw, s.vec_id LIMIT 10""".stripMargin
+
+  /** ann_ivf_pq: the IVF coarse layer (√n seed-row centroids, same
+    * geometry as IvfOracleSql but ordered by the raw d² fold the
+    * Spark side's driver probe uses) pruning to nprobe cells, PQ's
+    * code scan + ADC ranking inside them.
+    */
+  private lazy val IvfPqOracleSql: String = {
+    val d2full = sqlD2(Dim) _
+    s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |md AS (SELECT GREATEST(1, CAST(FLOOR(count(*) / $PqK) AS BIGINT)) AS m FROM embeddings),
+       |q AS (SELECT v AS qv FROM vv WHERE vec_id = 0),
+       |mivf AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(count(*))) AS BIGINT)) AS m FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, v AS cv FROM vv, mivf WHERE vec_id % mivf.m = 0),
+       |cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT t.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${d2full("t.v", "c.cv")}, c.cell) AS rn
+       |    FROM vv t, cent c) WHERE rn = 1),
+       |probe AS (
+       |  SELECT cell FROM cent, q ORDER BY ${d2full("cv", "q.qv")}, cell LIMIT 3),
+       |$pqSubCtes,
+       |scored AS (
+       |  SELECT e0.vec_id, cells.cell, $PqCodeCols, $PqAdcSum AS adc_raw
+       |  FROM e0 $PqEncJoins $PqTabJoins
+       |    JOIN cells ON e0.vec_id = cells.vec_id
+       |    JOIN probe USING (cell))
+       |SELECT s.vec_id, s.cell, code0, code1, code2, code3,
        |  round(adc_raw, 6) AS adc,
        |  round(${sqlCos("vv.v", "q.qv")}, 6) AS exact_score
        |FROM scored s JOIN vv USING (vec_id), q
@@ -270,6 +359,8 @@ object AnnQueries {
     "ann_ivf" -> IvfOracleSql,
 
     "ann_pq" -> PqOracleSql,
+
+    "ann_ivf_pq" -> IvfPqOracleSql,
 
     // recall@5 of the LSH index against the exact ground truth — both
     // sides are the already-oracled queries nested as subqueries, so

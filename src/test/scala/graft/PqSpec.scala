@@ -67,4 +67,20 @@ class PqSpec extends SparkSpecBase {
     // ADC ascending means the first hit is the query itself
     assert(top.head == 0L)
   }
+
+  test("adcTopK carries extra columns through the code-only scan (IVF×PQ shape)") {
+    import spark.implicits._
+    val books = Pq.fit(clustered, "vec_id", "embedding",
+      dim = Dim, nSub = NSub, seedMod = 25, iters = 1)
+    val enc = Pq.encode(
+      clustered.withColumn("part_cell", (col("vec_id") / 50).cast("long")),
+      "vec_id", "embedding", books, Dim)
+    val qv = clustered.filter($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Double](0).toArray
+    val out = Pq.adcTopK(enc.filter($"part_cell" === 0L),
+      "vec_id", "embedding", books, qv, k = 5, carryCols = Seq("part_cell"))
+    val rows = out.select($"vec_id", $"part_cell").as[(Long, Long)].collect()
+    assert(rows.length == 5)
+    assert(rows.forall { case (id, cell) => cell == 0L && id < 50L })
+  }
 }
