@@ -200,6 +200,19 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // the SKETCH scale path for q_quantiles, made first-class and
+    // hash-oracled: fixed-bin histogram quantiles
+    // (graft.operators.HistogramSketch) — ships ≤256 counter rows per
+    // group instead of sorting every value; worst-case error one bin
+    // width. Same role as approx_percentile's t-digest, but engine-
+    // portable so DuckDB replays it bit-for-bit.
+    "q_quantiles_sketch" -> ((s, dir) => {
+      graft.operators.HistogramSketch.quantiles(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), col("l_extendedprice"),
+          Seq("p25_est" -> 0.25, "p50_est" -> 0.5, "p95_est" -> 0.95))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // exact discrete quantiles per group (at 100 TB the
     // approx_percentile t-digest sketch replaces this plan-compatibly)
     // Exact discrete quantiles via ONE ranked window pass: value at
@@ -413,6 +426,42 @@ object RelationalQueries {
         |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
         |  percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // bit-for-bit replay of HistogramSketch (see its scaladoc):
+    // identical IEEE chains — every constant is forced to DOUBLE
+    // (DuckDB's bare 0.95 literal is DECIMAL, whose exact ceil could
+    // differ from the double product Spark computes at integer
+    // boundaries), floor/least/edge arithmetic in the same association
+    // order, integer cumulative selection.
+    "q_quantiles_sketch" -> {
+      val b = graft.operators.HistogramSketch.B
+      def sel(name: String, p: Double): String =
+        s"min(CASE WHEN cum >= CAST(CEIL($p::DOUBLE * n) AS BIGINT) THEN bin END) AS _b_$name"
+      def edge(name: String): String =
+        s"round(s.lo + (_b_$name + 1) * (s.hi - s.lo) / $b.0, 6) AS $name"
+      s"""WITH stats AS (
+         |  SELECT l_returnflag AS g, min(l_extendedprice) AS lo,
+         |    max(l_extendedprice) AS hi, count(*) AS n
+         |  FROM lineitem GROUP BY 1),
+         |binned AS (
+         |  SELECT l.l_returnflag AS g,
+         |    CASE WHEN s.hi = s.lo THEN 0
+         |      ELSE CAST(LEAST(FLOOR((l.l_extendedprice - s.lo) * $b.0 / (s.hi - s.lo)),
+         |                      ${b - 1}.0) AS BIGINT) END AS bin,
+         |    count(*) AS c
+         |  FROM lineitem l JOIN stats s ON l.l_returnflag = s.g
+         |  GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT c.g, c.bin, CAST(sum(c.c) OVER (PARTITION BY c.g ORDER BY c.bin) AS BIGINT) AS cum, s.n
+         |  FROM binned c JOIN stats s ON c.g = s.g),
+         |sel AS (
+         |  SELECT g, ${sel("p25_est", 0.25)}, ${sel("p50_est", 0.5)}, ${sel("p95_est", 0.95)}
+         |  FROM cum GROUP BY g)
+         |SELECT s.g AS l_returnflag, s.n,
+         |  ${edge("p25_est")}, ${edge("p50_est")}, ${edge("p95_est")}
+         |FROM sel JOIN stats s USING (g)
+         |ORDER BY l_returnflag""".stripMargin
+    },
 
     "q_sessionize" ->
       s"""WITH $SqlSessionCtes

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.HistogramSketch
+
+/** The q_quantiles_sketch DuckDB oracle checks engine parity; these
+  * check the estimator: within one bin width of the exact quantile,
+  * partition-invariant, and exact on degenerate one-value groups.
+  */
+class HistogramSketchSpec extends SparkSpecBase {
+
+  private def sketch(parts: Int) = {
+    import spark.implicits._
+    // deterministic pseudo-uniform values on [0, 1000) plus a
+    // one-value group that exercises the hi == lo guard
+    val rows = (0L until 4000L).map { i =>
+      ("u", ((i * 2654435761L) % 100000L).toDouble / 100.0)
+    } ++ (0L until 10L).map(_ => ("const", 42.5))
+    HistogramSketch.quantiles(
+      rows.toDF("g", "x").repartition(parts), Seq("g"), col("x"),
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95))
+  }
+
+  test("estimates land within one bin width of the exact quantile") {
+    import spark.implicits._
+    val out = sketch(4).filter($"g" === "u")
+      .select($"n", $"p25", $"p50", $"p95")
+      .as[(Long, Double, Double, Double)].head()
+    val binWidth = 1000.0 / HistogramSketch.B
+    assert(out._1 == 4000L)
+    for ((est, exact) <- Seq(out._2 -> 250.0, out._3 -> 500.0, out._4 -> 950.0))
+      assert(math.abs(est - exact) <= binWidth + 1.0, s"est $est vs ~$exact")
+  }
+
+  test("one-value group reconstructs the value exactly") {
+    import spark.implicits._
+    val row = sketch(3).filter($"g" === "const")
+      .select($"p25", $"p50", $"p95").as[(Double, Double, Double)].head()
+    assert(row == ((42.5, 42.5, 42.5)))
+  }
+
+  test("partition invariance: identical bits at any parallelism") {
+    val a = sketch(1).orderBy("g").collect().toSeq
+    val b = sketch(17).orderBy("g").collect().toSeq
+    assert(a == b)
+  }
+}
