@@ -38,8 +38,10 @@ object HistogramSketch {
   def quantiles(df: DataFrame, groupCols: Seq[String], valCol: Column,
       ps: Seq[(String, Double)]): DataFrame = {
     val gcols = groupCols.map(col)
-    val stats = df.groupBy(gcols: _*)
-      .agg(min(valCol).as("_lo"), max(valCol).as("_hi"), count(lit(1)).as("n"))
+    // the stats frame is joined three times downstream — barrier it so
+    // the corpus is scanned once for stats, not once per reference
+    val stats = graft.Barrier.checkpoint(df.groupBy(gcols: _*)
+      .agg(min(valCol).as("_lo"), max(valCol).as("_hi"), count(lit(1)).as("n")))
     val bin = when(col("_hi") === col("_lo"), lit(0L))
       .otherwise(least(
         floor((valCol - col("_lo")) * lit(B.toDouble) / (col("_hi") - col("_lo"))),

@@ -69,16 +69,32 @@ object HllSketch {
     when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w))).cast("int")
   }
 
-  /** Distinct-count estimate of `keyCol` per `groupCols`: one narrow
-    * hash pass, a (group, bucket) max aggregate (≤ M rows per group),
-    * then the closed-form estimate. Output: groupCols ++
-    * (hll_est: double round 4, n_regs_hit: long).
+  /** The register frame — the sketch's MERGEABLE form: groupCols ++
+    * (_b: register index, _m: max rho). ≤ M rows per group, max is
+    * associative/idempotent, so registers of a corpus union are an
+    * elementwise max of per-corpus registers (see merge), registers
+    * of a stream are a running max (streaming twin), and incremental
+    * ingest never re-scans history.
     */
-  def distinctSketch(df: DataFrame, groupCols: Seq[String], keyCol: Column): DataFrame = {
+  def registers(df: DataFrame, groupCols: Seq[String], keyCol: Column): DataFrame = {
     val gcols = groupCols.map(col)
     df.select(gcols :+ bucket(keyCol).as("_b") :+ rho(keyCol).as("_r"): _*)
       .groupBy(gcols :+ col("_b"): _*)
       .agg(max(col("_r")).as("_m"))
+  }
+
+  /** Union two register frames (same grouping) — elementwise max. */
+  def merge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols.map(col) :+ col("_b")): _*)
+      .agg(max(col("_m")).as("_m"))
+
+  /** Closed-form estimate from a register frame. Output: groupCols ++
+    * (hll_est: double round 4, n_regs_hit: long).
+    */
+  def estimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val gcols = groupCols.map(col)
+    regs
       .groupBy(gcols: _*)
       .agg(
         sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - _m AS INT))")).as("_s_hit"),
@@ -89,4 +105,12 @@ object HllSketch {
           4).as("hll_est")
         :+ col("n_regs_hit"): _*)
   }
+
+  /** Distinct-count estimate of `keyCol` per `groupCols`: one narrow
+    * hash pass, a (group, bucket) max aggregate (≤ M rows per group),
+    * then the closed-form estimate. Output: groupCols ++
+    * (hll_est: double round 4, n_regs_hit: long).
+    */
+  def distinctSketch(df: DataFrame, groupCols: Seq[String], keyCol: Column): DataFrame =
+    estimate(registers(df, groupCols, keyCol), groupCols)
 }

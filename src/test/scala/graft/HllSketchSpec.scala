@@ -50,4 +50,50 @@ class HllSketchSpec extends SparkSpecBase {
     assert(rows("small")._2 <= HllSketch.M && rows("big")._2 <= HllSketch.M)
     assert(rows("big")._1 > rows("small")._1)
   }
+
+  test("merge of disjoint halves equals the sketch of the union, bit for bit") {
+    import spark.implicits._
+    val all = (0L until 3000L).map(i => ("g", s"k$i")).toDF("grp", "key")
+    val h1 = all.filter(xxhash64($"key") % 2 === 0)
+    val h2 = all.filter(xxhash64($"key") % 2 =!= 0)
+    val whole = HllSketch.distinctSketch(all, Seq("grp"), $"key")
+      .select($"hll_est").as[Double].head()
+    val merged = HllSketch.estimate(
+      HllSketch.merge(
+        HllSketch.registers(h1, Seq("grp"), $"key"),
+        HllSketch.registers(h2, Seq("grp"), $"key"), Seq("grp")),
+      Seq("grp")).select($"hll_est").as[Double].head()
+    assert(whole == merged)
+    // overlapping halves too — idempotent max means duplicates between
+    // shards cannot inflate the union estimate
+    val overlapped = HllSketch.estimate(
+      HllSketch.merge(
+        HllSketch.registers(all, Seq("grp"), $"key"),
+        HllSketch.registers(h2, Seq("grp"), $"key"), Seq("grp")),
+      Seq("grp")).select($"hll_est").as[Double].head()
+    assert(overlapped == whole)
+  }
+
+  test("streaming twin: running registers converge to the batch sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 2000L).map(i => (s"t${i % 3}", s"u${i % 400}"))
+    val stream = MemoryStream[(String, String)]
+    // two batches — the second overlaps the first, exercising the
+    // idempotent running max in the state store
+    stream.addData(rows.take(1200))
+    stream.addData(rows.drop(800))
+    val q = graft.streaming.StreamingDistinctSketch.registersStream(
+        stream.toDF().toDF("event_type", "user_id"), Seq("event_type"), "user_id")
+      .writeStream.format("memory").queryName("hll_regs_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = HllSketch.estimate(spark.table("hll_regs_out"), Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    val batch = HllSketch.distinctSketch(
+        rows.toDF("event_type", "user_id"), Seq("event_type"), $"user_id")
+      .orderBy("event_type").collect().toSeq
+    assert(streamed == batch)
+  }
 }
