@@ -200,6 +200,26 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // runtime-filter join (operators.BloomJoin): a selective orders
+    // predicate builds a 128 KiB bloom of surviving o_orderkeys,
+    // broadcast and probed inside the lineitem scan, so only
+    // might-join rows reach the join exchange. No false negatives →
+    // row-identical to the plain join, which is what the oracle runs
+    // (a bloom never needs replaying to be checked).
+    "q_bloom_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-04-01")))
+      val pruned = graft.operators.BloomJoin.pruneFact(
+        t(s, dir, "lineitem"), "l_orderkey", ord, "o_orderkey")
+      pruned.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // the SKETCH scale path for q_quantiles, made first-class and
     // hash-oracled: fixed-bin histogram quantiles
     // (graft.operators.HistogramSketch) — ships ≤256 counter rows per
@@ -426,6 +446,18 @@ object RelationalQueries {
         |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
         |  percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the PLAIN join — bloom pruning has no false negatives, so the
+    // filtered plan must produce exactly these rows
+    "q_bloom_join" ->
+      """SELECT o_orderpriority,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-04-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // bit-for-bit replay of HistogramSketch (see its scaladoc):
     // identical IEEE chains — every constant is forced to DOUBLE

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BloomJoin
+
+/** The q_bloom_join oracle pins result identity to the plain join;
+  * these check the filter itself: zero false negatives under
+  * map-side partial aggregation, and real pruning power at the
+  * default sizing.
+  */
+class BloomJoinSpec extends SparkSpecBase {
+
+  test("no false negatives: pruned join equals plain join at any parallelism") {
+    import spark.implicits._
+    val fact = (0L until 20000L).map(i => (i % 4000L, i)).toDF("fk", "row_id")
+      .repartition(13)
+    val build = (0L until 4000L).filter(_ % 7 == 0).map(k => (k, s"b$k"))
+      .toDF("bk", "payload").repartition(5)
+    val plain = fact.join(build, $"fk" === $"bk")
+      .select($"row_id").as[Long].collect().toSet
+    val pruned = BloomJoin.pruneFact(fact, "fk", build, "bk")
+      .join(build, $"fk" === $"bk")
+      .select($"row_id").as[Long].collect().toSet
+    assert(pruned == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("pruning drops the vast majority of non-joining fact rows") {
+    import spark.implicits._
+    // disjoint key spaces: every surviving row is a false positive
+    val fact = (0L until 50000L).map(i => (1000000L + i, i)).toDF("fk", "row_id")
+    val build = (0L until 1000L).map(k => Tuple1(k)).toDF("bk")
+    val survivors = BloomJoin.pruneFact(fact, "fk", build, "bk").count()
+    // default sizing targets ~1% FP at 100k keys; at 1k keys it is
+    // far below that — allow a loose 2% bound
+    assert(survivors < 1000L, s"$survivors false positives of 50000")
+  }
+
+  test("bit math round-trips through serialize/merge") {
+    val words = new Array[Long](BloomJoin.DefaultMBits / 64)
+    val keys = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 123456789L)
+    keys.foreach(k => graft.functions.expr.BloomFilter.set(
+      words, k, BloomJoin.DefaultMBits, BloomJoin.DefaultK))
+    val bytes = graft.functions.expr.BloomFilter.toBytes(words)
+    assert(graft.functions.expr.BloomFilter.fromBytes(bytes).toSeq == words.toSeq)
+    keys.foreach { k =>
+      assert(graft.functions.expr.BloomFilter.mightContain(
+        bytes, k, BloomJoin.DefaultMBits, BloomJoin.DefaultK), s"lost key $k")
+    }
+  }
+}
