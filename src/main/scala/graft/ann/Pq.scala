@@ -20,14 +20,16 @@ import org.apache.spark.sql.functions._
   *     code as ONE BYTE: a 64-dim float corpus compresses 64× (256 B
   *     → 4 B per vector), which is what lets a 100 TB corpus's index
   *     live in cluster memory;
-  *   - SEARCH (ADC, asymmetric distance computation): the query stays
-  *     exact; its distance to every centroid of every codebook is a
-  *     tiny driver-side table (nSub × K doubles) embedded as a plan
-  *     constant, so the scan reads ONLY the code columns (columnar
-  *     pruning never touches the float vectors), approximates
-  *     ||q - x||² as the sum of per-subspace table lookups, and
-  *     TakeOrderedAndProject keeps k rows. Per-row cost: nSub map
-  *     lookups + an add chain — no vector arithmetic at all.
+  *   - SEARCH (ADC + exact rerank — FAISS's refine shape): the query
+  *     stays exact; its distance to every centroid of every codebook
+  *     is a tiny driver-side table (nSub × K doubles) embedded as a
+  *     plan constant, so the candidate scan reads ONLY the code
+  *     columns (columnar pruning never touches the float vectors),
+  *     approximates ||q - x||² as the sum of per-subspace table
+  *     lookups, and TakeOrderedAndProject keeps the top `candidates`
+  *     rows; those (and only those) get an exact-cosine rerank to the
+  *     final k. Per-corpus-row cost: nSub map lookups + an add chain
+  *     — no vector arithmetic at all.
   *
   * Determinism contract (SURVEY §5): subspace slicing is positional;
   * seed relabeling is ordered by id; every d² is the same
@@ -78,15 +80,22 @@ object Pq {
     cur
   }
 
-  /** ADC top-k for one query vector: distance tables from the
-    * (collected, ≤ nSub×K-row) codebooks become map literals; the scan
-    * touches only the code columns. Returns the k nearest rows with
-    * their codes, the rounded ADC distance, and the exact cosine for
-    * the same row (the measured PQ approximation error).
+  /** ADC candidate generation + exact rerank (FAISS's refine shape)
+    * for one query vector: distance tables from the (collected,
+    * ≤ nSub×K-row) codebooks become map literals; the candidate scan
+    * touches only the code columns and keeps the `candidates` best by
+    * ADC; the winners' float vectors are fetched by id and the final
+    * k are ranked by EXACT cosine. Quantization noise costs recall
+    * only when a true neighbor misses the candidate set — `candidates`
+    * is the recall dial (measured by ann_pq_recall), and the exact
+    * fetch is a bounded candidate-set lookup, never a corpus scan.
+    * `candidates <= 0` means rerank exactly the top k.
     */
   def adcTopK(encoded: DataFrame, idCol: String, vecCol: String,
       books: Seq[DataFrame], queryVec: Array[Double], k: Int,
-      carryCols: Seq[String] = Seq.empty): DataFrame = {
+      candidates: Int = 0, carryCols: Seq[String] = Seq.empty): DataFrame = {
+    val nCand = if (candidates <= 0) k else candidates
+    require(nCand >= k, s"candidates $nCand must be >= k $k")
     val subDim = queryVec.length / books.size
     val tables: Seq[Map[Long, Double]] = books.zipWithIndex.map { case (book, s) =>
       val rows = book.select(col("cid").cast("long"), col("cv").cast("array<double>"))
@@ -113,24 +122,27 @@ object Pq {
     }.reduce(_ + _) // subspace order — matches the oracle's add chain
     val qv = lit(queryVec)
     import graft.functions.VectorFunctions.cosine
-    // two-phase serving shape: the top-k pass projects ONLY
+    // two-phase serving shape: the candidate pass projects ONLY
     // (id, codes) — on a persisted code table the scan never touches
-    // the float vectors — then the k winners' exact scores come from
-    // a broadcast id-lookup against the corpus (a 10-row fetch, the
+    // the float vectors — then the candidates' exact scores come from
+    // a broadcast id-lookup against the corpus (a bounded fetch, the
     // point-lookup any serving store does after candidate selection)
-    val top = encoded
+    val cands = encoded
       .select(Seq(col(idCol)) ++ carryCols.map(col) ++
         books.indices.map(s => col(s"code$s")): _*)
       .withColumn("_adc", adcRaw)
       .orderBy(col("_adc"), col(idCol))
-      .limit(k)
+      .limit(nCand)
+    val exactRaw = cosine(col(vecCol).cast("array<double>"), qv)
     encoded.select(col(idCol), col(vecCol))
-      .join(broadcast(top), Seq(idCol))
-      .orderBy(col("_adc"), col(idCol))
+      .join(broadcast(cands), Seq(idCol))
+      .withColumn("_exact", exactRaw)
+      .orderBy(desc("_exact"), col(idCol))
+      .limit(k)
       .select(Seq(col(idCol)) ++ carryCols.map(col) ++
         books.indices.map(s => col(s"code$s")) ++
         Seq(round(col("_adc"), 6).as("adc"),
-          round(cosine(col(vecCol).cast("array<double>"), qv), 6).as("exact_score")): _*)
+          round(col("_exact"), 6).as("exact_score")): _*)
   }
 
   /** Positional subspace slice `_sv` (subspace s → dims

@@ -134,25 +134,29 @@ object AnnQueries {
         .orderBy(col("qid"))
     }),
 
-    // product quantization (graft.ann.Pq): 4 subspace codebooks of
-    // ~16 codewords (deterministic √-free n/16 seed rule, one
-    // decimal-exact Lloyd update), byte-sized codes, then ADC top-10
-    // for the vec_id=0 query — the scan reads ONLY the code columns;
-    // exact_score surfaces the measured PQ approximation error.
+    // product quantization (graft.ann.Pq): 8 subspace codebooks of
+    // ~32 codewords (deterministic n/K seed rule, one decimal-exact
+    // Lloyd update), byte-sized codes, ADC top-100 candidates read
+    // from the code columns only, exact rerank to 10 (FAISS's refine
+    // shape); exact_score vs adc surfaces the quantization error.
     // Codebooks are Barrier-checkpointed: encode and the ADC tables
     // both consume them, and each would otherwise re-run the fit.
-    "ann_pq" -> ((s, dir) => {
+    "ann_pq" -> ((s, dir) => pqTopK(s, dir)),
+
+    // recall@9 of the PQ index against exact brute-force ground truth
+    // (the self-hit is excluded on both sides) — the quality dial for
+    // (nSub, K, iters), same role ann_recall plays for the LSH index.
+    // Oracle nests the ann_pq oracle verbatim plus its own brute CTE.
+    "ann_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
-        emb, "embedding", None).n
-      val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
-          dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
-        .map(graft.Barrier.checkpoint(_))
-      val enc = graft.ann.Pq.encode(emb, "vec_id", "embedding", books, Dim)
-      val qv = emb.filter(col("vec_id") === 0L)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray
-      graft.ann.Pq.adcTopK(enc, "vec_id", "embedding", books, qv, k = 10)
+      val qs = emb.filter(col("vec_id") === 0L)
+      val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 9)
+        .select(col("vec_id"))
+      val pq = pqTopK(s, dir).filter(col("vec_id") =!= 0L).select(col("vec_id"))
+      brute.join(broadcast(pq), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("n_hits"), round(col("n_hits") / 9.0, 6).as("recall"))
     }),
 
     // IVF×PQ — the production composition (FAISS's IVFPQ shape): the
@@ -194,7 +198,8 @@ object AnnQueries {
       }.sortBy { case (c, d) => (d, c) }.take(3).map(_._1)
       graft.ann.Pq.adcTopK(
           enc.filter(col("ivf_cell").isin(probed: _*)),
-          "vec_id", "embedding", books, qv, k = 10, carryCols = Seq("ivf_cell"))
+          "vec_id", "embedding", books, qv, k = 10, candidates = PqRerank,
+          carryCols = Seq("ivf_cell"))
         .withColumnRenamed("ivf_cell", "cell")
     }),
 
@@ -246,9 +251,37 @@ object AnnQueries {
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_raw DESC, vec_id) AS BIGINT) AS rk
        |FROM scored QUALIFY rk <= 5 ORDER BY qid, rk""".stripMargin
 
-  /** PQ geometry: 4 subspaces × ~16 codewords (Dim 64 → subDim 16). */
-  private val PqSub = 4
-  private val PqK = 16
+  /** PQ geometry: 8 subspaces × ~32 codewords (Dim 64 → subDim 8;
+    * 8 byte-sized codes per vector = 32× compression of the float
+    * corpus) and an exact rerank over the ADC top-100. The near-
+    * uniform synthetic sphere is PQ's worst case (nothing to
+    * quantize toward): 4×16 codes put only ~5 of the true top-9 in
+    * any 10%-of-corpus candidate set; 8×32 + rerank measures 8/9
+    * (ann_pq_recall). Real clustered embeddings need far fewer bits
+    * (PqSpec's separable corpus retrieves perfectly at 2×~4).
+    */
+  private val PqSub = 8
+  private val PqK = 32
+  private val PqRerank = 100
+
+  /** The ann_pq plan (fit → encode → ADC top-PqRerank candidates for
+    * vec_id 0 → exact rerank to 10) — shared by the ann_pq entry and
+    * ann_pq_recall's candidate side.
+    */
+  private def pqTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = t(s, dir, "embeddings")
+    val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+      emb, "embedding", None).n
+    val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
+        dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
+      .map(graft.Barrier.checkpoint(_))
+    val enc = graft.ann.Pq.encode(emb, "vec_id", "embedding", books, Dim)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    graft.ann.Pq.adcTopK(enc, "vec_id", "embedding", books, qv,
+      k = 10, candidates = PqRerank)
+  }
 
   /** Bit-for-bit replay of Pq.fit + encode + ADC (see Pq scaladoc):
     * per subspace — slice, relabeled seeds by the same n/K modulus,
@@ -302,6 +335,7 @@ object AnnQueries {
   }
 
   private val PqCodeCols = (0 until PqSub).map(s => s"e$s.code AS code$s").mkString(", ")
+  private val PqCodeNames = (0 until PqSub).map(s => s"code$s").mkString(", ")
   private val PqEncJoins = (1 until PqSub).map(s => s"JOIN e$s USING (vec_id)").mkString(" ")
   private val PqTabJoins = (0 until PqSub).map(s => s"JOIN t$s ON e$s.code = t$s.cid").mkString(" ")
   private val PqAdcSum = (0 until PqSub).map(s => s"t$s.d").mkString(" + ")
@@ -313,12 +347,14 @@ object AnnQueries {
        |$pqSubCtes,
        |scored AS (
        |  SELECT e0.vec_id, $PqCodeCols, $PqAdcSum AS adc_raw
-       |  FROM e0 $PqEncJoins $PqTabJoins)
-       |SELECT s.vec_id, code0, code1, code2, code3,
+       |  FROM e0 $PqEncJoins $PqTabJoins),
+       |cands AS (
+       |  SELECT * FROM scored ORDER BY adc_raw, vec_id LIMIT $PqRerank)
+       |SELECT s.vec_id, $PqCodeNames,
        |  round(adc_raw, 6) AS adc,
        |  round(${sqlCos("vv.v", "q.qv")}, 6) AS exact_score
-       |FROM scored s JOIN vv USING (vec_id), q
-       |ORDER BY adc_raw, s.vec_id LIMIT 10""".stripMargin
+       |FROM cands s JOIN vv USING (vec_id), q
+       |ORDER BY ${sqlCos("vv.v", "q.qv")} DESC, s.vec_id LIMIT 10""".stripMargin
 
   /** ann_ivf_pq: the IVF coarse layer (√n seed-row centroids, same
     * geometry as IvfOracleSql but ordered by the raw d² fold the
@@ -345,12 +381,14 @@ object AnnQueries {
        |  SELECT e0.vec_id, cells.cell, $PqCodeCols, $PqAdcSum AS adc_raw
        |  FROM e0 $PqEncJoins $PqTabJoins
        |    JOIN cells ON e0.vec_id = cells.vec_id
-       |    JOIN probe USING (cell))
-       |SELECT s.vec_id, s.cell, code0, code1, code2, code3,
+       |    JOIN probe USING (cell)),
+       |cands AS (
+       |  SELECT * FROM scored ORDER BY adc_raw, vec_id LIMIT $PqRerank)
+       |SELECT s.vec_id, s.cell, $PqCodeNames,
        |  round(adc_raw, 6) AS adc,
        |  round(${sqlCos("vv.v", "q.qv")}, 6) AS exact_score
-       |FROM scored s JOIN vv USING (vec_id), q
-       |ORDER BY adc_raw, s.vec_id LIMIT 10""".stripMargin
+       |FROM cands s JOIN vv USING (vec_id), q
+       |ORDER BY ${sqlCos("vv.v", "q.qv")} DESC, s.vec_id LIMIT 10""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -361,6 +399,23 @@ object AnnQueries {
     "ann_pq" -> PqOracleSql,
 
     "ann_ivf_pq" -> IvfPqOracleSql,
+
+    // the ann_pq oracle nested verbatim vs a 9-deep exact-cosine CTE
+    // (self-hit excluded both sides) — composition can only pass if
+    // both parents' semantics hold
+    "ann_pq_recall" ->
+      s"""WITH pq AS (
+         |  SELECT vec_id FROM ($PqOracleSql) WHERE vec_id <> 0),
+         |bq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |brute AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |      ${sqlCos("CAST(embedding AS DOUBLE[])", "qv")} AS score_raw
+         |    FROM embeddings, bq WHERE vec_id <> 0)
+         |  ORDER BY score_raw DESC, vec_id LIMIT 9)
+         |SELECT CAST(count(*) AS BIGINT) AS n_hits,
+         |  round(count(*) / 9.0, 6) AS recall
+         |FROM brute JOIN pq USING (vec_id)""".stripMargin,
 
     // recall@5 of the LSH index against the exact ground truth — both
     // sides are the already-oracled queries nested as subqueries, so
