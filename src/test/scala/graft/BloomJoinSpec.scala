@@ -37,6 +37,19 @@ class BloomJoinSpec extends SparkSpecBase {
     assert(survivors < 1000L, s"$survivors false positives of 50000")
   }
 
+  test("probe is a literal filter on the fact plan — no join, no broadcast") {
+    import spark.implicits._
+    val fact = (0L until 1000L).map(i => (i, i)).toDF("fk", "row_id")
+    val build = (0L until 100L).map(k => Tuple1(k)).toDF("bk")
+    val pruned = BloomJoin.pruneFact(fact, "fk", build, "bk")
+    // analyzed (not optimized) plan: over a LocalRelation the
+    // optimizer folds the probe entirely — here we pin SHAPE: the
+    // probe is a plain literal filter, not a join
+    val plan = pruned.queryExecution.analyzed.toString
+    assert(!plan.toLowerCase.contains("join"), s"probe plan still joins:\n$plan")
+    assert(plan.contains("bloom_might_contain"), plan)
+  }
+
   test("bit math round-trips through serialize/merge") {
     val words = new Array[Long](BloomJoin.DefaultMBits / 64)
     val keys = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 123456789L)
