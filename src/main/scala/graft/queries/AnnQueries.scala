@@ -203,6 +203,40 @@ object AnnQueries {
         .withColumnRenamed("ivf_cell", "cell")
     }),
 
+    // The PERSISTED IVF×PQ path — the production shape the in-query
+    // ann_ivf_pq entry documents: fit + assign + encode paid ONCE at
+    // ingest (QueryUtil.persistedArtifact), the layout written
+    // partitionBy(cell) with the byte codes alongside, and the query
+    // is probeCells (driver-side, same d² fold + tiebreak as the
+    // oracle) + searchCells — static partition pruning into an ADC
+    // scan that reads only the code columns. Same centroids, books,
+    // and probe geometry as ann_ivf_pq, so results (and the oracle)
+    // are identical; what THIS entry checks is that save → load →
+    // pruned-probe preserves them.
+    "ann_ivf_pq_persisted" -> ((s, dir) => {
+      val idxPath = persistedArtifact("ivfpq", dir) { p =>
+        val emb = t(s, dir, "embeddings")
+        val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+          emb, "embedding", None).n
+        val mIvf = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+        val cent = emb.filter(pmod(col("vec_id"), lit(mIvf)) === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
+            dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
+          .map(graft.Barrier.checkpoint(_))
+        graft.ann.IvfPqIndex.build(emb, "vec_id", "embedding",
+          cent, "cid", "cv", books, Dim, p)
+      }
+      val idx = graft.ann.IvfPqIndex.load(s, idxPath, "vec_id", "embedding", PqSub)
+      val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val probed = idx.probeCells(qv, nprobe = 3)
+      idx.searchCells(probed, qv, k = 10, candidates = PqRerank)
+        // partition-column type inference reads cell back as int
+        .withColumn("cell", col("cell").cast("long"))
+    }),
+
     // approximate kNN: (label × LSH bucket) blocking, multi-probe
     // hamming-1 — the exact label-blocked join is quadratic in block
     // size (162s at a 10× scale-up). The plane count comes from
@@ -399,6 +433,12 @@ object AnnQueries {
     "ann_pq" -> PqOracleSql,
 
     "ann_ivf_pq" -> IvfPqOracleSql,
+
+    // identical semantics to ann_ivf_pq (same centroids, books, probe
+    // geometry) — the entry exists to pin the save→load→pruned-probe
+    // path to the same rows, exactly as ann_ivf_persisted does for
+    // the plain IVF layout
+    "ann_ivf_pq_persisted" -> IvfPqOracleSql,
 
     // the ann_pq oracle nested verbatim vs a 9-deep exact-cosine CTE
     // (self-hit excluded both sides) — composition can only pass if

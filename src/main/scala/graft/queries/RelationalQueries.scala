@@ -200,12 +200,37 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // the mergeable-sketch scale path for per-key frequency queries,
+    // made first-class and hash-oracled: count-min (operators.CmSketch
+    // — md5-derived positions, exact integer counters) estimates every
+    // candidate's frequency from a constant 4×256 counter grid; keys
+    // whose estimate clears a relative threshold (0.75% of the corpus,
+    // compared in exact integer arithmetic) are the heavy hitters.
+    // est ≥ exact ALWAYS (collisions only add), so the threshold scan
+    // has no false negatives — the surfaced overcount column is the
+    // sketch's only error mode. Shuffle: ≤1024 counter rows vs every
+    // (key, count) pair.
+    "q_heavy_hitters" -> ((s, dir) => {
+      import graft.operators.CmSketch
+      val ev = t(s, dir, "events")
+      val key = col("user_id").cast("string")
+      val cnts = CmSketch.counters(ev, key)
+      val cand = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+      val tot = cand.agg(sum(col("exact")).as("_n"))
+      CmSketch.estimate(cand, col("user_id").cast("string"), cnts)
+        .crossJoin(broadcast(tot))
+        .filter(col("_est") * 10000 >= lit(75) * col("_n"))
+        .select(col("user_id"), col("_est").as("est"), col("exact"),
+          (col("_est") - col("exact")).as("overcount"))
+        .orderBy(col("user_id"))
+    }),
+
     // runtime-filter join (operators.BloomJoin): a selective orders
     // predicate builds a 128 KiB bloom of surviving o_orderkeys,
-    // broadcast and probed inside the lineitem scan, so only
-    // might-join rows reach the join exchange. No false negatives →
-    // row-identical to the plain join, which is what the oracle runs
-    // (a bloom never needs replaying to be checked).
+    // embedded as a literal and probed inside the lineitem scan, so
+    // only might-join rows reach the join exchange. No false
+    // negatives → row-identical to the plain join, which is what the
+    // oracle runs (a bloom never needs replaying to be checked).
     "q_bloom_join" -> ((s, dir) => {
       val ord = t(s, dir, "orders")
         .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01")) &&
@@ -439,6 +464,31 @@ object RelationalQueries {
          |  round((hll_users - n_users) / n_users, 6) AS rel_err
          |FROM est JOIN ex USING (event_type)
          |ORDER BY event_type""".stripMargin,
+
+    // bit-for-bit replay of CmSketch (see its scaladoc): same
+    // md5("j:key") positions, exact integer counters and threshold
+    // compare — combine order cannot change a bit anywhere
+    "q_heavy_hitters" ->
+      s"""WITH cnt AS (
+         |  SELECT j,
+         |    ('0x'||substr(md5(j::VARCHAR||':'||CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+         |      % ${graft.operators.CmSketch.W} AS p,
+         |    count(*)::BIGINT AS c
+         |  FROM events CROSS JOIN range(0, ${graft.operators.CmSketch.D}) r(j)
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT user_id, count(*)::BIGINT AS exact FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(sum(exact) AS BIGINT) AS n FROM cand),
+         |est AS (
+         |  SELECT user_id, exact, min(c) AS est FROM (
+         |    SELECT cand.user_id, cand.exact, cnt.c
+         |    FROM cand CROSS JOIN range(0, ${graft.operators.CmSketch.D}) r(j)
+         |    JOIN cnt ON cnt.j = r.j
+         |      AND cnt.p = ('0x'||substr(md5(r.j::VARCHAR||':'||CAST(cand.user_id AS VARCHAR)), 1, 4))::BIGINT
+         |        % ${graft.operators.CmSketch.W})
+         |  GROUP BY 1, 2)
+         |SELECT user_id, est, exact, est - exact AS overcount
+         |FROM est, tot WHERE est * 10000 >= 75 * n
+         |ORDER BY user_id""".stripMargin,
 
     "q_quantiles" ->
       """SELECT l_returnflag,
