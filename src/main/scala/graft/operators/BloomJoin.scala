@@ -35,15 +35,27 @@ object BloomJoin {
   val DefaultMBits = 1 << 20
   val DefaultK = 3
 
+  /** Keys of ANY type are reduced to a long via xxhash64 on BOTH the
+    * build and probe side. The first cut used cast("long"), which
+    * yields null for non-numeric strings: a null-cast build key was
+    * silently skipped and the matching probe rows filtered out —
+    * FALSE NEGATIVES, violating the row-identical-to-the-plain-join
+    * contract for any key type a plain equi-join would match.
+    * xxhash64 is codegen'd, deterministic, and never null (a null key
+    * hashes to the seed — its probe rows survive the bloom and are
+    * dropped by the equi-join, which never matches null anyway).
+    */
+  private def keyHash(key: Column): Column = xxhash64(key)
+
   def bloomAgg(key: Column, mBits: Int = DefaultMBits, k: Int = DefaultK): Column =
     ColumnBridge.column(BloomFilterAgg(
-      ColumnBridge.expression(key.cast("long")), mBits, k).toAggregateExpression())
+      ColumnBridge.expression(keyHash(key)), mBits, k).toAggregateExpression())
 
   def mightContain(bloom: Column, key: Column,
       mBits: Int = DefaultMBits, k: Int = DefaultK): Column =
     ColumnBridge.column(BloomMightContain(
       ColumnBridge.expression(bloom),
-      ColumnBridge.expression(key.cast("long")), mBits, k))
+      ColumnBridge.expression(keyHash(key)), mBits, k))
 
   /** Build the filter now: one bounded aggregate job whose result is
     * the mBits/8-byte serialized bloom — a planning-time

@@ -66,10 +66,14 @@ object CmSketch {
       .agg(sum(col("_c")).as("_c"))
 
   /** Append `_est` (the count-min estimate, ≥ the true count) to a
-    * frame of candidate keys: each key joins its D counters — the
-    * counter frame is ≤ D·W rows, always broadcast — and takes the
-    * min. Every key that appeared in the sketched input hit all D of
-    * its counters, so the join is never lossy for such keys.
+    * frame of candidate keys: each key LEFT-joins its D counters —
+    * the counter frame is ≤ D·W rows, always broadcast — and takes
+    * the min with absent cells counted as 0. An absent cell means no
+    * sketched key hashed there, i.e. the counter is 0; min over a 0
+    * gives _est = 0, exactly what true count-min returns for a key
+    * the input never contained. (An inner join would instead DROP the
+    * empty cells — inflating the min for a partially-unseen key and
+    * silently removing an all-unseen key from the output.)
     */
   def estimate(candidates: DataFrame, keyCol: Column,
       counterFrame: DataFrame): DataFrame = {
@@ -78,8 +82,8 @@ object CmSketch {
           struct(lit(j).as("_j"), pos(j, keyCol).as("_p"))): _*)))
       .select(candidates.columns.map(col) :+
         col("_jp._j").as("_j") :+ col("_jp._p").as("_p"): _*)
-    keyed.join(broadcast(counterFrame), Seq("_j", "_p"))
+    keyed.join(broadcast(counterFrame), Seq("_j", "_p"), "left")
       .groupBy(candidates.columns.map(col): _*)
-      .agg(min(col("_c")).as("_est"))
+      .agg(min(coalesce(col("_c"), lit(0L))).as("_est"))
   }
 }

@@ -59,10 +59,15 @@ object HistogramSketch {
     val picked = cum.groupBy(gcols: _*)
       .agg(sels.head, sels.tail: _*)
       .join(broadcast(stats), groupCols)
-    picked.select(gcols ++ Seq(col("n")) ++ ps.map { case (name, _) =>
-      round(col("_lo") +
-        (col(s"_b_$name") + lit(1L)) * (col("_hi") - col("_lo")) / lit(B.toDouble),
-        6).as(name)
+    // A quantile normally reports its bin's UPPER edge (bias ≤ one bin
+    // width high). For p small enough that the target rank is the
+    // group minimum (ceil(p·n) ≤ 1, including p = 0) the exact answer
+    // is known — return _lo directly instead of lo + binWidth.
+    picked.select(gcols ++ Seq(col("n")) ++ ps.map { case (name, p) =>
+      when(ceil(lit(p) * col("n")) <= 1, round(col("_lo"), 6))
+        .otherwise(round(col("_lo") +
+          (col(s"_b_$name") + lit(1L)) * (col("_hi") - col("_lo")) / lit(B.toDouble),
+          6)).as(name)
     }: _*)
   }
 }

@@ -26,6 +26,23 @@ class BloomJoinSpec extends SparkSpecBase {
     assert(plain.nonEmpty)
   }
 
+  test("no false negatives for string keys (non-castable to long)") {
+    import spark.implicits._
+    // the old cast("long") build path yielded null for these keys and
+    // skipped them -> pruneFact dropped rows a plain equi-join matches
+    val fact = (0 until 5000).map(i => (s"sku-${i % 500}", i))
+      .toDF("fk", "row_id").repartition(7)
+    val build = (0 until 500).filter(_ % 11 == 0).map(k => (s"sku-$k", k))
+      .toDF("bk", "payload")
+    val plain = fact.join(build, $"fk" === $"bk")
+      .select($"row_id").as[Int].collect().toSet
+    val pruned = BloomJoin.pruneFact(fact, "fk", build, "bk")
+      .join(build, $"fk" === $"bk")
+      .select($"row_id").as[Int].collect().toSet
+    assert(plain.nonEmpty)
+    assert(pruned == plain)
+  }
+
   test("pruning drops the vast majority of non-joining fact rows") {
     import spark.implicits._
     // disjoint key spaces: every surviving row is a false positive

@@ -28,6 +28,24 @@ class CmSketchSpec extends SparkSpecBase {
     }
   }
 
+  test("candidate keys absent from the sketched input get _est = 0") {
+    import spark.implicits._
+    val df = (1L to 50L).toDF("k")
+    val cnts = CmSketch.counters(df, $"k".cast("string"))
+    // candidates the sketch never saw: with only 50 keys in a 4x256
+    // grid, an unseen key hits at least one empty cell with
+    // overwhelming probability -> min(..., 0) = 0; and every
+    // candidate must appear in the output (the old inner join
+    // dropped keys whose D cells were all empty)
+    val cand = (1000L to 1040L).toDF("k")
+    val est = CmSketch.estimate(cand, $"k".cast("string"), cnts)
+      .select($"k", $"_est").collect()
+    assert(est.length == 41, s"dropped candidates: ${est.length} of 41")
+    assert(est.count(_.getLong(1) == 0L) >= 35,
+      s"unseen keys should mostly estimate 0: ${est.map(_.getLong(1)).toSeq}")
+    est.foreach(r => assert(r.getLong(1) >= 0L))
+  }
+
   test("counter grid is bounded by D x W with map-side combine") {
     import spark.implicits._
     val df = (0L until 5000L).map(i => i % 997L).toDF("k")

@@ -40,6 +40,20 @@ class HistogramSketchSpec extends SparkSpecBase {
     assert(row == ((42.5, 42.5, 42.5)))
   }
 
+  test("p small enough to select the minimum returns _lo exactly") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => ("g", 100.0 + i))
+    val out = HistogramSketch.quantiles(
+        rows.toDF("g", "x"), Seq("g"), col("x"),
+        Seq("p0" -> 0.0, "pmin" -> 0.004, "p50" -> 0.5))
+      .select($"p0", $"pmin", $"p50").as[(Double, Double, Double)].head()
+    // ceil(0*200) = 0 and ceil(0.004*200) = 1 both select the group
+    // minimum -> exact _lo, not lo + binWidth
+    assert(out._1 == 100.0, s"p=0 returned ${out._1}")
+    assert(out._2 == 100.0, s"p=1/n returned ${out._2}")
+    assert(out._3 > 150.0)
+  }
+
   test("partition invariance: identical bits at any parallelism") {
     val a = sketch(1).orderBy("g").collect().toSeq
     val b = sketch(17).orderBy("g").collect().toSeq
