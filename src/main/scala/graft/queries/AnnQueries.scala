@@ -237,6 +237,35 @@ object AnnQueries {
         .withColumn("cell", col("cell").cast("long"))
     }),
 
+    // The PERSISTED flat-PQ path — the production shape for the plain
+    // ann_pq entry, closing the loop ann_ivf_pq_persisted closed for
+    // the composed index: the Lloyd fit + encode (which dominate
+    // ann_pq's in-query wall clock at scale) are paid ONCE at ingest
+    // (QueryUtil.persistedArtifact), the layout is one parquet of
+    // (id, vector, byte codes) + tiny codebook parquets, and the
+    // query's candidate pass reads ONLY the code columns off disk
+    // (columnar projection — nSub bytes/row, not dim×4; asserted by
+    // PqIndexSpec) before the bounded exact rerank. Same books and
+    // geometry as ann_pq, so results (and the oracle) are identical;
+    // what THIS entry checks is that save → load → code-only-scan
+    // preserves them.
+    "ann_pq_persisted" -> ((s, dir) => {
+      val idxPath = persistedArtifact("pq", dir) { p =>
+        val emb = t(s, dir, "embeddings")
+        val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+          emb, "embedding", None).n
+        val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
+            dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
+          .map(graft.Barrier.checkpoint(_))
+        graft.ann.PqIndex.build(emb, "vec_id", "embedding", books, Dim, p)
+      }
+      val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      graft.ann.PqIndex.load(s, idxPath, "vec_id", "embedding", PqSub)
+        .search(qv, k = 10, candidates = PqRerank)
+    }),
+
     // approximate kNN: (label × LSH bucket) blocking, multi-probe
     // hamming-1 — the exact label-blocked join is quadratic in block
     // size (162s at a 10× scale-up). The plane count comes from
@@ -431,6 +460,12 @@ object AnnQueries {
     "ann_ivf" -> IvfOracleSql,
 
     "ann_pq" -> PqOracleSql,
+
+    // identical semantics to ann_pq (same books, candidates, rerank)
+    // — the entry pins the save→load→code-only-scan path to the same
+    // rows, exactly as ann_ivf_pq_persisted does for the composed
+    // layout
+    "ann_pq_persisted" -> PqOracleSql,
 
     "ann_ivf_pq" -> IvfPqOracleSql,
 
