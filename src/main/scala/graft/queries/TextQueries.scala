@@ -93,6 +93,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // WordPiece token accounting (graft.text.WordPieceTokenizer — the
+    // reference's BERT-family tokenizer analogue, reference:
+    // all_MiniLM_L6_v2_tokenizer.py). Hash-oracled: the oracle
+    // exports the tokenizer's own id-ordered vocabulary and replays
+    // the greedy longest-match-first loop per distinct word in a
+    // DuckDB recursive CTE (see wordPieceOracleSql); WordPieceSpec
+    // adds golden, determinism, and public-format-load gates.
+    // ids_checksum makes any id-sequence drift change the hash;
+    // n_unk surfaces vocabulary coverage (the [UNK] rate a budget
+    // estimator must know about).
+    "ta_tokens_wordpiece" -> ((s, dir) => {
+      import s.implicits._
+      val wp = graft.text.WordPieceTokenizer()
+      val unkId = wp.vocab.indexOf(graft.text.WordPieceTokenizer.Unk)
+      graft.Tables.fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val ids = wp.encodeIds(text)
+            (id, ids.length.toLong, ids.count(_ == unkId).toLong,
+              text.length.toLong,
+              ids.foldLeft(0L)((h, t) => (h * 31 + t) % 1000000007L))
+          }
+        }
+        .toDF("doc_id", "n_wp_tokens", "n_unk", "n_chars", "ids_checksum")
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: which held-out docs (doc_id%100==0 as
     // the stand-in benchmark) share 5-word shingles with the training
     // pool — the standard train/test contamination scan as a blocked
@@ -362,8 +390,76 @@ object TextQueries {
        |FROM docs ORDER BY doc_id""".stripMargin
   }
 
+  /** ta_tokens_wordpiece oracle: greedy longest-match-first IS
+    * SQL-expressible directly — per DISTINCT word a recursive CTE
+    * advances a cursor, each iteration picking the LONGEST prefix of
+    * the remainder present in the exported vocabulary (list_max over
+    * the matching lengths; continuations carry the '##' prefix); a
+    * position with no match collapses the word to [UNK] (id 1), the
+    * BERT rule. The vocabulary is a deterministic constant of the
+    * tokenizer, exported in id order so `list_position - 1` IS the
+    * token id — both engines run the same table, like the BPE
+    * oracle's merge lists. Corpus-specific simplifications (same
+    * class as the chunker/BPE oracles): the basic-tokenize pass is a
+    * single-space split — the corpus is verified lowercase ASCII
+    * with no punctuation/accents/whitespace runs, so BERT's
+    * lowercase + accent-strip + punct-split stages are all identity
+    * — and the MaxWordChars=100 [UNK] cap is unreachable (longest
+    * corpus word ≪ 100 chars).
+    */
+  private lazy val wordPieceOracleSql: String = {
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val voc = graft.text.WordPieceTokenizer().vocab
+      .map(lit).mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       |voc AS (SELECT $voc AS l),
+       |pre AS (
+       |  SELECT doc_id, strlen(text) AS n_chars,
+       |    unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS i
+       |  FROM documents),
+       |dw AS (SELECT DISTINCT w FROM pre),
+       |wp AS (
+       |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST([] AS BIGINT[]) AS ids,
+       |    FALSE AS failed
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT w,
+       |    CASE WHEN bestl IS NULL THEN len(w) + 1 ELSE pos + bestl END AS pos,
+       |    CASE WHEN bestl IS NULL THEN ids
+       |         ELSE list_append(ids, CAST(list_position(l,
+       |           CASE WHEN pos = 1 THEN substr(w, 1, CAST(bestl AS INT))
+       |                ELSE '##' || substr(w, CAST(pos AS INT), CAST(bestl AS INT)) END) - 1 AS BIGINT))
+       |    END AS ids,
+       |    (bestl IS NULL) AS failed
+       |  FROM (
+       |    SELECT w, pos, ids, voc.l AS l,
+       |      list_max(list_filter(range(1, len(w) - pos + 2),
+       |        ll -> list_contains(voc.l,
+       |          CASE WHEN pos = 1 THEN substr(w, 1, CAST(ll AS INT))
+       |               ELSE '##' || substr(w, CAST(pos AS INT), CAST(ll AS INT)) END))) AS bestl
+       |    FROM wp, voc
+       |    WHERE pos <= len(w) AND NOT failed) q1),
+       |term AS (
+       |  SELECT w, CASE WHEN failed THEN [CAST(1 AS BIGINT)] ELSE ids END AS ids
+       |  FROM wp
+       |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY pos DESC, failed DESC) = 1),
+       |docs AS (
+       |  SELECT p.doc_id, max(p.n_chars) AS n_chars,
+       |    flatten(list(t.ids ORDER BY p.i)) AS ids
+       |  FROM pre p JOIN term t USING (w)
+       |  GROUP BY p.doc_id)
+       |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_wp_tokens,
+       |  CAST(len(list_filter(ids, x -> x = 1)) AS BIGINT) AS n_unk,
+       |  CAST(n_chars AS BIGINT) AS n_chars,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+       |    (h, t) -> (h * 31 + t) % 1000000007) AS BIGINT) AS ids_checksum
+       |FROM docs ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "ta_tokens_bpe" -> bpeOracleSql,
+    "ta_tokens_wordpiece" -> wordPieceOracleSql,
     "ta_langid" ->
       s"""$sqlNorm,
          |scored AS (

@@ -301,7 +301,7 @@ object ByteBpeTokenizer {
     * re-pinned with it. It is general common English on purpose:
     * BpeSpec's held-out golden sentences are NOT included.)
     */
-  private lazy val SeedCorpus: String = SeedCorpusCore + """
+  private[text] lazy val SeedCorpus: String = SeedCorpusCore + """
     |People said that the old house at the end of the road had been
     |empty for years, but nobody could remember who had lived there
     |before. In the morning she walked down to the water and watched
