@@ -69,6 +69,61 @@ object Multimodal {
       }
   }
 
+  /** Per-media content signatures for dedup: an EXACT bytes hash
+    * (md5 of the payload — codegen'd, no decode needed) and a
+    * PERCEPTUAL 64-bit fingerprint: SimHash over the decoded
+    * payload's byte 4-grams, reusing the [[graft.functions.expr.SimHash64]]
+    * kernel (portable md5-derived bit hash, the dd_simhash oracle
+    * scheme) — one narrow zero-shuffle projection. Byte shingles are
+    * the stub-decode stand-in for a real perceptual hash's
+    * downsampled-pixel features; a real codec would mapPartitions a
+    * decode first and feed its feature strings to the same kernel —
+    * the hashing/pairing plumbing downstream is unchanged.
+    */
+  def contentSignatures(media: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val shingles = expr(
+      "transform(sequence(1, greatest(length(_txt) - 3, 0))," +
+        " i -> substring(_txt, i, 4))")
+    val fp = ColumnBridge.column(graft.functions.expr.SimHash64(
+      ColumnBridge.expression(shingles), portable = true))
+    media
+      .select(col(idCol), col("payload"),
+        col("payload").cast("string").as("_txt"))
+      .select(col(idCol), md5(col("payload")).as("content_key"),
+        fp.as("phash"))
+  }
+
+  /** Perceptual near-dup pairs with hamming ≤ maxHamming over the
+    * signature frame, blocked by 16-bit phash chunks (pigeonhole:
+    * hamming ≤ 3 ⇒ at least one of 4 chunks matches exactly — the
+    * dd_simhash candidate-join shape, never all-pairs; exact byte
+    * duplicates surface with hamming 0 and exact_dup = 1). At scale
+    * the join shuffles (chunk_i, chunk_v) keys with the 3-column
+    * signature rows only — payloads never move.
+    */
+  def phashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"phashPairs: maxHamming=$maxHamming — 4×16-bit chunk blocking " +
+        "guarantees a shared chunk only for hamming <= 3")
+    val chunked = sigs.select(col(idCol), col("content_key"), col("phash"),
+      posexplode(expr(
+        "transform(sequence(0,3), c -> shiftright(phash, c*16) & 65535L)"))
+        .as(Seq("chunk_i", "chunk_v")))
+    val l = chunked.select(col("chunk_i"), col("chunk_v"),
+      col(idCol).as("ida"), col("phash").as("ph_a"), col("content_key").as("ck_a"))
+    val r = chunked.select(col("chunk_i").as("ci_r"), col("chunk_v").as("cv_r"),
+      col(idCol).as("idb"), col("phash").as("ph_b"), col("content_key").as("ck_b"))
+    l.join(r, col("chunk_i") === col("ci_r") && col("chunk_v") === col("cv_r") &&
+        col("ida") < col("idb"))
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("exact_dup",
+        when(col("ck_a") === col("ck_b"), 1L).otherwise(0L))
+      .select(col("ida"), col("idb"), col("hamming"), col("exact_dup"))
+      .distinct()
+  }
+
   /** Strided frame sampling: every `stride` bytes take a `frameLen`
     * window — the byte-domain twin of video frame sampling. Emits
     * (frame_idx, offset, md5) rows; narrow flatMap, no shuffle.

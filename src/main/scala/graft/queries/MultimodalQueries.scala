@@ -22,6 +22,53 @@ object MultimodalQueries {
       val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.frameSample(media, "doc_id", stride = 64, frameLen = 16).toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // media dedup over binary columns: exact bytes-hash (md5 of the
+    // payload) + perceptual near-dup (SimHash64 kernel over decoded
+    // byte 4-grams, portable hash — the dd_simhash machinery applied
+    // to the media tier). Pairs come from the 4×16-bit chunk
+    // pigeonhole join, never all-pairs; exact byte duplicates surface
+    // as hamming 0 / exact_dup 1. At 100 TB the signature pass is one
+    // narrow zero-shuffle projection and only (chunk, signature) rows
+    // reach the exchange — payload bytes never move.
+    "mm_dedup" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
+      val sigs = Multimodal.contentSignatures(media, "doc_id")
+      Multimodal.phashPairs(sigs, "doc_id", maxHamming = 3)
+        .orderBy(col("ida"), col("idb"))
+    }),
+
+    // media ↔ caption alignment join — the WebDataset/LAION pairing
+    // step when metadata keys are lost: captions attach to media by
+    // CONTENT fingerprint (md5 of the payload bytes), so exact
+    // duplicate payloads all inherit the caption and orphan media
+    // stay visible with has_caption = 0 (a missing row must mean
+    // "absent", never "unpaired"). min_by picks the lowest caption id
+    // deterministically when duplicates collide. At scale this is a
+    // shuffle equi-join on the content key between two corpus-sized
+    // sides (no broadcast — both grow with the corpus) followed by a
+    // partial-agg groupBy; payloads are projected away before the
+    // exchange.
+    "mm_join" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
+      val m = media.select(col("doc_id"), md5(col("payload")).as("ck"),
+        col("media_meta.n_bytes").as("n_bytes"))
+      val caps = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("cap_id"),
+          md5(col("text").cast("binary")).as("ck"),
+          substring(col("text"), 1, 40).as("caption"))
+      val paired = m.join(caps, Seq("ck"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("cap_id")).as("cap_id"),
+          min_by(col("caption"), col("cap_id")).as("caption"))
+      m.join(paired, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cap_id"), lit(-1L)).as("cap_id"),
+          when(col("cap_id").isNull, 0L).otherwise(1L).as("has_caption"),
+          coalesce(col("caption"), lit("")).as("caption"),
+          col("n_bytes"))
+        .orderBy(col("doc_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -40,5 +87,66 @@ object MultimodalQueries {
         |  md5(substr(text, (off + 1)::INT, 16)) AS frame_md5
         |FROM documents,
         |  unnest(range(0, greatest(len(text) - 15, 0), 64)) AS u(off)
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // bit-for-bit replay of the SimHash64 kernel over byte 4-grams
+    // (same 64 majority-vote bit terms as the dd_simhash oracle: low
+    // md5 half carries bits 0-31, high half 32-63, bit 63's weight is
+    // Long.MinValue so the signed fingerprint matches Spark's packed
+    // sum) + the same 4×16-bit chunk pigeonhole candidate join.
+    "mm_dedup" -> {
+      def bit(i: Int): String =
+        if (i < 32) s"((lo >> $i) & 1)" else s"((hi >> ${i - 32}) & 1)"
+      val bitTerms = (0 until 64).map { i =>
+        val weight = if (i == 63) "-9223372036854775808" else (1L << i).toString
+        s"CASE WHEN 2 * sum(${bit(i)}) > count(*) THEN CAST($weight AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      }.mkString(" +\n    ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, md5(text) AS ck,
+         |    unnest([substr(text, CAST(i AS INT), 4)
+         |            for i in range(1, greatest(len(text) - 2, 1))]) AS g
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id, ck,
+         |    ('0x'||substr(md5(g), 1, 8))::BIGINT AS hi,
+         |    ('0x'||substr(md5(g), 9, 8))::BIGINT AS lo
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id, ck,
+         |    $bitTerms AS phash
+         |  FROM th GROUP BY doc_id, ck),
+         |chunked AS (
+         |  SELECT doc_id, ck, phash, c AS chunk_i,
+         |    (phash >> (c * 16)) & 65535 AS chunk_v
+         |  FROM sig, range(0, 4) r(c)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+         |    bit_count(xor(a.phash, b.phash)) AS hamming,
+         |    CASE WHEN a.ck = b.ck THEN 1 ELSE 0 END AS exact_dup
+         |  FROM chunked a JOIN chunked b
+         |    ON a.chunk_i = b.chunk_i AND a.chunk_v = b.chunk_v
+         |    AND a.doc_id < b.doc_id)
+         |SELECT ida, idb, CAST(hamming AS BIGINT) AS hamming,
+         |  CAST(exact_dup AS BIGINT) AS exact_dup
+         |FROM pairs WHERE hamming <= 3
+         |ORDER BY ida, idb""".stripMargin
+    },
+
+    "mm_join" ->
+      """WITH media AS (
+        |  SELECT doc_id, md5(text) AS ck, len(text) AS n_bytes FROM documents),
+        |caps AS (
+        |  SELECT doc_id AS cap_id, md5(text) AS ck, substr(text, 1, 40) AS caption
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |paired AS (
+        |  SELECT m.doc_id, min(c.cap_id) AS cap_id,
+        |    arg_min(c.caption, c.cap_id) AS caption
+        |  FROM media m JOIN caps c USING (ck) GROUP BY m.doc_id)
+        |SELECT m.doc_id,
+        |  CAST(coalesce(p.cap_id, -1) AS BIGINT) AS cap_id,
+        |  CAST(CASE WHEN p.cap_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_caption,
+        |  coalesce(p.caption, '') AS caption,
+        |  CAST(m.n_bytes AS BIGINT) AS n_bytes
+        |FROM media m LEFT JOIN paired p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -30,6 +30,29 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f(3L).mean_byte == 'a'.toInt.toDouble)
   }
 
+  test("contentSignatures + phashPairs: exact dups at hamming 0, near dups found, disjoint content apart") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val docs = Seq(
+      1L -> base,
+      2L -> base,                            // exact byte duplicate of 1
+      3L -> (base + " again"),               // near duplicate (small suffix)
+      4L -> "completely unrelated content about database query planning engines"
+    ).toDF("doc_id", "text")
+    val sigs = Multimodal.contentSignatures(
+      Multimodal.asMedia(docs, "doc_id", "text"), "doc_id")
+    val sigMap = sigs.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(sigMap(1L) == sigMap(2L), "identical bytes must have identical signatures")
+    assert(sigMap(1L)._2 != sigMap(4L)._2, "unrelated content must differ")
+    val pairs = Multimodal.phashPairs(sigs, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(pairs((1L, 2L)) == ((0L, 1L)), s"exact pair: ${pairs.get((1L, 2L))}")
+    pairs.get((1L, 3L)).foreach { case (h, e) => assert(h > 0L && e == 0L) }
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L },
+      s"unrelated doc paired: ${pairs.keySet}")
+  }
+
   test("frameSample: strided offsets, tail shorter than frame dropped") {
     import spark.implicits._
     val frames = Multimodal.frameSample(media, "doc_id", stride = 64, frameLen = 16)
