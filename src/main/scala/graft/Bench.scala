@@ -124,10 +124,13 @@ object Bench {
       // model) — zero jobs per query, so no scheduler floor at all
       val lvs = graft.serve.LocalVectorServing.load(
         graft.index.VectorIndex.build(emb, "vec_id", "embedding"))
+      val lds = graft.serve.LocalDocServing.load(
+        spark.read.parquet(graft.queries.DocQueries.persistedChunksPath(spark, sfDir)))
       val localOps = Seq(
         "v_topk" -> mean(lvs.queryItems(q, 10): Unit),
         "v_topk_filtered" -> mean(lvs.queryItems(q, 10, Some(topkF)): Unit),
-        "v_meta_filter" -> mean(lvs.listItemsByMetadata(metaF): Unit))
+        "v_meta_filter" -> mean(lvs.listItemsByMetadata(metaF): Unit),
+        "d_query_documents_persisted" -> mean(lds.queryDocuments(): Unit))
       (ops.map(("serve", _)) ++ localOps.map(("serve_local", _))).foreach {
         case (tag, (k, v)) =>
           System.err.println(f"[bench] $tag%-11s $k%-28s ${v * 1000}%8.2f ms (mean of $reps warm)")

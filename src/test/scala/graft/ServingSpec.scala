@@ -98,6 +98,34 @@ class ServingSpec extends SparkSpecBase {
     assert(lvs.getItem(-1L).isEmpty)
   }
 
+  test("LocalDocServing matches the cold d_query_documents_persisted entry") {
+    assume(haveData)
+    val lds = graft.serve.LocalDocServing.load(
+      spark.read.parquet(graft.queries.DocQueries.persistedChunksPath(spark, dir)))
+    val cold = SparkEntry.queries("d_query_documents_persisted")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Long]("n_chunks"))).toSeq
+    assert(lds.queryDocuments() == cold)
+    // repeated calls are pure local arithmetic over the snapshot
+    assert(lds.queryDocuments() == cold)
+    // a pre-selection metadata filter restricts the chunk pool: the
+    // unfiltered call must differ from an impossible-filter call
+    val none = lds.queryDocuments(
+      filter = Some(MetaFilter.parse("""{"doc_id":{"$lt":-1}}""")))
+    assert(none.isEmpty)
+  }
+
+  test("LocalDocServing refuses a chunk table over maxLocalChunks") {
+    assume(haveData)
+    val chunks = spark.read.parquet(
+      graft.queries.DocQueries.persistedChunksPath(spark, dir))
+    val e = intercept[IllegalArgumentException] {
+      graft.serve.LocalDocServing.load(chunks, maxLocalChunks = 5)
+    }
+    assert(e.getMessage.contains("maxLocalChunks"))
+  }
+
   test("LocalVectorServing refuses an index over maxLocalItems") {
     assume(haveData)
     val idx = VectorIndex.build(
