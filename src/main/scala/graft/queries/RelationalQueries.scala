@@ -258,29 +258,22 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
-    // exact discrete quantiles per group (at 100 TB the
-    // approx_percentile t-digest sketch replaces this plan-compatibly)
-    // Exact discrete quantiles via ONE ranked window pass: value at
-    // sorted position ceil(p·n) per group (the percentile_disc
-    // definition — smallest value with cume_dist ≥ p). The triple
-    // percentile_disc aggregate shuffles EVERY value three times and
-    // buffers whole groups in memory (arrays, not spill-able); the
-    // window sort ships each value once and spills. Group-per-flag
-    // partitions are few and fat — the same caveat every exact
-    // quantile has; the bounded-memory path at petabyte scale is
-    // approx_percentile, kept out of the oracle-checked query.
+    // Exact discrete quantiles per group — value at sorted position
+    // ceil(p·n), the percentile_disc definition — via the two-phase
+    // histogram-guided plan (graft.operators.ExactQuantiles). The
+    // round-6 formulation ranked EVERY value in a window partitioned
+    // by the 3-value flag: three reducers sorting the whole fact
+    // table, the slowest op of the 100× sweep (60.8 s). Now a ≤256-
+    // counter-per-group binning pass locates each target rank's bin
+    // and only ~n/256 candidate rows are sorted — identical result
+    // (the sorted-position value is unique even under ties), so the
+    // percentile_disc oracle applies unchanged. q_quantiles_sketch
+    // remains the one-pass approximate twin where a one-bin error
+    // bound is acceptable.
     "q_quantiles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-      val cw = Window.partitionBy(col("l_returnflag"))
-      val ranked = t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(cw))
-      def pick(p: Double) =
-        max(when(col("rn") === ceil(col("cnt") * p), col("l_extendedprice")))
-      ranked.groupBy(col("l_returnflag"))
-        .agg(pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.95).as("p95"))
+      graft.operators.ExactQuantiles.quantiles(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), col("l_extendedprice"),
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95))
         .orderBy(col("l_returnflag"))
     }),
 
