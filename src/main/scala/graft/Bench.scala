@@ -43,14 +43,21 @@ object Bench {
         try force(w) catch { case _: Throwable => () }
       }
     clearPinned()
-    // min-of-N per query, reps INTERLEAVED across full sweeps: the
-    // round-4 artifact showed consecutive min-of-3 still dies under
-    // sustained contention (one contended window covered all three
-    // reps of ta_ngram_freq → 3.62s recorded vs 0.59s reproducible).
-    // Running the whole sorted sweep N times and taking per-query
-    // mins across sweeps means contention must persist for the WHOLE
-    // bench (~minutes, not seconds) to corrupt a number.
-    val reps = math.max(1, scala.util.Try(
+    // median-of-N per query, reps INTERLEAVED across full sweeps.
+    // Two protocol lessons are baked in: (a) the round-4 artifact
+    // showed consecutive reps die under sustained contention (one
+    // contended window covered all three back-to-back reps of
+    // ta_ngram_freq → 3.62s recorded vs 0.59s reproducible) —
+    // interleaving whole sweeps means contention must persist for the
+    // WHOLE bench to corrupt a number; (b) the round-6 artifact was a
+    // SINGLE sweep (driver env reps=1) and its cold numbers rose a
+    // uniform ~30-50% over round 5 across unrelated ops — the
+    // signature of one unlucky session, unfalsifiable without reps.
+    // The floor is therefore 3 even if the env asks for fewer, and
+    // the reported statistic is the MEDIAN (robust to one bad sweep
+    // in either direction, where min hides sustained slowness and
+    // mean amplifies one outlier).
+    val reps = math.max(3, scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3))
     val names = SparkEntry.queries.keys.toSeq.sorted
     val sweeps = (1 to reps).map { rep =>
@@ -63,9 +70,15 @@ object Bench {
         name -> t
       }.toMap
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = names.map { name =>
-      val dt = sweeps.map(_(name)).min
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s (min of $reps sweeps)")
+      val ts = sweeps.map(_(name))
+      val dt = median(ts)
+      System.err.println(
+        f"[bench] $name%-22s $dt%8.2f s (median of $reps; min ${ts.min}%.2f max ${ts.max}%.2f)")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

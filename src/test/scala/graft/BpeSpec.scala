@@ -130,6 +130,21 @@ class BpeSpec extends AnyFunSuite {
     assert(badSym.getMessage.contains("symbol"))
   }
 
+  test("GATED: a real published merges.txt loads and tokenizes (set GRAFT_GPT2_MERGES)") {
+    val path = sys.env.get("GRAFT_GPT2_MERGES")
+    assume(path.exists(p => new java.io.File(p).isFile),
+      "GRAFT_GPT2_MERGES not set — drop-in gate skipped (zero-egress build)")
+    val tok = graft.text.ByteBpeTokenizer.fromMergesFile(path.get)
+    // the published GPT-2 table has 50 000 merges; any real file is large
+    assert(tok.vocab.size > 10000, s"real tables are large: ${tok.vocab.size}")
+    // losslessness is table-independent; production tables also hit
+    // OpenAI's ~4 chars/token rule on plain English
+    val text = "The quick brown fox jumps over the lazy dog."
+    assert(tok.decode(tok.encode(text)) == text)
+    val perChar = tok.encode(text).length.toDouble / text.length
+    assert(perChar < 0.32, f"real-table tokens/char should be ~0.25, got $perChar%.3f")
+  }
+
   test("merge table is deterministic across instances") {
     val other = new ByteBpeTokenizer()
     assert(other.vocab == bpe.vocab)

@@ -71,6 +71,20 @@ class WordPieceSpec extends AnyFunSuite {
     assert(loaded.encodeIds(text) == tok.encodeIds(text))
   }
 
+  test("GATED: a real published vocab.txt loads and tokenizes (set GRAFT_BERT_VOCAB)") {
+    val path = sys.env.get("GRAFT_BERT_VOCAB")
+    assume(path.exists(p => new java.io.File(p).isFile),
+      "GRAFT_BERT_VOCAB not set — drop-in gate skipped (zero-egress build)")
+    val tok = WordPieceTokenizer.fromVocabFile(path.get)
+    // the BERT-family id conventions hold for any published vocab
+    assert(tok.vocab.contains("[UNK]") && tok.vocab.contains("[CLS]"))
+    assert(tok.vocab.length > 10000, s"real vocabs are large: ${tok.vocab.length}")
+    // common English must not UNK and must round-trip decode
+    val pieces = tok.encode("the quick brown fox")
+    assert(pieces.nonEmpty && !pieces.contains(WordPieceTokenizer.Unk))
+    assert(tok.decode(pieces) == "the quick brown fox")
+  }
+
   test("decode inverts piece concatenation (modulo basic-tokenize lossiness)") {
     val tok = WordPieceTokenizer()
     val text = "the history of writing is the history of memory"
