@@ -167,40 +167,25 @@ object AnnQueries {
     // touched row. The probe-set selection runs driver-side over the
     // bounded centroid frame with the SAME d² fold and (d², cell)
     // tiebreak the oracle's probe CTE orders by.
-    "ann_ivf_pq" -> ((s, dir) => {
+    "ann_ivf_pq" -> ((s, dir) => ivfPqTopK(s, dir)),
+
+    // recall@9 of the composed IVF×PQ index against exact brute-force
+    // ground truth (self-hit excluded both sides) — the quality dial
+    // for (nlist, nprobe) × (nSub, K, candidates) on the PRODUCTION
+    // index shape: unlike ann_pq_recall it also charges the coarse
+    // layer's misses (a true neighbor in an unprobed cell can never
+    // be recalled, whatever the code budget). Oracle nests the
+    // ann_ivf_pq oracle verbatim plus its own brute CTE.
+    "ann_ivf_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
-        emb, "embedding", None).n
-      val mIvf = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
-      val cent = emb.filter(pmod(col("vec_id"), lit(mIvf)) === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      // Pq.encode's subspace assigns each reuse the "cell" slot —
-      // stash the IVF cell under its own name first
-      val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cent, "cid", "cv")
-        .withColumnRenamed("cell", "ivf_cell")
-      val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
-          dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
-        .map(graft.Barrier.checkpoint(_))
-      val enc = graft.ann.Pq.encode(assigned, "vec_id", "embedding", books, Dim)
-      val qv = emb.filter(col("vec_id") === 0L)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray
-      val centRows = cent
-        .select(col("cid").cast("long"), col("cv").cast("array<double>")).collect()
-      require(centRows.nonEmpty && centRows.length <= 65536,
-        s"ann_ivf_pq: ${centRows.length} centroids (nlist rule bounds this)")
-      val probed = centRows.map { r =>
-        val cv = r.getSeq[Double](1)
-        var d = 0.0
-        var j = 0
-        while (j < qv.length) { val diff = qv(j) - cv(j); d += diff * diff; j += 1 }
-        (r.getLong(0), d)
-      }.sortBy { case (c, d) => (d, c) }.take(3).map(_._1)
-      graft.ann.Pq.adcTopK(
-          enc.filter(col("ivf_cell").isin(probed: _*)),
-          "vec_id", "embedding", books, qv, k = 10, candidates = PqRerank,
-          carryCols = Seq("ivf_cell"))
-        .withColumnRenamed("ivf_cell", "cell")
+      val qs = emb.filter(col("vec_id") === 0L)
+      val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 9)
+        .select(col("vec_id"))
+      val ivfpq = ivfPqTopK(s, dir).filter(col("vec_id") =!= 0L).select(col("vec_id"))
+      brute.join(broadcast(ivfpq), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("n_hits"), round(col("n_hits") / 9.0, 6).as("recall"))
     }),
 
     // The PERSISTED IVF×PQ path — the production shape the in-query
@@ -326,6 +311,48 @@ object AnnQueries {
   private val PqSub = 8
   private val PqK = 32
   private val PqRerank = 100
+
+  /** The ann_ivf_pq plan (√n IVF coarse layer pruning to nprobe=3
+    * cells, PQ ADC + exact rerank inside them; probe selection
+    * driver-side with the oracle's d² fold and (d², cell) tiebreak)
+    * — shared by the ann_ivf_pq entry and ann_ivf_pq_recall's
+    * candidate side.
+    */
+  private def ivfPqTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = t(s, dir, "embeddings")
+    val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+      emb, "embedding", None).n
+    val mIvf = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+    val cent = emb.filter(pmod(col("vec_id"), lit(mIvf)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // Pq.encode's subspace assigns each reuse the "cell" slot —
+    // stash the IVF cell under its own name first
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cent, "cid", "cv")
+      .withColumnRenamed("cell", "ivf_cell")
+    val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
+        dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
+      .map(graft.Barrier.checkpoint(_))
+    val enc = graft.ann.Pq.encode(assigned, "vec_id", "embedding", books, Dim)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val centRows = cent
+      .select(col("cid").cast("long"), col("cv").cast("array<double>")).collect()
+    require(centRows.nonEmpty && centRows.length <= 65536,
+      s"ann_ivf_pq: ${centRows.length} centroids (nlist rule bounds this)")
+    val probed = centRows.map { r =>
+      val cv = r.getSeq[Double](1)
+      var d = 0.0
+      var j = 0
+      while (j < qv.length) { val diff = qv(j) - cv(j); d += diff * diff; j += 1 }
+      (r.getLong(0), d)
+    }.sortBy { case (c, d) => (d, c) }.take(3).map(_._1)
+    graft.ann.Pq.adcTopK(
+        enc.filter(col("ivf_cell").isin(probed: _*)),
+        "vec_id", "embedding", books, qv, k = 10, candidates = PqRerank,
+        carryCols = Seq("ivf_cell"))
+      .withColumnRenamed("ivf_cell", "cell")
+  }
 
   /** The ann_pq plan (fit → encode → ADC top-PqRerank candidates for
     * vec_id 0 → exact rerank to 10) — shared by the ann_pq entry and
@@ -474,6 +501,23 @@ object AnnQueries {
     // path to the same rows, exactly as ann_ivf_persisted does for
     // the plain IVF layout
     "ann_ivf_pq_persisted" -> IvfPqOracleSql,
+
+    // the ann_ivf_pq oracle nested verbatim vs a 9-deep exact-cosine
+    // CTE (self-hit excluded both sides) — the composed-index twin of
+    // ann_pq_recall; it additionally charges coarse-layer misses
+    "ann_ivf_pq_recall" ->
+      s"""WITH pq AS (
+         |  SELECT vec_id FROM ($IvfPqOracleSql) WHERE vec_id <> 0),
+         |bq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |brute AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |      ${sqlCos("CAST(embedding AS DOUBLE[])", "qv")} AS score_raw
+         |    FROM embeddings, bq WHERE vec_id <> 0)
+         |  ORDER BY score_raw DESC, vec_id LIMIT 9)
+         |SELECT CAST(count(*) AS BIGINT) AS n_hits,
+         |  round(count(*) / 9.0, 6) AS recall
+         |FROM brute JOIN pq USING (vec_id)""".stripMargin,
 
     // the ann_pq oracle nested verbatim vs a 9-deep exact-cosine CTE
     // (self-hit excluded both sides) — composition can only pass if
