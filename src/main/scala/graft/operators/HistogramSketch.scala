@@ -31,6 +31,65 @@ object HistogramSketch {
 
   val B = 256
 
+  /** Bin of a value under FIXED [lo, hi) bounds, clamped into
+    * [0, B-1] — out-of-range stream values land in the edge bins
+    * instead of corrupting the frame (a data-derived lo/hi is not
+    * stable on an unbounded stream, so the streaming form fixes the
+    * bounds at query definition, the way any production streaming
+    * histogram does).
+    */
+  def binFixed(valCol: Column, lo: Double, hi: Double): Column =
+    if (hi == lo) lit(0L)
+    else greatest(least(
+      floor((valCol - lit(lo)) * lit(B.toDouble) / lit(hi - lo)),
+      lit((B - 1).toLong)), lit(0L)).cast("long")
+
+  /** The counter frame under fixed bounds — the sketch's mergeable,
+    * streaming-native form: (groupCols, _bin, _c), ≤ B rows per
+    * group, map-side combined. As a streaming aggregate the state
+    * store holds at most B longs per group — O(1) in stream length
+    * (exact quantiles would buffer every value forever). Counts are
+    * sums (not idempotent): exactly-once aggregation is the
+    * delivery contract, as with CmSketch.
+    */
+  def counters(df: DataFrame, groupCols: Seq[String], valCol: Column,
+      lo: Double, hi: Double): DataFrame =
+    df.select(groupCols.map(col) :+ binFixed(valCol, lo, hi).as("_bin"): _*)
+      .groupBy(groupCols.map(col) :+ col("_bin"): _*)
+      .agg(count(lit(1)).as("_c"))
+
+  /** Union two counter frames built under the SAME bounds —
+    * elementwise sum (shards, days, or stream micro-batches combine
+    * without re-scan; lambda-style batch+stream backfill).
+    */
+  def merge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col) :+ col("_bin"): _*)
+      .agg(sum(col("_c")).as("_c"))
+
+  /** Quantile estimates from a fixed-bounds counter frame: per group
+    * the upper edge of the first bin whose cumulative count reaches
+    * ceil(p·n) — error ≤ one bin width, like the data-derived
+    * estimator (the group minimum is unknown here, so there is no
+    * small-p exact path).
+    */
+  def quantilesFromCounters(counters: DataFrame, groupCols: Seq[String],
+      lo: Double, hi: Double, ps: Seq[(String, Double)]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("_bin"))
+    val cum = counters.withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("n", sum(col("_c")).over(Window.partitionBy(gcols: _*)))
+    val sels = ps.map { case (name, p) =>
+      min(when(col("_cum") >= ceil(lit(p) * col("n")), col("_bin"))).as(s"_b_$name")
+    }
+    cum.groupBy(gcols :+ col("n"): _*)
+      .agg(sels.head, sels.tail: _*)
+      .select(gcols ++ Seq(col("n")) ++ ps.map { case (name, _) =>
+        round(lit(lo) +
+          (col(s"_b_$name") + lit(1L)) * lit((hi - lo) / B.toDouble), 6).as(name)
+      }: _*)
+  }
+
   /** Quantile estimates of `valCol` per `groupCols` at probabilities
     * `ps`: output groupCols ++ (n: long) ++ one round-6 double column
     * per p, named by `names`.

@@ -59,4 +59,56 @@ class HistogramSketchSpec extends SparkSpecBase {
     val b = sketch(17).orderBy("g").collect().toSeq
     assert(a == b)
   }
+
+  test("fixed-bounds counters: estimates within one bin width, out-of-range clamped") {
+    import spark.implicits._
+    val rows = (0L until 4000L).map(i =>
+      ("u", ((i * 2654435761L) % 100000L).toDouble / 100.0)) ++
+      Seq(("u", -50.0), ("u", 2000.0)) // outside [0, 1000) — edge bins
+    val cnts = HistogramSketch.counters(
+      rows.toDF("g", "x"), Seq("g"), col("x"), lo = 0.0, hi = 1000.0)
+    assert(cnts.count() <= HistogramSketch.B.toLong)
+    val out = HistogramSketch.quantilesFromCounters(
+        cnts, Seq("g"), 0.0, 1000.0,
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95))
+      .select($"n", $"p25", $"p50", $"p95")
+      .as[(Long, Double, Double, Double)].head()
+    val binWidth = 1000.0 / HistogramSketch.B
+    assert(out._1 == 4002L)
+    for ((est, exact) <- Seq(out._2 -> 250.0, out._3 -> 500.0, out._4 -> 950.0))
+      assert(math.abs(est - exact) <= binWidth + 1.0, s"est $est vs ~$exact")
+  }
+
+  test("streaming twin: running counters equal the batch frame, and merge backfills") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 3000L).map(i => ((i * 7919L) % 1000L).toDouble)
+    val stream = MemoryStream[Double]
+    // disjoint batches: counts are sums, NOT idempotent — exactly-once
+    // delivery is the contract this pins (same as the CmSketch twin)
+    stream.addData(rows.take(1700))
+    stream.addData(rows.drop(1700))
+    val q = graft.streaming.StreamingQuantilesSketch.countersStream(
+        stream.toDF().toDF("x").withColumn("g", lit("s")),
+        Seq("g"), col("x"), lo = 0.0, hi = 1000.0)
+      .writeStream.format("memory").queryName("hist_counters_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = HistogramSketch.counters(
+      rows.map(("s", _)).toDF("g", "x"), Seq("g"), col("x"), 0.0, 1000.0)
+    assert(spark.table("hist_counters_out")
+        .orderBy($"g", $"_bin").collect().map(_.toString).toSeq ==
+      batch.orderBy($"g", $"_bin").collect().map(_.toString).toSeq)
+    // lambda backfill: stream counters + a batch shard's counters
+    val shard = (0L until 500L).map(i => ("s", (i % 800L).toDouble)).toDF("g", "x")
+    val merged = HistogramSketch.merge(
+      spark.table("hist_counters_out"),
+      HistogramSketch.counters(shard, Seq("g"), col("x"), 0.0, 1000.0), Seq("g"))
+    val whole = HistogramSketch.counters(
+      rows.map(("s", _)).toDF("g", "x").unionByName(shard),
+      Seq("g"), col("x"), 0.0, 1000.0)
+    assert(merged.orderBy($"g", $"_bin").collect().map(_.toString).toSeq ==
+      whole.orderBy($"g", $"_bin").collect().map(_.toString).toSeq)
+  }
 }
