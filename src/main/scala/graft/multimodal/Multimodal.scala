@@ -80,18 +80,26 @@ object Multimodal {
     * decode first and feed its feature strings to the same kernel —
     * the hashing/pairing plumbing downstream is unchanged.
     */
-  def contentSignatures(media: DataFrame, idCol: String): DataFrame = {
+  def contentSignatures(media: DataFrame, idCol: String): DataFrame =
+    withPhash(media, "_ph")
+      .select(col(idCol), md5(col("payload")).as("content_key"),
+        col("_ph").as("phash"))
+
+  /** Append the perceptual byte-shingle fingerprint of `payload` as
+    * `outCol` — a stateless narrow projection (streaming-safe, like
+    * the text SimHash kernel), shared by contentSignatures and the
+    * streaming media ingest gate.
+    */
+  private[graft] def withPhash(media: DataFrame, outCol: String): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val shingles = expr(
       "transform(sequence(1, greatest(length(_txt) - 3, 0))," +
         " i -> substring(_txt, i, 4))")
     val fp = ColumnBridge.column(graft.functions.expr.SimHash64(
       ColumnBridge.expression(shingles), portable = true))
-    media
-      .select(col(idCol), col("payload"),
-        col("payload").cast("string").as("_txt"))
-      .select(col(idCol), md5(col("payload")).as("content_key"),
-        fp.as("phash"))
+    media.withColumn("_txt", col("payload").cast("string"))
+      .withColumn(outCol, fp)
+      .drop("_txt")
   }
 
   /** Perceptual near-dup pairs with hamming ≤ maxHamming over the

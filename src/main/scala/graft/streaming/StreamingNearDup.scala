@@ -48,6 +48,18 @@ object StreamingNearDup {
       s"gate: maxHamming=$maxHamming — 4×16-bit chunk blocking only " +
         "guarantees a shared chunk for hamming <= 3 (pigeonhole); a " +
         "larger radius would silently pass near-copies")
+    val fp = ColumnBridge.column(graft.functions.expr.SimHash64(
+      ColumnBridge.expression(wsTokens(normText(col(textCol)))), portable))
+    gateByFingerprint(stream.withColumn("_fp", fp), index, maxHamming)
+  }
+
+  /** The chunk-blocked anti-join cascade over a frame that already
+    * carries its 64-bit fingerprint in `_fp` — shared by the text
+    * gate above and the media gate (StreamingMediaDedup), which
+    * differ only in how the fingerprint is computed.
+    */
+  private[streaming] def gateByFingerprint(withFp: DataFrame,
+      index: DataFrame, maxHamming: Int): DataFrame = {
     // materialize the index ONCE: the four anti-join subtrees below
     // each reference it, and an un-materialized subplan would re-run
     // the full corpus fingerprint pass 4× per micro-batch. The pin
@@ -55,10 +67,8 @@ object StreamingNearDup {
     // after stopping it; refreshing the corpus = rebuild the index
     // frame and re-create the gate.
     val idx = graft.Barrier.checkpoint(index)
-    val fp = ColumnBridge.column(graft.functions.expr.SimHash64(
-      ColumnBridge.expression(wsTokens(normText(col(textCol)))), portable))
-    var survivors = stream.withColumn("_fp", fp)
-    // one stateless stream-static anti join per chunk position: a doc
+    var survivors = withFp
+    // one stateless stream-static anti join per chunk position: a row
     // is dropped iff ANY chunk finds an indexed fp within maxHamming
     for (c <- 0 until 4) {
       val idxC = idx.filter(col("chunk_i") === c)

@@ -53,6 +53,41 @@ class MultimodalSpec extends SparkSpecBase {
       s"unrelated doc paired: ${pairs.keySet}")
   }
 
+  test("streaming media gate: near-copies dropped, novel payloads pass, batch-equivalent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val corpus = Multimodal.asMedia(
+      Seq(1L -> base).toDF("doc_id", "text"), "doc_id", "text")
+    val idx = graft.streaming.StreamingMediaDedup.indexFingerprints(corpus, "doc_id")
+    val novel = "completely unrelated content about database query planning engines"
+    val incoming = Seq(
+      10L -> base,                 // exact byte copy — dropped
+      11L -> (base + " again"),    // near copy — dropped
+      12L -> novel)                // novel — passes
+    // batch equivalence first: the gate is stateless, so it runs
+    // identically on a batch frame
+    val batchIn = Multimodal.asMedia(
+      incoming.toDF("doc_id", "text"), "doc_id", "text")
+    val batchOut = graft.streaming.StreamingMediaDedup.gate(batchIn, idx)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchOut == Set(12L), s"batch gate: $batchOut")
+    // the same gate over a memory stream — payload projected directly
+    // (asMedia's fan-out guard inspects the source and is batch-only)
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(incoming)
+    val q = graft.streaming.StreamingMediaDedup.gate(
+        stream.toDF().toDF("doc_id", "text")
+          .select($"doc_id", $"text".cast("binary").as("payload")), idx)
+      .select($"doc_id")
+      .writeStream.format("memory").queryName("mm_gate_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    Barrier.release(spark)
+    assert(spark.table("mm_gate_out").as[Long].collect().toSet == Set(12L))
+  }
+
   test("frameSample: strided offsets, tail shorter than frame dropped") {
     import spark.implicits._
     val frames = Multimodal.frameSample(media, "doc_id", stride = 64, frameLen = 16)
