@@ -168,6 +168,24 @@ object RelationalQueries {
         .orderBy(col("flag"), col("status"))
     }),
 
+    // arbitrary GROUPING SETS: an asymmetric set list —
+    // ((flag,status),(status),()) — that neither ROLLUP (which would
+    // drill (flag,status)→(flag)→()) nor CUBE (all 2^k sets) can
+    // express. Spark expands the sets map-side like rollup/cube: one
+    // corpus scan feeds every set, vs k separate GROUP BYs.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("flag"), col("status"))
+    }),
+
     // distinct aggregation (count(distinct) expands to a two-phase
     // partial-distinct plan; the scale path swaps in
     // approx_count_distinct's HLL sketch with identical plan shape)
@@ -417,6 +435,15 @@ object RelationalQueries {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |ORDER BY flag, status""".stripMargin,
 
     "q_distinct" ->

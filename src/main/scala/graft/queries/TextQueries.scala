@@ -244,6 +244,19 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // model-based quality filter (graft.text.QualityClassifier — the
+    // fastText/DCLM classifier-gate analogue): Naive-Bayes token
+    // log-odds fitted IN-PLAN against the reference-corpus seed
+    // (lang='en', the CCNet-style target-distribution label), every
+    // doc scored by mean token log-odds, keep = score > 0. The weight
+    // join is a deliberate shuffle join — a web-scale vocabulary does
+    // not broadcast.
+    "ta_quality_classifier" -> ((s, dir) => {
+      graft.text.QualityClassifier.score(
+          t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature-based language rebalancing (Sampling.temperature —
     // the mT5 n^alpha recipe): per-lang keep rates DERIVED from corpus
     // counts in-plan, dominant languages downsampled toward the
@@ -701,6 +714,37 @@ object TextQueries {
          |  round(CAST(sum(CAST(nll AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_nll,
          |  max(nll) AS max_nll
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bit-for-bit replay of QualityClassifier.score: same add-one
+    // smoothing, same division order, ln rounded to 6dp BEFORE the
+    // exact DECIMAL per-doc sum (the ta_unigram_lm portability family)
+    "ta_quality_classifier" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang = 'en' AS is_pos,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |tokens AS (
+        |  SELECT doc_id, is_pos, unnest(string_split(t, ' ')) AS tok FROM norm),
+        |freq AS (
+        |  SELECT tok,
+        |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS cnt_pos,
+        |    sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS cnt_neg
+        |  FROM tokens GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(cnt_pos)::DOUBLE AS n_pos, sum(cnt_neg)::DOUBLE AS n_neg,
+        |    count(*)::DOUBLE AS v
+        |  FROM freq),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(ln(((cnt_pos + 1) / (n_pos + v)) / ((cnt_neg + 1) / (n_neg + v))), 6) AS w
+        |  FROM tokens JOIN freq USING (tok), tot),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    round(CAST(sum(CAST(w AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS score
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, score,
+        |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "ta_mix" ->
       """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
