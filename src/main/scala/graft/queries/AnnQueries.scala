@@ -251,6 +251,50 @@ object AnnQueries {
         .search(qv, k = 10, candidates = PqRerank)
     }),
 
+    // SQ8 scalar quantization (graft.ann.Sq) — the first rung of the
+    // compression ladder: per-dimension min/max grid (ONE partial-agg
+    // fit pass, no training), dim uint8 codes in a single binary
+    // column (4× I/O cut), asymmetric-distance candidate scan
+    // (codegen'd SqAdc kernel over the byte codes) + exact rerank.
+    "ann_sq" -> ((s, dir) => sqTopK(s, dir)),
+
+    // recall@9 of the SQ8 index vs exact ground truth (self-hit
+    // excluded both sides) — the quality dial for `candidates` on the
+    // 8-bit grid; with 256 levels per dimension the quantization error
+    // is tiny, so SQ8's recall ceiling sits above PQ's at 4× (vs 32×)
+    // compression — exactly the trade the ladder documents.
+    "ann_sq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") === 0L)
+      val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 9)
+        .select(col("vec_id"))
+      val sq = sqTopK(s, dir).filter(col("vec_id") =!= 0L).select(col("vec_id"))
+      brute.join(broadcast(sq), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("n_hits"), round(col("n_hits") / 9.0, 6).as("recall"))
+    }),
+
+    // The PERSISTED SQ8 path (graft.ann.SqIndex): fit + encode paid
+    // once at ingest, layout = (id, vector, codes[binary]) parquet +
+    // a 2-row grid parquet; the query's candidate pass reads ONLY the
+    // (id, codes) columns — dim bytes/row, asserted by SqIndexSpec —
+    // before the bounded exact rerank. Same grid and geometry as
+    // ann_sq, so results (and the oracle) are identical; what THIS
+    // entry checks is that save → load → code-only-scan preserves
+    // them.
+    "ann_sq_persisted" -> ((s, dir) => {
+      val idxPath = persistedArtifact("sq8", dir) { p =>
+        graft.ann.SqIndex.build(t(s, dir, "embeddings"),
+          "vec_id", "embedding", Dim, p)
+      }
+      val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      graft.ann.SqIndex.load(s, idxPath, "vec_id", "embedding")
+        .search(qv, k = 10, candidates = SqRerank)
+    }),
+
     // approximate kNN: (label × LSH bucket) blocking, multi-probe
     // hamming-1 — the exact label-blocked join is quadratic in block
     // size (162s at a 10× scale-up). The plane count comes from
@@ -373,6 +417,60 @@ object AnnQueries {
       k = 10, candidates = PqRerank)
   }
 
+  /** SQ8 rerank depth — same candidate budget as PQ so the recall
+    * entries compare the two code geometries at equal scan cost.
+    */
+  private val SqRerank = 100
+
+  /** The ann_sq plan (min/max grid fit → byte-encode → ADC
+    * top-SqRerank candidates for vec_id 0 → exact rerank to 10) —
+    * shared by the ann_sq entry and ann_sq_recall's candidate side.
+    */
+  private def sqTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = t(s, dir, "embeddings")
+    val grid = graft.ann.Sq.fit(emb, "embedding", Dim)
+    val enc = graft.ann.Sq.encode(emb, "embedding", grid)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    graft.ann.Sq.adcTopK(enc, "vec_id", "embedding", grid, qv,
+      k = 10, candidates = SqRerank)
+  }
+
+  /** Bit-for-bit replay of Sq.fit + SqEncode + the SqAdc fold (see
+    * the SqKernel scaladoc for the exact op sequences): per-dimension
+    * min/max grid, uint8 encode with the same step==0 guard and
+    * clamp, qadj = (q − lo) − 0.5·step precomputed per dimension, and
+    * the per-vector ADC as the same left-to-right d-ordered fold —
+    * candidates ordered by the RAW sum so last-ulp ties resolve
+    * identically, then the exact-cosine rerank.
+    */
+  private lazy val SqOracleSql: String =
+    s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM vv WHERE vec_id = 0),
+       |grid AS (
+       |  SELECT d, min(v[d]) AS lo, (max(v[d]) - min(v[d])) / 256.0 AS step
+       |  FROM vv, range(1, ${Dim + 1}) r(d) GROUP BY d),
+       |enc AS (
+       |  SELECT vv.vec_id, g.d, g.lo, g.step,
+       |    CASE WHEN g.step = 0 THEN 0.0
+       |         ELSE LEAST(255.0, FLOOR((vv.v[g.d] - g.lo) / g.step)) END AS c
+       |  FROM vv, grid g),
+       |terms AS (
+       |  SELECT e.vec_id, e.d,
+       |    (((q.qv[e.d] - e.lo) - 0.5 * e.step) - e.c * e.step) AS diff
+       |  FROM enc e, q),
+       |adc AS (
+       |  SELECT vec_id,
+       |    list_reduce(list_prepend(0.0, list(diff * diff ORDER BY d)),
+       |      (x, y) -> x + y) AS adc_raw
+       |  FROM terms GROUP BY vec_id),
+       |cands AS (SELECT * FROM adc ORDER BY adc_raw, vec_id LIMIT $SqRerank)
+       |SELECT s.vec_id, round(s.adc_raw, 6) AS adc,
+       |  round(${sqlCos("vv.v", "q.qv")}, 6) AS exact_score
+       |FROM cands s JOIN vv USING (vec_id), q
+       |ORDER BY ${sqlCos("vv.v", "q.qv")} DESC, s.vec_id LIMIT 10""".stripMargin
+
   /** Bit-for-bit replay of Pq.fit + encode + ADC (see Pq scaladoc):
     * per subspace — slice, relabeled seeds by the same n/K modulus,
     * one decimal-exact Lloyd update (the dd_semantic CTE shapes on
@@ -493,6 +591,29 @@ object AnnQueries {
     // rows, exactly as ann_ivf_pq_persisted does for the composed
     // layout
     "ann_pq_persisted" -> PqOracleSql,
+
+    "ann_sq" -> SqOracleSql,
+
+    // identical semantics to ann_sq (same grid, candidates, rerank) —
+    // the entry pins the save→load→code-only-scan path to the same
+    // rows, exactly as ann_pq_persisted does for the PQ layout
+    "ann_sq_persisted" -> SqOracleSql,
+
+    // the ann_sq oracle nested verbatim vs the 9-deep exact-cosine CTE
+    // (self-hit excluded both sides) — the SQ8 twin of ann_pq_recall
+    "ann_sq_recall" ->
+      s"""WITH sq AS (
+         |  SELECT vec_id FROM ($SqOracleSql) WHERE vec_id <> 0),
+         |bq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |brute AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |      ${sqlCos("CAST(embedding AS DOUBLE[])", "qv")} AS score_raw
+         |    FROM embeddings, bq WHERE vec_id <> 0)
+         |  ORDER BY score_raw DESC, vec_id LIMIT 9)
+         |SELECT CAST(count(*) AS BIGINT) AS n_hits,
+         |  round(count(*) / 9.0, 6) AS recall
+         |FROM brute JOIN sq USING (vec_id)""".stripMargin,
 
     "ann_ivf_pq" -> IvfPqOracleSql,
 
