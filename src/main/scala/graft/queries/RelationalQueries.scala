@@ -13,6 +13,14 @@ import QueryUtil._
   */
 object RelationalQueries {
 
+  /** Z-curve geometry: 21 bits/key covers part/supp keys to 2M (the
+    * 100× stress corpus reaches ~200k), 42-bit z-values stay in a
+    * long; 64 top-bit buckets ≈ one file per bucket in ZOrderSpec's
+    * layout.
+    */
+  private val ZBits = 21
+  private val ZBuckets = 64
+
   val defs: Map[String, Q] = Map(
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -166,6 +174,24 @@ object RelationalQueries {
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("sum_qty"), col("n"))
         .orderBy(col("flag"), col("status"))
+    }),
+
+    // Z-order (Morton) layout keys (operators.ZOrder — the OPTIMIZE
+    // ZORDER analogue): bit-interleaved (l_partkey, l_suppkey) plus
+    // the deterministic top-bits file bucket. The VALUE is the
+    // layout: ZOrderSpec writes it and proves 2-D range scans
+    // row-group-skip on both keys; this entry oracle-checks the curve
+    // arithmetic itself (fixed sum of disjoint-bit terms — no
+    // sampling, so layouts replay identically across runs/engines).
+    "q_zorder" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      val z = ZOrder.zValue(col("l_partkey"), col("l_suppkey"), bits = ZBits)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          z.as("zval"),
+          ZOrder.zBucket(z, ZBits, ZBuckets).as("zbucket"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // arbitrary GROUPING SETS: an asymmetric set list —
@@ -436,6 +462,22 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+
+    // same fixed interleave terms as ZOrder.zValue — disjoint bit
+    // positions, so the add chain is exact in both engines
+    "q_zorder" -> {
+      val terms = (0 until ZBits).flatMap { j =>
+        Seq(s"(((l_partkey >> $j) & 1) << ${2 * j})",
+          s"(((l_suppkey >> $j) & 1) << ${2 * j + 1})")
+      }.mkString(" + ")
+      val shift = 2 * ZBits - Integer.numberOfTrailingZeros(ZBuckets)
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  l_partkey, l_suppkey,
+         |  ($terms) AS zval,
+         |  (($terms) >> $shift) AS zbucket
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
