@@ -39,6 +39,34 @@ object MultimodalQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
+    // payload integrity gate — the validate-before-ingest step every
+    // media pipeline runs (truncated downloads, bitrot, mislabeled
+    // sizes): recompute length + checksum FROM THE BYTES and compare
+    // against the claimed sidecar metadata; mismatches are flagged
+    // and quarantined, never silently dropped. The claimed sidecar is
+    // synthesized deterministically (size off-by-one for id%7, rotted
+    // checksum for id%11) so the oracle can replay the whole gate.
+    // At 100 TB this is a single narrow zero-shuffle projection —
+    // payload bytes are hashed in place and never move.
+    "mm_integrity" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
+      media.select(col("doc_id"), col("payload"),
+          (col("media_meta.n_bytes") +
+            when(col("doc_id") % 7 === 0, 1L).otherwise(0L)).as("claimed_n_bytes"),
+          when(col("doc_id") % 11 === 0,
+            md5(concat(col("payload"), lit("x".getBytes("UTF-8")))))
+            .otherwise(md5(col("payload"))).as("claimed_md5"))
+        .withColumn("actual_n_bytes", length(col("payload")).cast("long"))
+        .withColumn("size_ok",
+          (col("actual_n_bytes") === col("claimed_n_bytes")).cast("long"))
+        .withColumn("hash_ok",
+          (md5(col("payload")) === col("claimed_md5")).cast("long"))
+        .select(col("doc_id"), col("actual_n_bytes"), col("claimed_n_bytes"),
+          col("size_ok"), col("hash_ok"),
+          (col("size_ok") === 0 || col("hash_ok") === 0).cast("long").as("quarantine"))
+        .orderBy(col("doc_id"))
+    }),
+
     // media ↔ caption alignment join — the WebDataset/LAION pairing
     // step when metadata keys are lost: captions attach to media by
     // CONTENT fingerprint (md5 of the payload bytes), so exact
@@ -131,6 +159,25 @@ object MultimodalQueries {
          |FROM pairs WHERE hamming <= 3
          |ORDER BY ida, idb""".stripMargin
     },
+
+    // honest replay: the claimed sidecar is re-synthesized and then
+    // COMPARED (md5 vs md5, length vs length) — the gate's decision
+    // logic runs in both engines, not just its precomputed outcome
+    "mm_integrity" ->
+      """WITH claimed AS (
+        |  SELECT doc_id, text,
+        |    (len(text) + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS claimed_n_bytes,
+        |    CASE WHEN doc_id % 11 = 0 THEN md5(text || 'x') ELSE md5(text) END AS claimed_md5
+        |  FROM documents),
+        |checked AS (
+        |  SELECT doc_id,
+        |    len(text)::BIGINT AS actual_n_bytes, claimed_n_bytes,
+        |    CAST(CASE WHEN len(text)::BIGINT = claimed_n_bytes THEN 1 ELSE 0 END AS BIGINT) AS size_ok,
+        |    CAST(CASE WHEN md5(text) = claimed_md5 THEN 1 ELSE 0 END AS BIGINT) AS hash_ok
+        |  FROM claimed)
+        |SELECT doc_id, actual_n_bytes, claimed_n_bytes, size_ok, hash_ok,
+        |  CAST(CASE WHEN size_ok = 0 OR hash_ok = 0 THEN 1 ELSE 0 END AS BIGINT) AS quarantine
+        |FROM checked ORDER BY doc_id""".stripMargin,
 
     "mm_join" ->
       """WITH media AS (

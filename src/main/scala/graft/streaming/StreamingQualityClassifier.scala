@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFunctions._
+
+/** Streaming face of the model-based quality gate
+  * (graft.text.QualityClassifier): the classifier is FITTED ONCE on
+  * the static reference corpus — one batch aggregation producing the
+  * per-token log-odds weight table — and each arriving document is
+  * scored by mean token log-odds via a stream-static join, keep =
+  * score > 0. This is exactly how production curation serves a
+  * fastText-style gate: the model is a batch artifact, scoring is
+  * stateless.
+  *
+  * Shape: tokenize → explode (stateless projection) → stream-static
+  * join against the weight frame → per-doc groupBy. The aggregation
+  * groups by the document id WITHIN the incoming rows — in append
+  * terms each doc's score is complete once its tokens are seen, so
+  * the spec drives it with complete/update semantics per micro-batch;
+  * the weight table is re-planned per micro-batch, which is the model
+  * refresh hook. Unseen tokens get weight 0 (log-odds of an
+  * uninformative token), so scoring never drops a document.
+  */
+object StreamingQualityClassifier {
+
+  /** The batch-side model: (tok, w) token log-odds from the labeled
+    * reference corpus — QualityClassifier's fit stage, reusable
+    * across micro-batches. Pin with Barrier.checkpoint if the gate
+    * outlives one plan.
+    */
+  def fitWeights(docs: DataFrame, textCol: String,
+      isRef: org.apache.spark.sql.Column): DataFrame = {
+    val postings = graft.Tables.fanOut(docs)
+      .select(isRef.as("is_pos"),
+        explode(wsTokens(normText(col(textCol)))).as("tok"))
+    val freq = postings.groupBy(col("tok")).agg(
+      sum(when(col("is_pos"), 1L).otherwise(0L)).as("cnt_pos"),
+      sum(when(col("is_pos"), 0L).otherwise(1L)).as("cnt_neg"))
+    val tot = freq.agg(
+      sum(col("cnt_pos")).cast("double").as("n_pos"),
+      sum(col("cnt_neg")).cast("double").as("n_neg"),
+      count(lit(1)).cast("double").as("v"))
+    freq.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(log(
+          ((col("cnt_pos") + lit(1)) / (col("n_pos") + col("v"))) /
+            ((col("cnt_neg") + lit(1)) / (col("n_neg") + col("v")))), 6).as("w"))
+  }
+
+  /** Score a (streaming or batch) frame of (idCol, textCol) rows
+    * against the fitted weights: (idCol, n_tokens, score, keep).
+    * Identical arithmetic to QualityClassifier.score — 6dp weights
+    * summed in exact DECIMAL — so batch and stream agree bit-for-bit
+    * (the StreamingSpec equivalence).
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame): DataFrame =
+    docs
+      .select(col(idCol), explode(wsTokens(normText(col(textCol)))).as("tok"))
+      .join(weights, Seq("tok"), "left")
+      .withColumn("w", coalesce(col("w"), lit(0.0)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("w").cast(DecimalType(28, 10))).cast("double") /
+          count(lit(1)), 6).as("score"))
+      .withColumn("keep", (col("score") > 0).cast("long"))
+}

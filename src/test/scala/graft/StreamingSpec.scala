@@ -208,6 +208,56 @@ class StreamingSpec extends SparkSpecBase {
     assert(viaModule == events.count())
   }
 
+  test("streaming quality classifier: stream scores equal batch scores bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingQualityClassifier
+
+    val corpus = Seq(
+      (1L, "good clean prose here", true),
+      (2L, "good words and more good words", true),
+      (3L, "spam spam junk junk junk", false),
+      (4L, "good spam mixed words here", false))
+      .toDF("doc_id", "text", "is_ref")
+    val weights = Barrier.checkpoint(
+      StreamingQualityClassifier.fitWeights(corpus, "text", col("is_ref")))
+
+    val incoming = Seq(
+      (10L, "good clean words"),        // reference-ish → keep
+      (11L, "junk spam junk"),          // anti-reference → drop
+      (12L, "totally novel vocabulary")) // unseen tokens → weight 0
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(incoming)
+    val scored = StreamingQualityClassifier.score(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", weights)
+    val q = scored.writeStream.format("memory").queryName("quality_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("quality_out")
+      .select("doc_id", "n_tokens", "score", "keep")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val batch = StreamingQualityClassifier.score(
+        incoming.toDF("doc_id", "text"), "doc_id", "text", weights)
+      .select("doc_id", "n_tokens", "score", "keep")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == batch)
+    val keep = got.map(r => r._1 -> r._4).toMap
+    assert(keep(10L) == 1L && keep(11L) == 0L)
+    assert(got.find(_._1 == 12L).get._3 == 0.0) // all-unseen doc scores 0
+
+    // scoring the corpus against its own fitted weights reproduces the
+    // in-plan QualityClassifier bit-for-bit (same smoothing, rounding,
+    // and decimal accumulation)
+    val viaServe = StreamingQualityClassifier.score(corpus, "doc_id", "text", weights)
+      .select("doc_id", "n_tokens", "score", "keep")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val viaPlan = graft.text.QualityClassifier.score(corpus, "doc_id", "text", col("is_ref"))
+      .select("doc_id", "n_tokens", "score", "keep")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaServe == viaPlan)
+  }
+
   test("file-source stream (readStream.parquet) matches batch totals") {
     // the real ingest shape: a parquet directory consumed as a stream
     val batchEvents = Tables.load(spark, "/root/testdata/sf0.001", "events")
