@@ -56,9 +56,14 @@ object Bench {
     // The floor is therefore 3 even if the env asks for fewer, and
     // the reported statistic is the MEDIAN (robust to one bad sweep
     // in either direction, where min hides sustained slowness and
-    // mean amplifies one outlier).
+    // mean amplifies one outlier). The default is 5: the reference
+    // baseline protocol is itself warm (mean of 10 reps on a warm
+    // in-memory index, BASELINE.md "Measurement setup"), and sweep 1
+    // carries JIT bring-up + first-run index builds — a 5-sweep
+    // median compares warm-to-warm while still including cold sweeps
+    // in the artifact's min/max spread.
     val reps = math.max(3, scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt).getOrElse(5))
     val names = SparkEntry.queries.keys.toSeq.sorted
     val sweeps = (1 to reps).map { rep =>
       names.map { name =>
