@@ -176,6 +176,41 @@ object RelationalQueries {
         .orderBy(col("flag"), col("status"))
     }),
 
+    // MERGE INTO / CDC-apply: one full-outer shuffle join applies a
+    // change frame (updates, deletes, inserts) to the base table in a
+    // single pass — the lakehouse incremental-maintenance shape
+    // (Delta/Iceberg MERGE). The change set is derived
+    // deterministically from the base so the oracle replays it:
+    // keys ≡0 (mod 5) update price +10%, keys ≡3 (mod 7) (minus the
+    // update overlap) delete, keys ≡1 (mod 13) insert under fresh
+    // keys. At 100 TB both sides are corpus-sized — the equi-join
+    // shuffles on the key and nothing else moves; per-row case logic
+    // stays in the projection. v_upsert/v_delete are the special
+    // cases; this is the combined one-pass form.
+    "q_merge" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("base_price"))
+      val src = t(s, dir, "orders")
+      val updates = src.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("u").as("op"),
+          (col("o_totalprice") * 1.1).as("new_price"))
+      val deletes = src.filter(col("o_orderkey") % 7 === 3 && col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"), lit("d").as("op"), lit(null).cast("double").as("new_price"))
+      val inserts = src.filter(col("o_orderkey") % 13 === 1)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"), lit("i").as("op"),
+          (col("o_totalprice") + 1000.0).as("new_price"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      base.join(changes, Seq("o_orderkey"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "d")
+        .select(col("o_orderkey"),
+          when(col("op") === "u" || col("op") === "i", col("new_price"))
+            .otherwise(col("base_price")).as("o_totalprice"),
+          when(col("op") === "u", "updated")
+            .when(col("op") === "i", "inserted")
+            .otherwise("kept").as("status"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Z-order (Morton) layout keys (operators.ZOrder — the OPTIMIZE
     // ZORDER analogue): bit-interleaved (l_partkey, l_suppkey) plus
     // the deterministic top-bits file bucket. The VALUE is the
@@ -462,6 +497,28 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+
+    "q_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice AS base_price FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, 'u' AS op, o_totalprice * 1.1 AS new_price
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'd' AS op, NULL::DOUBLE AS new_price
+        |  FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, 'i' AS op,
+        |    o_totalprice + 1000.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 13 = 1)
+        |SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |  CASE WHEN c.op IN ('u', 'i') THEN c.new_price ELSE b.base_price END AS o_totalprice,
+        |  CASE WHEN c.op = 'u' THEN 'updated'
+        |       WHEN c.op = 'i' THEN 'inserted'
+        |       ELSE 'kept' END AS status
+        |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+        |WHERE c.op IS NULL OR c.op <> 'd'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // same fixed interleave terms as ZOrder.zValue — disjoint bit
     // positions, so the add chain is exact in both engines
