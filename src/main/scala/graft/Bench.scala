@@ -64,7 +64,16 @@ object Bench {
     // in the artifact's min/max spread.
     val reps = math.max(3, scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt).getOrElse(5))
+    // optional comma-separated subset (late-addition scale evidence
+    // without re-running the whole sweep; unknown names fail loudly,
+    // mirroring Verify's subset contract)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    only.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"Bench: unknown query names ${unknown.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val sweeps = (1 to reps).map { rep =>
       names.map { name =>
         val t0 = System.nanoTime()
