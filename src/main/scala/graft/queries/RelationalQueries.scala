@@ -189,25 +189,19 @@ object RelationalQueries {
     // cases; this is the combined one-pass form.
     "q_merge" -> ((s, dir) => {
       val base = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_totalprice").as("base_price"))
+        .select(col("o_orderkey"), col("o_totalprice"))
       val src = t(s, dir, "orders")
       val updates = src.filter(col("o_orderkey") % 5 === 0)
         .select(col("o_orderkey"), lit("u").as("op"),
-          (col("o_totalprice") * 1.1).as("new_price"))
+          (col("o_totalprice") * 1.1).as("o_totalprice"))
       val deletes = src.filter(col("o_orderkey") % 7 === 3 && col("o_orderkey") % 5 =!= 0)
-        .select(col("o_orderkey"), lit("d").as("op"), lit(null).cast("double").as("new_price"))
+        .select(col("o_orderkey"), lit("d").as("op"),
+          lit(null).cast("double").as("o_totalprice"))
       val inserts = src.filter(col("o_orderkey") % 13 === 1)
         .select((col("o_orderkey") + 100000000L).as("o_orderkey"), lit("i").as("op"),
-          (col("o_totalprice") + 1000.0).as("new_price"))
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
       val changes = updates.unionByName(deletes).unionByName(inserts)
-      base.join(changes, Seq("o_orderkey"), "full_outer")
-        .filter(col("op").isNull || col("op") =!= "d")
-        .select(col("o_orderkey"),
-          when(col("op") === "u" || col("op") === "i", col("new_price"))
-            .otherwise(col("base_price")).as("o_totalprice"),
-          when(col("op") === "u", "updated")
-            .when(col("op") === "i", "inserted")
-            .otherwise("kept").as("status"))
+      graft.operators.MergeApply.applyChanges(base, changes, "o_orderkey")
         .orderBy(col("o_orderkey"))
     }),
 

@@ -258,6 +258,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(viaServe == viaPlan)
   }
 
+  test("streaming CDC apply: foreachBatch merge equals one-shot batch merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.MergeApply
+
+    val base0 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("k", "v")
+    // two micro-batches of changelog rows: update k=1, delete k=2,
+    // insert k=5; then update the freshly-inserted k=5 and delete k=3
+    val batch1 = Seq((1L, "u", 11.0), (2L, "d", 0.0), (5L, "i", 50.0))
+    val batch2 = Seq((5L, "u", 55.0), (3L, "d", 0.0))
+
+    // the streaming upsert-sink pattern: state lives in a var the
+    // foreachBatch closure replaces per micro-batch (a lakehouse
+    // table in production; localCheckpoint keeps lineage bounded
+    // across applies, exactly like a table rewrite does)
+    var table = base0
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = stream.toDF().toDF("k", "op", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        table = MergeApply.applyChanges(table, batch, "k")
+          .drop("status").localCheckpoint()
+      }
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = table.as[(Long, Double)].collect().toSet
+    // equivalence: applying the same changelog in two batch calls
+    val viaBatch = {
+      val t1 = MergeApply.applyChanges(
+        base0, batch1.toDF("k", "op", "v"), "k").drop("status")
+      MergeApply.applyChanges(
+        t1, batch2.toDF("k", "op", "v"), "k").drop("status")
+        .as[(Long, Double)].collect().toSet
+    }
+    assert(streamed == viaBatch)
+    assert(streamed == Set((1L, 11.0), (4L, 40.0), (5L, 55.0)))
+  }
+
   test("file-source stream (readStream.parquet) matches batch totals") {
     // the real ingest shape: a parquet directory consumed as a stream
     val batchEvents = Tables.load(spark, "/root/testdata/sf0.001", "events")
