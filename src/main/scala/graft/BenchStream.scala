@@ -31,6 +31,55 @@ object BenchStream {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // mode=classifier: sustained-load of the quality-classifier gate
+    // (s_quality_classifier) instead of the ANN serve path — the
+    // static side is the fitted weight table, the stream is document
+    // batches, the sink counts keep decisions.
+    if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("classifier")) {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val weights = Barrier.checkpoint(
+        graft.streaming.StreamingQualityClassifier.fitWeights(
+          docs, "text", col("lang") === "en"))
+      val nTok = weights.count()
+      val pool = docs.filter(col("doc_id") < batch.toLong)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val stream = MemoryStream[(Long, String)]
+      val scored = graft.streaming.StreamingQualityClassifier.score(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", weights)
+      @volatile var kept = 0L
+      val query = scored.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          kept += b.filter(col("keep") === 1L).count()
+        }
+        // update mode: each doc's tokens arrive in one batch, so its
+        // group is complete immediately and only that round's docs
+        // are re-emitted (complete mode would recompute every past
+        // round's groups each batch — quadratic in rounds)
+        .outputMode("update").start()
+      def round(r: Int): Double = {
+        val offset = r.toLong * 10000000L
+        val t0 = System.nanoTime()
+        stream.addData(pool.map { case (id, t) => (id + offset, t) }.toSeq)
+        query.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        (1 to 3).foreach(round)
+        val lats = (4 to 3 + rounds).map(round).sorted
+        val mean = lats.sum / lats.length
+        def pct(p: Double) = lats(math.min(lats.length - 1, (p * lats.length).toInt))
+        val dps = batch / mean
+        System.err.println(f"[bench-stream] classifier vocab=$nTok batch=$batch " +
+          f"mean=${mean * 1000}%.1f ms p50=${pct(0.5) * 1000}%.1f ms docs/s=$dps%.0f")
+        println(f"""{"metric":"stream_classifier","vocab":$nTok,"batch":$batch,"rounds":$rounds,"mean_sec":$mean%.4f,"p50_sec":${pct(0.5)}%.4f,"p95_sec":${pct(0.95)}%.4f,"docs_per_sec":$dps%.1f,"kept":$kept,"sf":"$sfDir"}""")
+      } finally {
+        query.stop()
+        spark.stop()
+      }
+      return
+    }
+
     val emb = Tables.load(spark, sfDir, "embeddings")
     val corpus = emb.select(col("vec_id"), col("embedding")).cache()
     val n = corpus.count()
