@@ -12,6 +12,38 @@ import QueryUtil._
   */
 object TextQueries {
 
+  /** Shared by ta_quality_classifier and its persisted-model twin
+    * (same fit, same scoring arithmetic — only where the weight table
+    * lives differs).
+    */
+  private val QualityClassifierOracleSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, lang = 'en' AS is_pos,
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents),
+      |tokens AS (
+      |  SELECT doc_id, is_pos, unnest(string_split(t, ' ')) AS tok FROM norm),
+      |freq AS (
+      |  SELECT tok,
+      |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS cnt_pos,
+      |    sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS cnt_neg
+      |  FROM tokens GROUP BY 1),
+      |tot AS (
+      |  SELECT sum(cnt_pos)::DOUBLE AS n_pos, sum(cnt_neg)::DOUBLE AS n_neg,
+      |    count(*)::DOUBLE AS v
+      |  FROM freq),
+      |scored AS (
+      |  SELECT doc_id,
+      |    round(ln(((cnt_pos + 1) / (n_pos + v)) / ((cnt_neg + 1) / (n_neg + v))), 6) AS w
+      |  FROM tokens JOIN freq USING (tok), tot),
+      |agg AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |    round(CAST(sum(CAST(w AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS score
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, score,
+      |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   private val sqlNorm =
     """WITH norm AS (
       |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
@@ -254,6 +286,24 @@ object TextQueries {
     "ta_quality_classifier" -> ((s, dir) => {
       graft.text.QualityClassifier.score(
           t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+        .orderBy(col("doc_id"))
+    }),
+
+    // the PERSISTED-model twin: the weight table is fitted ONCE at
+    // ingest and saved as a parquet model artifact
+    // (QueryUtil.persistedArtifact); the query path loads it and runs
+    // ONLY the scoring join — how production serves a classifier gate
+    // (the fit is a training job, not a query). Same fit, same
+    // arithmetic (StreamingSpec pins serve==in-plan bit equality), so
+    // the oracle is shared verbatim with ta_quality_classifier.
+    "ta_quality_classifier_persisted" -> ((s, dir) => {
+      val wPath = persistedArtifact("qcweights", dir) { p =>
+        graft.streaming.StreamingQualityClassifier.fitWeights(
+            t(s, dir, "documents"), "text", col("lang") === "en")
+          .write.mode("overwrite").parquet(p)
+      }
+      graft.streaming.StreamingQualityClassifier.score(
+          t(s, dir, "documents"), "doc_id", "text", s.read.parquet(wPath))
         .orderBy(col("doc_id"))
     }),
 
@@ -718,33 +768,13 @@ object TextQueries {
     // bit-for-bit replay of QualityClassifier.score: same add-one
     // smoothing, same division order, ln rounded to 6dp BEFORE the
     // exact DECIMAL per-doc sum (the ta_unigram_lm portability family)
-    "ta_quality_classifier" ->
-      """WITH norm AS (
-        |  SELECT doc_id, lang = 'en' AS is_pos,
-        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
-        |  FROM documents),
-        |tokens AS (
-        |  SELECT doc_id, is_pos, unnest(string_split(t, ' ')) AS tok FROM norm),
-        |freq AS (
-        |  SELECT tok,
-        |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS cnt_pos,
-        |    sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS cnt_neg
-        |  FROM tokens GROUP BY 1),
-        |tot AS (
-        |  SELECT sum(cnt_pos)::DOUBLE AS n_pos, sum(cnt_neg)::DOUBLE AS n_neg,
-        |    count(*)::DOUBLE AS v
-        |  FROM freq),
-        |scored AS (
-        |  SELECT doc_id,
-        |    round(ln(((cnt_pos + 1) / (n_pos + v)) / ((cnt_neg + 1) / (n_neg + v))), 6) AS w
-        |  FROM tokens JOIN freq USING (tok), tot),
-        |agg AS (
-        |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
-        |    round(CAST(sum(CAST(w AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS score
-        |  FROM scored GROUP BY doc_id)
-        |SELECT doc_id, n_tokens, score,
-        |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM agg ORDER BY doc_id""".stripMargin,
+    "ta_quality_classifier" -> QualityClassifierOracleSql,
+
+    // identical semantics to ta_quality_classifier (same fit, same
+    // arithmetic — the deterministic weight table round-trips through
+    // parquet unchanged); the entry pins the save→load→score-only
+    // model-artifact path to the same rows
+    "ta_quality_classifier_persisted" -> QualityClassifierOracleSql,
 
     "ta_mix" ->
       """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

@@ -57,8 +57,13 @@ object StreamingQualityClassifier {
     * (the StreamingSpec equivalence).
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame): DataFrame =
-    docs
+      weights: DataFrame): DataFrame = {
+    // batch frames fan out to session parallelism (a single-row-group
+    // corpus parquet would serialize the tokenize+explode on a couple
+    // of cores — measured 2× the whole-query cost at 100×); streaming
+    // micro-batches arrive pre-partitioned by the source
+    val src = if (docs.isStreaming) docs else graft.Tables.fanOut(docs)
+    src
       .select(col(idCol), explode(wsTokens(normText(col(textCol)))).as("tok"))
       .join(weights, Seq("tok"), "left")
       .withColumn("w", coalesce(col("w"), lit(0.0)))
@@ -68,4 +73,5 @@ object StreamingQualityClassifier {
         round(sum(col("w").cast(DecimalType(28, 10))).cast("double") /
           count(lit(1)), 6).as("score"))
       .withColumn("keep", (col("score") > 0).cast("long"))
+  }
 }
