@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *     per-dimension linear grid, which is why production stores
   *     reach for it first (cheap ingest, no training-distribution
   *     drift) and step up to PQ only when 4× compression isn't enough;
-  *   - ENCODE: c_d = min(255, floor((x_d − lo_d)/step_d)), step_d =
+  *   - ENCODE: c_d = max(0, min(255, floor((x_d − lo_d)/step_d))), step_d =
   *     (hi_d − lo_d)/256 — a single codegen'd kernel (SqEncode) packing
   *     dim uint8 codes into ONE binary column: 64 B/row vs 256 B of
   *     float32, no per-element parquet overhead;

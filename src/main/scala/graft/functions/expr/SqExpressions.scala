@@ -66,9 +66,13 @@ case class SqEncode(first: Expression, second: Expression, third: Expression)
     var d = 0
     while (d < n) {
       val st = s.getDouble(d)
+      // clamp BOTH ends: a value below lo (possible when encoding new
+      // rows against a persisted stale grid) must floor to code 0, not
+      // wrap negative through the byte cast
       val c =
         if (st == 0.0) 0
-        else math.min(255.0, math.floor((getVecElem(first, x, d) - l.getDouble(d)) / st)).toInt
+        else math.max(0.0,
+          math.min(255.0, math.floor((getVecElem(first, x, d) - l.getDouble(d)) / st))).toInt
       out(d) = c.toByte
       d += 1
     }
@@ -87,8 +91,8 @@ case class SqEncode(first: Expression, second: Expression, third: Expression)
          |byte[] $out = new byte[$n];
          |for (int $d = 0; $d < $n; $d++) {
          |  double $st = $step.getDouble($d);
-         |  int $c = $st == 0.0 ? 0 : (int) java.lang.Math.min(255.0,
-         |    java.lang.Math.floor((${genGetVec(first, v, d)} - $lo.getDouble($d)) / $st));
+         |  int $c = $st == 0.0 ? 0 : (int) java.lang.Math.max(0.0, java.lang.Math.min(255.0,
+         |    java.lang.Math.floor((${genGetVec(first, v, d)} - $lo.getDouble($d)) / $st)));
          |  $out[$d] = (byte) $c;
          |}
          |${ev.value} = $out;

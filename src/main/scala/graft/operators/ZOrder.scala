@@ -48,6 +48,11 @@ object ZOrder {
   def zBucket(z: Column, bits: Int, nBuckets: Int): Column = {
     require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
       s"nBuckets must be a power of two, got $nBuckets")
+    // nBuckets > 4^bits would make shift negative, and Java/Spark
+    // shiftright masks the count (z >> -6 == z >> 58) — everything
+    // would silently collapse into bucket 0 instead of failing
+    require(Integer.numberOfTrailingZeros(nBuckets) <= 2 * bits,
+      s"nBuckets ($nBuckets) must be <= 4^bits (bits=$bits): need log2(nBuckets) <= 2*bits")
     val shift = 2 * bits - Integer.numberOfTrailingZeros(nBuckets)
     shiftright(z, shift)
   }

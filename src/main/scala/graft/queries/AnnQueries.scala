@@ -454,7 +454,7 @@ object AnnQueries {
        |enc AS (
        |  SELECT vv.vec_id, g.d, g.lo, g.step,
        |    CASE WHEN g.step = 0 THEN 0.0
-       |         ELSE LEAST(255.0, FLOOR((vv.v[g.d] - g.lo) / g.step)) END AS c
+       |         ELSE GREATEST(0.0, LEAST(255.0, FLOOR((vv.v[g.d] - g.lo) / g.step))) END AS c
        |  FROM vv, grid g),
        |terms AS (
        |  SELECT e.vec_id, e.d,

@@ -632,8 +632,13 @@ object RelationalQueries {
       val b = graft.operators.HistogramSketch.B
       def sel(name: String, p: Double): String =
         s"min(CASE WHEN cum >= CAST(CEIL($p::DOUBLE * n) AS BIGINT) THEN bin END) AS _b_$name"
-      def edge(name: String): String =
-        s"round(s.lo + (_b_$name + 1) * (s.hi - s.lo) / $b.0, 6) AS $name"
+      // mirrors HistogramSketch's small-p exact path: when the target
+      // rank is the group minimum (ceil(p·n) <= 1), return lo exactly
+      def edge(name: String, p: Double): String =
+        s"""CASE WHEN CAST(CEIL($p::DOUBLE * s.n) AS BIGINT) <= 1
+           |  THEN round(s.lo, 6)
+           |  ELSE round(s.lo + (_b_$name + 1) * (s.hi - s.lo) / $b.0, 6)
+           |END AS $name""".stripMargin
       s"""WITH stats AS (
          |  SELECT l_returnflag AS g, min(l_extendedprice) AS lo,
          |    max(l_extendedprice) AS hi, count(*) AS n
@@ -653,7 +658,7 @@ object RelationalQueries {
          |  SELECT g, ${sel("p25_est", 0.25)}, ${sel("p50_est", 0.5)}, ${sel("p95_est", 0.95)}
          |  FROM cum GROUP BY g)
          |SELECT s.g AS l_returnflag, s.n,
-         |  ${edge("p25_est")}, ${edge("p50_est")}, ${edge("p95_est")}
+         |  ${edge("p25_est", 0.25)}, ${edge("p50_est", 0.5)}, ${edge("p95_est", 0.95)}
          |FROM sel JOIN stats s USING (g)
          |ORDER BY l_returnflag""".stripMargin
     },

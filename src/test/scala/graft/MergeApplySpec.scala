@@ -63,4 +63,21 @@ class MergeApplySpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("full new row"))
   }
+
+  test("duplicate change rows for one key fail loudly (MERGE contract)") {
+    import spark.implicits._
+    val base = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val dup = Seq((1L, "u", 9.0), (1L, "u", 8.0), (2L, "u", 5.0))
+      .toDF("k", "op", "v")
+    val e = intercept[Exception] {
+      MergeApply.applyChanges(base, dup, "k").collect()
+    }
+    assert(e.getMessage.contains("multiple change rows"),
+      s"expected the duplicate-key raise_error, got: ${e.getMessage}")
+    // a clean batch on the same plan still works
+    val ok = MergeApply.applyChanges(base,
+        Seq((1L, "u", 9.0), (2L, "d", 0.0)).toDF("k", "op", "v"), "k")
+      .select(col("k"), col("v")).as[(Long, Double)].collect().toMap
+    assert(ok == Map(1L -> 9.0))
+  }
 }

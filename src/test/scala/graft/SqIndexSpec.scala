@@ -103,4 +103,21 @@ class SqIndexSpec extends SparkSpecBase {
     assert(plan.linesIterator.exists(l => l.contains("sq_adc") && l.contains("*(")),
       s"sq_adc projection not inside WholeStageCodegen:\n$plan")
   }
+
+  test("encoding below the grid floor clamps to code 0 (stale-grid contract)") {
+    import spark.implicits._
+    // SqIndex's load-then-query contract invites encoding NEW rows
+    // against a persisted stale grid; a value below lo must clamp to
+    // 0, not floor negative and wrap through the byte cast to 255
+    val grid2 = Sq.Grid(Array(10.0, 10.0), Array(1.0, 1.0))
+    val rows = Seq((1L, Array(-500.0f, 9.99f)), (2L, Array(10.0f, 300.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Sq.encode(rows, "embedding", grid2)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got(1L).toSeq == Seq(0.toByte, 0.toByte),
+      s"below-lo must clamp to 0, got ${got(1L).toSeq}")
+    assert(got(2L).toSeq == Seq(0.toByte, 255.toByte),
+      s"expected (0, 255), got ${got(2L).toSeq}")
+  }
 }

@@ -52,6 +52,16 @@ class ZOrderSpec extends SparkSpecBase {
     assert(df.map(_._2).distinct.sorted.length > 1)
   }
 
+  test("zBucket rejects nBuckets > 4^bits (negative shift would be masked)") {
+    // Java/Spark shiftright masks the count, so 2*bits - log2(nBuckets) < 0
+    // would silently collapse everything into bucket 0 — must fail instead
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zBucket(col("z"), 2, 32) // 4^2 = 16 < 32
+    }
+    assert(e.getMessage.contains("4^bits"))
+    ZOrder.zBucket(col("z"), 2, 16) // boundary: log2(16) == 2*2 — allowed
+  }
+
   /** Rows the scan node actually emitted (post row-group skipping). */
   private def scanOutputRows(df: DataFrame): Long = {
     df.collect()
