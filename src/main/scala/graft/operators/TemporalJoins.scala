@@ -73,8 +73,19 @@ object TemporalJoins {
     * EQUALITY key — a hash join whose per-bin work is |bin events| ×
     * |bin intervals| instead of a full nested loop. Each matching
     * (interval, event) pair meets in exactly one bin (the event's), so
-    * no dedup is needed. Pick binSeconds ≳ the typical interval length
-    * so intervals explode to O(1) bins.
+    * no dedup is needed.
+    *
+    * Choosing binSeconds: total join candidates ≈ |E|·|I|·w/T (every
+    * same-bin pair is a hash-join MATCH that must flow through the
+    * range filter), while interval replication costs |I|·(1 + len/w).
+    * Candidates grow LINEARLY with w, so oversizing the bin is far
+    * worse than oversizing the explode: prefer w well BELOW the
+    * typical interval length and let long intervals replicate —
+    * shrink w until replication (≈ |I|·len_avg/w extra rows) rivals
+    * the candidate count, i.e. w* ≈ sqrt(len_avg · T / |E|) when
+    * intervals outnumber nothing. The round-7 q_range lesson: 2-hour
+    * bins over median-zero-length sessions cost 52G candidates at the
+    * 100× corpus; 5-minute bins cost 2G for the same output.
     */
   def rangeJoinBinned(events: DataFrame, tsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
