@@ -425,6 +425,25 @@ object Dedup {
     * never converged-too-early. Refuses (loudly) if not converged
     * within `maxIters` — with log-round convergence that means a
     * component of diameter ~2^maxIters, i.e. a broken pair generator.
+    *
+    * DELTA propagation (round 8): from round 2 on, only labels that
+    * SHRANK last round propagate. This is pruning of provably
+    * redundant offers, not an approximation — labels decrease
+    * monotonically, so an offer from an unchanged node repeats a
+    * value the target already absorbed (neighbor case: lbl(v) was
+    * offered to u the round after v last changed; hop case: lbl(L)
+    * was offered to x the round after x's pointer or L's label last
+    * changed). Label evolution, round count, and the convergence
+    * fixpoint are bit-identical to full propagation
+    * (ConnectedGroupsSpec pins the round bounds). The changed set
+    * shrinks geometrically, and its size is already known driver-side
+    * for free (the shrink accumulator), so once it is under
+    * `BroadcastChangedMax` rows the delta joins switch to explicit
+    * broadcast — late rounds then touch the edge frame and the full
+    * label frame map-side only, with no shuffle. The blanket
+    * autoBroadcastJoinThreshold=-1 stays (a PLANNER-chosen broadcast
+    * of the corpus-sized label frame is still the failure mode); the
+    * explicit hint is bounded by the accumulator value.
     */
   /** Rounds the last [[connectedGroups]] call took — observability for
     * specs and pipeline telemetry (ConnectedGroupsSpec pins the
@@ -454,6 +473,12 @@ object Dedup {
     }
   }
 
+  /** Above this many changed labels the delta joins stay shuffle
+    * joins; below it the changed frame broadcasts (~16 B/row → tens
+    * of MB at the cap, safe for a 1000-executor driver).
+    */
+  private val BroadcastChangedMax = 2000000L
+
   private def connectedGroupsImpl(spark: org.apache.spark.sql.SparkSession,
       pairs: DataFrame, aCol: String, bCol: String,
       idOut: String, maxIters: Int): DataFrame = {
@@ -463,20 +488,36 @@ object Dedup {
     var labels = edges.select(col("u")).distinct()
       .select(col("u"), col("u").as("lbl"))
       .transform(graft.Barrier.checkpoint)
+    // round 1: every node counts as freshly changed
+    var changed = labels
+    var changedCount = Long.MaxValue
     val nullLbl = lit(null).cast(labels.schema("lbl").dataType)
     val shrunk = spark.sparkContext.longAccumulator("graft.cc.shrunk")
     val pinnedRounds = scala.collection.mutable.Buffer.empty[org.apache.spark.rdd.RDD[_]]
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      val ch =
+        if (changedCount <= BroadcastChangedMax) broadcast(changed) else changed
       val viaSelf = labels.select(col("u"), col("lbl").as("cand"),
         col("lbl").as("old"))
+      // neighbor offers only from nodes whose label shrank last round
       val viaNbr = edges.alias("e")
-        .join(labels.alias("l"), col("e.v") === col("l.u"))
+        .join(ch.alias("l"), col("e.v") === col("l.u"))
         .select(col("e.u").as("u"), col("l.lbl").as("cand"), nullLbl.as("old"))
-      val viaHop = labels.alias("a")
-        .join(labels.alias("b"), col("a.lbl") === col("b.u"))
-        .select(col("a.u").as("u"), col("b.lbl").as("cand"), nullLbl.as("old"))
+      // hop offers where the pointer moved (a changed) or the pointee's
+      // label shrank (b changed); round 1 both sides are `labels`, so a
+      // single full self-join suffices
+      val viaHop =
+        if (iter == 0)
+          labels.alias("a").join(labels.alias("b"), col("a.lbl") === col("b.u"))
+            .select(col("a.u").as("u"), col("b.lbl").as("cand"), nullLbl.as("old"))
+        else
+          ch.alias("a").join(labels.alias("b"), col("a.lbl") === col("b.u"))
+            .select(col("a.u").as("u"), col("b.lbl").as("cand"), nullLbl.as("old"))
+            .unionByName(
+              labels.alias("a").join(ch.alias("b"), col("a.lbl") === col("b.u"))
+                .select(col("a.u").as("u"), col("b.lbl").as("cand"), nullLbl.as("old")))
       // min(old) recovers the (unique) previous label through the same
       // aggregate that computes the new one — no second pass
       val next = viaSelf.unionByName(viaNbr).unionByName(viaHop)
@@ -492,8 +533,11 @@ object Dedup {
       shrunk.reset()
       rdd.foreach(r => if (r.getAs[Boolean]("_shrunk")) shrunk.add(1L))
       converged = shrunk.value == 0L
+      changedCount = shrunk.value
       pinnedRounds += rdd
       labels = spark.createDataFrame(rdd, next.schema).select(col("u"), col("lbl"))
+      changed = spark.createDataFrame(rdd, next.schema)
+        .filter(col("_shrunk")).select(col("u"), col("lbl"))
       iter += 1
     }
     lastCcRounds = iter
