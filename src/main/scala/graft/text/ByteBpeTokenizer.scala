@@ -219,7 +219,7 @@ object ByteBpeTokenizer {
     * runs, digit runs, symbol runs, whitespace — each with optional
     * leading space so merges never cross word boundaries.
     */
-  private val PreTokenPattern: Pattern = Pattern.compile(
+  private[text] val PreTokenPattern: Pattern = Pattern.compile(
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
 
   /** GPT-2 bytes_to_unicode: visible bytes map to themselves, the
@@ -241,7 +241,7 @@ object ByteBpeTokenizer {
   private val charToByte: Map[Char, Byte] =
     (0 until 256).map(b => byteToChar(b) -> b.toByte).toMap
 
-  private def toSymbols(word: String): Vector[String] =
+  private[text] def toSymbols(word: String): Vector[String] =
     word.getBytes(StandardCharsets.UTF_8).toVector
       .map(b => byteToChar(b & 0xff).toString)
 

@@ -71,10 +71,18 @@ class WordPieceSpec extends AnyFunSuite {
     assert(loaded.encodeIds(text) == tok.encodeIds(text))
   }
 
-  test("GATED: a real published vocab.txt loads and tokenizes (set GRAFT_BERT_VOCAB)") {
+  test("GATED: a full-size vocab.txt loads and tokenizes " +
+      "(GRAFT_BERT_VOCAB points at a real published vocab; otherwise the " +
+      "in-build synthetic 30k vocab trained by VocabTrainer)") {
+    // zero-egress fallback: the 30k-piece vocabulary trained from the
+    // synthetic morphological corpus (FullSizeVocabSpec) — same size
+    // class and same assertions as a published BERT vocab, so this
+    // gate RUNS in CI instead of cancelling
     val path = sys.env.get("GRAFT_BERT_VOCAB")
+      .filter(p => new java.io.File(p).isFile)
+      .orElse(Some(graft.text.FullVocabFiles.vocab))
     assume(path.exists(p => new java.io.File(p).isFile),
-      "GRAFT_BERT_VOCAB not set — drop-in gate skipped (zero-egress build)")
+      "no full-size vocab.txt available")
     val tok = WordPieceTokenizer.fromVocabFile(path.get)
     // the BERT-family id conventions hold for any published vocab
     assert(tok.vocab.contains("[UNK]") && tok.vocab.contains("[CLS]"))
