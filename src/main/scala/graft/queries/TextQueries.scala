@@ -165,7 +165,16 @@ object TextQueries {
           explode(wordShingles(wsTokens(normText(col("text"))), 5)).as("g"))
       val bench = shingles(docs.filter(col("doc_id") % 100 === 0))
         .withColumnRenamed("doc_id", "bench_id")
-      val train = shingles(docs.filter(col("doc_id") % 100 =!= 0))
+      // Bloom-prune the train side BEFORE its shuffle: the benchmark
+      // suite's shingle set is bounded (a fixed eval suite, ~1e6-1e7
+      // keys) while train is the 100-TB corpus — without the bloom the
+      // SMJ shuffles EVERY train shingle; with it only might-match
+      // candidates reach the exchange (no false negatives, so the join
+      // result — and the oracle hash — is identical). 2^25 bits / 4 MiB
+      // broadcast holds ~3M bench keys at ~1% FP.
+      val train = graft.operators.BloomJoin.pruneFact(
+        shingles(docs.filter(col("doc_id") % 100 =!= 0)), "g",
+        bench.select(col("g")), "g", mBits = 1 << 25)
       val sizes = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("n_shingles"))
       val hits = bench.join(train, "g")
         .groupBy(col("bench_id"))
