@@ -156,4 +156,74 @@ class ServingSpec extends SparkSpecBase {
       assert(asTuples(mem.queryDocuments()) == cold)
     } finally { mem.close(); disk.close() }
   }
+
+  test("RefreshingVectorServing: streamed CDC batches become visible in " +
+      "serve_local results, row-identical to a cold rebuild") {
+    assume(haveData)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val base = Tables.load(spark, dir, "embeddings")
+    val rvs = new graft.serve.RefreshingVectorServing(base, "vec_id", "embedding")
+    val q0 = queryVec
+
+    val preTop = rvs.serving.queryItems(q0, 5).map(_._1.getAs[Long]("vec_id"))
+    assert(preTop.nonEmpty && !preTop.contains(999999L))
+    val victim = preTop(1) // a current top-5 id we will delete
+
+    // changelog contract: full new row + op; embedding cast to the
+    // base table's array<float> so the merge coalesce type-checks
+    def changeDf(rows: Seq[(Long, String, Seq[Double], Int)]) =
+      rows.toDF("vec_id", "op", "embedding", "label")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+
+    val stream = MemoryStream[(Long, String, Seq[Double], Int)]
+    val sq = stream.toDF().toDF("vec_id", "op", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        rvs.applyChanges(b)
+      }
+      .outputMode("append").start()
+    val batch1 = Seq(
+      (7L, "u", q0, 3),                    // vec 7 becomes an exact match
+      (victim, "d", Seq.empty[Double], 0)) // a pre-CDC top-5 id disappears
+    val batch2 = Seq(
+      (999999L, "i", q0.map(-_), 2))       // fresh id, anti-parallel vector
+    try {
+      stream.addData(batch1)
+      sq.processAllAvailable()
+      stream.addData(batch2)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    assert(rvs.appliedBatches == 2L)
+
+    // visibility: the update ranks vec 7 at cosine 1.0, the delete is
+    // gone, the insert is servable
+    val postTop = rvs.serving.queryItems(q0, 5)
+    assert(postTop.map(_._1.getAs[Long]("vec_id")).contains(7L))
+    assert(!postTop.map(_._1.getAs[Long]("vec_id")).contains(victim))
+    assert(rvs.serving.getItem(999999L).exists(_.getAs[Int]("label") == 2))
+
+    // row-identical to a cold rebuild over the maintained table
+    val cold = graft.serve.LocalVectorServing.load(
+      VectorIndex.build(rvs.currentTable, "vec_id", "embedding"))
+    def asTuples(xs: Seq[(org.apache.spark.sql.Row, Double)]) =
+      xs.map { case (r, s) => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"), s) }
+    assert(asTuples(rvs.serving.queryItems(q0, 10)) ==
+      asTuples(cold.queryItems(q0, 10)))
+    val mf = MetaFilter.parse("""{"label":{"$in":[2,3]}}""")
+    assert(rvs.serving.listItemsByMetadata(mf).map(_.getAs[Long]("vec_id")) ==
+      cold.listItemsByMetadata(mf).map(_.getAs[Long]("vec_id")))
+
+    // and identical to applying the same changelog in batch mode
+    val viaBatch = graft.operators.MergeApply.applyChanges(
+      graft.operators.MergeApply.applyChanges(
+        base, changeDf(batch1), "vec_id").drop("status"),
+      changeDf(batch2), "vec_id").drop("status")
+    val got = rvs.currentTable.select("vec_id", "label").as[(Long, Int)].collect().toSet
+    val want = viaBatch.select("vec_id", "label").as[(Long, Int)].collect().toSet
+    assert(got == want)
+  }
 }
