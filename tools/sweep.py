@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Scale-sweep artifact builder with the round-8/9 measurement
+protocol: N independent JVM sessions, each producing per-op MEDIANS
+over its own interleaved sweeps (graft.Bench's in-session protocol),
+and the artifact of record taking the per-op MIN ACROSS SESSIONS.
+
+Why min-of-session-medians: the round-7 artifact merged all sweeps
+from two sessions into one median, so a single multi-minute
+host-contention window inside one session contaminated ~20 ops
+(dd_spans "37.4s" vs ~6s on the quiet session). A session median is
+robust to one bad sweep WITHIN the session; the cross-session MIN
+rejects a whole contended SESSION, because contention only ever adds
+time — the smaller session median is always the better estimate of
+the code's cost. Both sessions' medians ship in the artifact
+(`sessions`) so the rejection is auditable, and a session whose total
+exceeds 1.3x the best session is flagged in `contended_sessions`.
+
+Usage:
+  python3 tools/sweep.py <sfDir> <out.json> [sessions=2] [reps=3] [only=...]
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_session(sf_dir, reps, only, idx):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_BENCH_REPS=str(reps),
+               SPARK_GRAFT_SERVE="0")
+    if only:
+        env["SPARK_GRAFT_BENCH_ONLY"] = only
+    t0 = time.time()
+    out = subprocess.run(["tools/run.sh", "graft.Bench"], env=env,
+                         capture_output=True, text=True, check=True)
+    line = [l for l in out.stdout.splitlines() if l.startswith('{"metric"')][-1]
+    d = json.loads(line)
+    print(f"[sweep] session {idx}: total {d['value']:.1f}s "
+          f"(wall {time.time() - t0:.0f}s)", file=sys.stderr)
+    return d
+
+
+def main():
+    sf_dir, out_path = sys.argv[1], sys.argv[2]
+    sessions = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    only = sys.argv[5] if len(sys.argv) > 5 else None
+
+    runs = [run_session(sf_dir, reps, only, i + 1) for i in range(sessions)]
+    names = sorted(runs[0]["queries"])
+    per_op = {n: min(r["queries"][n] for r in runs) for n in names}
+    totals = [sum(r["queries"][n] for n in names) for r in runs]
+    best = min(totals)
+    contended = [i + 1 for i, t in enumerate(totals) if t > 1.3 * best]
+    artifact = {
+        "metric": "total",
+        "value": sum(per_op.values()),
+        "unit": "sec",
+        "sf": sf_dir,
+        "protocol": (
+            f"{sessions} independent JVM sessions x {reps} interleaved sweeps; "
+            "per-op median within each session, artifact takes the per-op MIN "
+            "across sessions (contention only adds time, so the smaller "
+            "session median is the better cost estimate); session medians "
+            "included for audit; quiet host (no concurrent test/build jobs)"),
+        "queries": per_op,
+        "sessions": [
+            {"total": t, "queries": {n: r["queries"][n] for n in names}}
+            for t, r in zip(totals, runs)],
+        "contended_sessions": contended,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(f"[sweep] wrote {out_path}: total {artifact['value']:.1f}s over "
+          f"{len(names)} ops; contended={contended}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
