@@ -496,7 +496,9 @@ object Dedup {
     val pinnedRounds = scala.collection.mutable.Buffer.empty[org.apache.spark.rdd.RDD[_]]
     var converged = false
     var iter = 0
+    val ccDebug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && iter < maxIters) {
+      val tRound = System.nanoTime()
       val ch =
         if (changedCount <= BroadcastChangedMax) broadcast(changed) else changed
       val viaSelf = labels.select(col("u"), col("lbl").as("cand"),
@@ -539,6 +541,8 @@ object Dedup {
       changed = spark.createDataFrame(rdd, next.schema)
         .filter(col("_shrunk")).select(col("u"), col("lbl"))
       iter += 1
+      if (ccDebug) System.err.println(
+        f"[cc] round $iter%2d shrunk=${shrunk.value}%8d ${(System.nanoTime() - tRound) / 1e9}%6.2f s")
     }
     lastCcRounds = iter
     require(converged,
