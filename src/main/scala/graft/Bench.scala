@@ -20,6 +20,14 @@ object Bench {
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    // failure accounting: a swallowed per-query exception used to
+    // record a near-zero time — a BROKEN corpus benched as a FAST one
+    // (the round-9 10x sweep recorded 0.00s for every relational op
+    // against a docs-only stress dir). Failures now count per query,
+    // time as +Infinity in that sweep (so a query that failed any
+    // sweep can never report a flattering median), and ship in the
+    // JSON as "errors" for the artifact reader to refuse.
+    val failures = scala.collection.mutable.Map.empty[String, Int]
     // Between measurements: drop every pinned block so one query's
     // eager localCheckpoints (plan barriers pin executor storage for
     // the JVM's life) can't inflate a later query's GC time — the
@@ -77,8 +85,15 @@ object Bench {
     val sweeps = (1 to reps).map { rep =>
       names.map { name =>
         val t0 = System.nanoTime()
-        try force(name) catch { case _: Throwable => () }
-        val t = (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { force(name); true }
+          catch {
+            case e: Throwable =>
+              failures(name) = failures.getOrElse(name, 0) + 1
+              System.err.println(s"[bench] FAIL $name: ${e.getMessage}")
+              false
+          }
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
         clearPinned()
         System.err.println(f"[bench] sweep $rep/$reps $name%-22s $t%8.2f s")
         name -> t
@@ -95,12 +110,17 @@ object Bench {
         f"[bench] $name%-22s $dt%8.2f s (median of $reps; min ${ts.min}%.2f max ${ts.max}%.2f)")
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // a query that failed a majority of sweeps has an infinite median;
+    // JSON has no Infinity, so it ships as -1 (with its "errors" count)
+    def jnum(v: Double): String = if (v.isInfinite || v.isNaN) "-1" else v.toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_.isFinite).sum
+    val errs = failures.toSeq.sorted.map { case (k, n) => s"\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
     val baseline = baselineBlock(sfDir, results.toMap)
     val serve = serveBlock(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"$baseline$serve}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"$baseline$serve}""")
     spark.stop()
   }
 

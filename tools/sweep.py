@@ -38,6 +38,10 @@ def run_session(sf_dir, reps, only, idx):
                          capture_output=True, text=True, check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith('{"metric"')][-1]
     d = json.loads(line)
+    if d.get("errors") or any(v < 0 for v in d["queries"].values()):
+        raise SystemExit(
+            f"[sweep] session {idx} had query failures: {d.get('errors')} — "
+            "artifact refused; fix the corpus/query first")
     print(f"[sweep] session {idx}: total {d['value']:.1f}s "
           f"(wall {time.time() - t0:.0f}s)", file=sys.stderr)
     return d
