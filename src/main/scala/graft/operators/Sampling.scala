@@ -72,4 +72,31 @@ object Sampling {
       .filter(sampleHash(col(idCol)) < col("_thr"))
       .drop("_thr")
   }
+
+  /** Per-group token budgeting (the RefinedWeb/Dolma-style domain
+    * cap): within each group (source/domain/language), rank rows by
+    * quality descending (ties by id ascending, so the cut is total
+    * and deterministic) and keep rows while the RUNNING token total
+    * — including the current row — stays within `budget`. A row that
+    * would push the group over the budget is dropped, as is every
+    * lower-ranked row; a single row larger than the whole budget is
+    * dropped too (budget means budget).
+    *
+    * Scale shape: one shuffle on `groupCol`, then a per-group
+    * window — the same cost as any per-domain aggregate. Group skew
+    * is bounded by the largest domain; at 100 TB domains are the
+    * natural partition unit and the window never materializes more
+    * than a partition. Output carries `cum_tokens` (the running
+    * total at the row) for audit.
+    */
+  def tokenBudget(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, weightCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(weightCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

@@ -336,7 +336,26 @@ object TextQueries {
           rates = Map("en" -> 0.3, "zh" -> 0.8), defaultRate = 0.1)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // per-source token budgeting (Sampling.tokenBudget — the
+    // RefinedWeb/Dolma-style domain cap): rank docs within each
+    // source by stopword-ratio quality, keep while the running
+    // whitespace-token total stays within the budget. One shuffle on
+    // source, then a per-group window.
+    "ta_budget" -> ((s, dir) => {
+      val q = TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.Sampling.tokenBudget(
+          q.select(col("doc_id"), col("source"), col("stop_ratio"), col("n_words")),
+          "doc_id", "source", "stop_ratio", "n_words", budget = BudgetTokens)
+        .select(col("doc_id"), col("source"), col("n_words"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
     }))
+
+  /** Per-source token budget for ta_budget: small enough to bite at
+    * every verify/bench scale (sf0.01's ~10-doc sources included).
+    */
+  val BudgetTokens = 300L
 
   /** Shard fan-out for ta_pack. 8 at test scale; at 100 TB set this to
     * ~(corpus tokens / executor-core budget) — the layout changes with
@@ -804,6 +823,32 @@ object TextQueries {
         |       WHEN lang = 'zh' THEN 800000
         |       ELSE 100000 END
         |ORDER BY doc_id""".stripMargin,
+
+    // same normalization + stop_ratio arithmetic as ta_quality; the
+    // window's ORDER BY is total (rounded ratio, then doc_id), so the
+    // cumulative sum — and therefore the cut — replays exactly.
+    // DuckDB's windowed BIGINT sum is HUGEINT: cast back.
+    "ta_budget" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, source,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    len(string_split(t, ' '))::BIGINT AS n_words,
+         |    round(len(list_filter(string_split(t, ' '), x -> x IN ${inList(StopwordsEn)})) * 1.0
+         |      / len(string_split(t, ' ')), 6) AS stop_ratio
+         |  FROM norm),
+         |b AS (
+         |  SELECT doc_id, source, n_words,
+         |    CAST(sum(n_words) OVER (PARTITION BY source
+         |      ORDER BY stop_ratio DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, source, n_words, cum_tokens FROM b
+         |WHERE cum_tokens <= ${BudgetTokens}
+         |ORDER BY doc_id""".stripMargin,
 
     "ta_fingerprint" ->
       s"""$sqlNorm,

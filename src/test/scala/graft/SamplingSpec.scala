@@ -56,4 +56,34 @@ class SamplingSpec extends SparkSpecBase {
     assert(math.abs(byGrp("a") / aTotal - 0.5) < 0.05)
     assert(math.abs(byGrp.getOrElse("b", 0L) / bTotal - 0.05) < 0.02)
   }
+
+  test("tokenBudget: quality-ranked greedy cut per group, running total rule") {
+    import spark.implicits._
+    // src a: ranked by score desc then id — (3,.9,100)(1,.8,150)(2,.8,80)(4,.1,100)
+    //   cums 100,250,330,430 -> budget 330 keeps 3,1,2 (4 over)
+    // src b: first row alone exceeds the budget -> whole group empty
+    // src c: exact-boundary row kept (cum == budget)
+    val rows = Seq(
+      (1L, "a", 0.8, 150L), (2L, "a", 0.8, 80L),
+      (3L, "a", 0.9, 100L), (4L, "a", 0.1, 100L),
+      (5L, "b", 0.9, 400L), (6L, "b", 0.5, 10L),
+      (7L, "c", 0.7, 330L)).toDF("id", "src", "score", "toks")
+    val out = Sampling.tokenBudget(rows, "id", "src", "score", "toks", budget = 330L)
+      .select($"id", $"cum_tokens").as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 100L, 1L -> 250L, 2L -> 330L, 7L -> 330L))
+  }
+
+  test("tokenBudget: a row over budget poisons the whole suffix (cumulative rule)") {
+    import spark.implicits._
+    // the big row lands mid-ranking; the smaller row after it would
+    // fit under a knapsack rule but NOT under the running-total rule —
+    // which is the deterministic, window-expressible (and
+    // oracle-replayable) semantic
+    val rows = Seq(
+      (1L, "a", 0.9, 100L), (2L, "a", 0.5, 500L), (3L, "a", 0.1, 50L))
+      .toDF("id", "src", "score", "toks")
+    val kept = Sampling.tokenBudget(rows, "id", "src", "score", "toks", budget = 200L)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
 }
