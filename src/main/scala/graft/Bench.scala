@@ -120,8 +120,55 @@ object Bench {
       .mkString("{", ",", "}")
     val baseline = baselineBlock(sfDir, results.toMap)
     val serve = serveBlock(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"$baseline$serve}""")
+    // Full-precision artifact (per-sweep spread, baseline + serve blocks):
+    // the driver captures only the LAST 2000 chars of stdout, so the old
+    // single all-in-one line (~3.5k chars at 88 entries) arrived
+    // truncated and unparseable (BENCH_r07/r08 "parsed": null). Detail
+    // now lives in a sidecar file; stdout carries a compact line that
+    // fits the tail window.
+    val spread = names.map { name =>
+      val ts = sweeps.map(_(name)).filter(_.isFinite)
+      val (lo, hi) = if (ts.isEmpty) (-1.0, -1.0) else (ts.min, ts.max)
+      s"\"" + name + s"""":{"min":${jnum(lo)},"max":${jnum(hi)}}"""
+    }.mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sweep_spread":$spread,"errors":$errs,"sf":"$sfDir"$baseline$serve}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed ($detailPath): ${e.getMessage}") }
+    println(compactLine(results, total, reps, sfDir, failures.toMap, baseline))
     spark.stop()
+  }
+
+  /** Compact stdout line sized for the driver's 2000-char tail capture:
+    * 2dp query medians, basename-only sf, headline ratio, error counts.
+    * Falls back to 1dp and then to dropping the per-query map if a
+    * grown suite ever overflows the budget — the line the driver parses
+    * must never truncate (full precision lives in BENCH_DETAIL.json).
+    */
+  private def compactLine(results: Seq[(String, Double)], total: Double,
+      reps: Int, sfDir: String, failures: Map[String, Int],
+      baselineJson: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    val errs =
+      if (failures.isEmpty) ""
+      else ",\"errors\":" + failures.toSeq.sorted
+        .map { case (k, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val bvb = "\"bench_vs_baseline\":([-0-9.eE]+)".r
+      .findFirstMatchIn(baselineJson)
+      .map(m => s""","bench_vs_baseline":${m.group(1)}""").getOrElse("")
+    def qmap(dp: Int) = results.map { case (k, v) =>
+      val s = if (!v.isFinite) "-1" else String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+      s"\"" + k + "\":" + s
+    }.mkString("{", ",", "}")
+    def line(dp: Int, withQ: Boolean) = {
+      val qs = if (withQ) s""","queries":${qmap(dp)}""" else ""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","reps":$reps,"sf":"$sfName"$qs$errs$bvb,"detail":"BENCH_DETAIL.json"}"""
+    }
+    Seq(line(2, withQ = true), line(1, withQ = true), line(2, withQ = false))
+      .find(_.length <= 1880).getOrElse(line(2, withQ = false))
   }
 
   /** Warm-serving latencies for the single-query ops whose cold

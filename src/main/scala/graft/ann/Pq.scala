@@ -1,7 +1,6 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization (Jégou et al. 2011, "Product Quantization for
@@ -45,39 +44,112 @@ object Pq {
     * seedMod); `iters` Lloyd updates follow (1 is enough to pull
     * codewords off the seed rows — PQ needs coverage, not
     * convergence).
+    *
+    * Single-pass shape: the seed ROWS are shared by every subspace
+    * (same id rule, same monotone relabel), so ONE tiny collect
+    * replaces nSub window jobs; each Lloyd update is ONE corpus
+    * projection (all nSub NearestCentroid kernels in a single
+    * codegen'd select) plus ONE map-side-combined (s, cell, j)
+    * aggregation of n×dim value rows — vs the previous per-subspace
+    * chains (nSub corpus scans + nSub checkpoint jobs per update).
+    * The arithmetic is bit-identical to the per-subspace KMeans.lloyd
+    * chain (same kernel, same decimal-exact means, same grouping —
+    * decimal addition is exact, so the merged grouping cannot drift),
+    * which is what keeps the replayed-fit oracles green. Returned
+    * codebooks are driver-materialized local relations (≤ nSub×K tiny
+    * rows): downstream encode/ADC collects are free, and no Barrier
+    * checkpoint is needed.
     */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, nSub: Int, seedMod: Long, iters: Int): Seq[DataFrame] = {
     require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subspaces")
     val subDim = dim / nSub
-    val w = Window.orderBy(col(idCol))
+    val seedRows = corpus.filter(pmod(col(idCol), lit(seedMod)) === 0)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(seedRows.nonEmpty && seedRows.length <= 65536,
+      s"Pq.fit: ${seedRows.length} seed rows (codebook rule bounds this to [1, 65536])")
+    // relabeled seeds: the codebook id space is 0..K-1 (dense, byte-
+    // sized) rather than raw corpus ids; relabeling is monotone in
+    // id so NearestCentroid's lowest-id tiebreak is preserved
+    var books: Seq[Array[(Long, Array[Double])]] = (0 until nSub).map { s =>
+      seedRows.zipWithIndex.map { case ((_, v), i) =>
+        (i.toLong, java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      }
+    }
+    for (_ <- 1 to iters)
+      books = lloydStepAll(corpus, vecCol, books, dim)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    books.map(_.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv"))
+  }
+
+  /** One merged Lloyd update for every subspace: assign (all kernels
+    * in one projection) then decimal-exact per-(subspace, cell, dim)
+    * means — identical values to KMeans.lloyd's per-subspace update
+    * (clusters that lose all members drop out the same way).
+    */
+  private def lloydStepAll(corpus: DataFrame, vecCol: String,
+      books: Seq[Array[(Long, Array[Double])]],
+      dim: Int): Seq[Array[(Long, Array[Double])]] = {
+    import org.apache.spark.sql.types.DecimalType
+    val nSub = books.size
+    val subDim = dim / nSub
+    val enc = encodeLocal(corpus, vecCol, books, dim)
+    val sCol = floor(col("_jf") / subDim).cast("int")
+    val agg = enc
+      .select(array((0 until nSub).map(s => col(s"code$s")): _*).as("_codes"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("_jf", "_x")))
+      .select(sCol.as("s"),
+        element_at(col("_codes"), sCol + 1).as("cell"),
+        (col("_jf") % subDim).as("j"),
+        col("_x"))
+      .groupBy(col("s"), col("cell"), col("j"))
+      .agg(round(sum(col("_x").cast(DecimalType(28, 10))).cast("double") /
+        count(lit(1)), 9).as("m"))
+      .collect()
+    val bySub = agg.groupBy(_.getInt(0))
     (0 until nSub).map { s =>
-      val sub = subVectors(corpus, idCol, vecCol, s, subDim)
-      // relabeled seeds: the codebook id space is 0..K-1 (dense, byte-
-      // sized) rather than raw corpus ids; relabeling is monotone in
-      // id so NearestCentroid's lowest-id tiebreak is preserved
-      val seeds = sub.filter(pmod(col(idCol), lit(seedMod)) === 0)
-        .select((row_number().over(w) - 1).cast("long").as("cid"),
-          col("_sv").as("cv"))
-      KMeans.lloyd(sub, idCol, "_sv", seeds, iters)
+      bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+        .groupBy(_.getLong(1))
+        .map { case (cell, rows) =>
+          val cv = new Array[Double](subDim)
+          rows.foreach(r => cv(r.getInt(2)) = r.getDouble(3))
+          (cell, cv)
+        }
+        .toArray.sortBy(_._1)
     }
   }
 
-  /** Append code columns `code0..code{nSub-1}` — one chained
-    * NearestCentroid kernel per subspace, all inside a single narrow
-    * WholeStageCodegen projection over the corpus.
+  /** Append code columns `code0..code{nSub-1}` — every subspace's
+    * NearestCentroid kernel in ONE narrow WholeStageCodegen projection
+    * over the corpus.
     */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
-      books: Seq[DataFrame], dim: Int): DataFrame = {
+      books: Seq[DataFrame], dim: Int): DataFrame =
+    encodeLocal(corpus, vecCol, books.map(collectBook), dim)
+
+  private def collectBook(book: DataFrame): Array[(Long, Array[Double])] = {
+    val rows = book.select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty && rows.length <= 65536,
+      s"Pq: codebook has ${rows.length} codewords (bounds: [1, 65536])")
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+  }
+
+  private def encodeLocal(corpus: DataFrame, vecCol: String,
+      books: Seq[Array[(Long, Array[Double])]], dim: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
     val subDim = dim / books.size
-    var cur = corpus
-    books.zipWithIndex.foreach { case (book, s) =>
-      cur = Ann.ivfAssign(
-          subVectors(cur, idCol, vecCol, s, subDim), idCol, "_sv", book, "cid", "cv")
-        .withColumnRenamed("cell", s"code$s")
-        .drop("_sv")
+    val codeCols = books.zipWithIndex.map { case (book, s) =>
+      ColumnBridge.column(graft.functions.expr.NearestCentroid(
+        ColumnBridge.expression(
+          slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)),
+        book.map(_._1), book.map(_._2))).as(s"code$s")
     }
-    cur
+    graft.Tables.fanOut(corpus).select(col("*") +: codeCols: _*)
   }
 
   /** ADC candidate generation + exact rerank (FAISS's refine shape)
@@ -145,12 +217,4 @@ object Pq {
           round(col("_exact"), 6).as("exact_score")): _*)
   }
 
-  /** Positional subspace slice `_sv` (subspace s → dims
-    * [s·subDim, (s+1)·subDim), 1-based slice like DuckDB's
-    * v[lo:hi]).
-    */
-  private def subVectors(df: DataFrame, idCol: String, vecCol: String,
-      s: Int, subDim: Int): DataFrame =
-    df.withColumn("_sv",
-      slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim))
 }

@@ -139,8 +139,8 @@ object AnnQueries {
     // Lloyd update), byte-sized codes, ADC top-100 candidates read
     // from the code columns only, exact rerank to 10 (FAISS's refine
     // shape); exact_score vs adc surfaces the quantization error.
-    // Codebooks are Barrier-checkpointed: encode and the ADC tables
-    // both consume them, and each would otherwise re-run the fit.
+    // Pq.fit materializes the codebooks driver-side (one merged Lloyd
+    // pass), so encode and the ADC tables consume local relations.
     "ann_pq" -> ((s, dir) => pqTopK(s, dir)),
 
     // recall@9 of the PQ index against exact brute-force ground truth
@@ -208,7 +208,6 @@ object AnnQueries {
           .select(col("vec_id").as("cid"), col("embedding").as("cv"))
         val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
             dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
-          .map(graft.Barrier.checkpoint(_))
         graft.ann.IvfPqIndex.build(emb, "vec_id", "embedding",
           cent, "cid", "cv", books, Dim, p)
       }
@@ -241,7 +240,6 @@ object AnnQueries {
           emb, "embedding", None).n
         val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
             dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
-          .map(graft.Barrier.checkpoint(_))
         graft.ann.PqIndex.build(emb, "vec_id", "embedding", books, Dim, p)
       }
       val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
@@ -375,7 +373,6 @@ object AnnQueries {
       .withColumnRenamed("cell", "ivf_cell")
     val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
         dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
-      .map(graft.Barrier.checkpoint(_))
     val enc = graft.ann.Pq.encode(assigned, "vec_id", "embedding", books, Dim)
     val qv = emb.filter(col("vec_id") === 0L)
       .select(col("embedding").cast("array<double>"))
@@ -408,7 +405,6 @@ object AnnQueries {
       emb, "embedding", None).n
     val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
         dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
-      .map(graft.Barrier.checkpoint(_))
     val enc = graft.ann.Pq.encode(emb, "vec_id", "embedding", books, Dim)
     val qv = emb.filter(col("vec_id") === 0L)
       .select(col("embedding").cast("array<double>"))

@@ -26,18 +26,29 @@ import time
 
 
 def run_session(sf_dir, reps, only, idx):
+    detail = f"/tmp/graft_sweep_detail_{os.getpid()}_{idx}.json"
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_REPS=str(reps),
-               SPARK_GRAFT_SERVE="0")
+               SPARK_GRAFT_SERVE="0",
+               SPARK_GRAFT_BENCH_DETAIL=detail)
     if only:
         env["SPARK_GRAFT_BENCH_ONLY"] = only
     t0 = time.time()
     out = subprocess.run(["tools/run.sh", "graft.Bench"], env=env,
                          capture_output=True, text=True, check=True)
-    line = [l for l in out.stdout.splitlines() if l.startswith('{"metric"')][-1]
-    d = json.loads(line)
+    # full-precision medians live in the detail sidecar (the stdout
+    # line is 2dp-compacted to fit the driver's tail capture); fall
+    # back to the stdout line if the sidecar is missing
+    if os.path.exists(detail):
+        with open(detail) as f:
+            d = json.load(f)
+        os.unlink(detail)
+    else:
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith('{"metric"')][-1]
+        d = json.loads(line)
     if d.get("errors") or any(v < 0 for v in d["queries"].values()):
         raise SystemExit(
             f"[sweep] session {idx} had query failures: {d.get('errors')} — "
