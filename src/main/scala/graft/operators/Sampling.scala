@@ -73,6 +73,37 @@ object Sampling {
       .drop("_thr")
   }
 
+  /** Deterministic train/val/test split assignment: each row gets the
+    * first split whose cumulative hash threshold its id hash falls
+    * under (train 0.8 / val 0.1 / test 0.1 → h < 0.8M train,
+    * h < 0.9M val, else test). The split hash is SALTED ("split:" key
+    * domain) so assignment is independent of every other hash-based
+    * decision in the pipeline — an unsalted split would correlate
+    * with [[hashSample]]'s keep set (the kept subsample would land
+    * entirely in one split's low-hash range), silently biasing any
+    * sampled-then-split corpus.
+    *
+    * Like all hash decisions here: no RNG state, no shuffle (a pure
+    * projection), reproducible across runs/engines/partitionings, and
+    * STABLE UNDER CORPUS GROWTH — a doc's split never changes when
+    * neighbors are added or removed, which is what makes held-out
+    * contamination tracking possible across corpus versions.
+    */
+  def split(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val h = sampleHash(concat(lit("split:"), col(idCol).cast("string")))
+    val cum = splits.scanLeft(0.0) { case (a, (_, f)) => a + f }
+      .tail.map(c => math.round(c * M))
+    val assigned = splits.map(_._1).zip(cum).init
+      .foldRight(lit(splits.last._1): Column) { case ((name, thr), rest) =>
+        when(h < thr, lit(name)).otherwise(rest)
+      }
+    df.withColumn("split", assigned)
+  }
+
   /** Per-group token budgeting (the RefinedWeb/Dolma-style domain
     * cap): within each group (source/domain/language), rank rows by
     * quality descending (ties by id ascending, so the cut is total

@@ -338,6 +338,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic train/val/test assignment (Sampling.split):
+    // salted-hash thresholds, stable under corpus growth and
+    // independent of the sampling hash — a pure zero-shuffle
+    // projection at any scale
+    "ta_split" -> ((s, dir) => {
+      graft.operators.Sampling.split(
+          t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-source token budgeting (Sampling.tokenBudget — the
     // RefinedWeb/Dolma-style domain cap): rank docs within each
     // source by stopword-ratio quality, keep while the running
@@ -823,6 +835,14 @@ object TextQueries {
         |       WHEN lang = 'zh' THEN 800000
         |       ELSE 100000 END
         |ORDER BY doc_id""".stripMargin,
+
+    // same salted 60-bit md5 hash, same rounded cumulative thresholds
+    "ta_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN ('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 800000 THEN 'train'
+        |       WHEN ('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // same normalization + stop_ratio arithmetic as ta_quality; the
     // window's ORDER BY is total (rounded ratio, then doc_id), so the

@@ -229,15 +229,20 @@ object TextAnalysis {
     * near-dup signal that needs no pairwise join).
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // _sh materialized once: fp_min and fp_max would otherwise each
-    // re-run the (interpreted-HOF) ngram-hash pipeline per row
+    // the sliding-window extrema come from the NgramMinMaxHash kernel
+    // (one digest pass over the shared byte buffer per row) —
+    // bit-identical to the HOF formulation it replaces, which
+    // materialized ~|text| substring copies and paid hex-md5 + conv
+    // per n-gram (see NgramMinMaxHash scaladoc)
+    import org.apache.spark.sql.graftshim.ColumnBridge
     val base = graft.Tables.fanOut(docs)
       .withColumn("_t", normText(col(textCol)))
-      .withColumn("_sh", transform(charNgrams(col("_t"), 8), s => portableHash(s)))
+      .withColumn("_mm", ColumnBridge.column(graft.functions.expr.NgramMinMaxHash(
+        ColumnBridge.expression(col("_t")), 8)))
     base
       .withColumn("fp_full", portableHash(col("_t")))
-      .withColumn("fp_min", array_min(col("_sh")))
-      .withColumn("fp_max", array_max(col("_sh")))
-      .drop("_t", "_sh")
+      .withColumn("fp_min", element_at(col("_mm"), 1))
+      .withColumn("fp_max", element_at(col("_mm"), 2))
+      .drop("_t", "_mm")
   }
 }

@@ -47,6 +47,30 @@ class SamplingSpec extends SparkSpecBase {
     assert(share > 0.12 && share < 0.25, s"tempered share $share")
   }
 
+  test("split: total, disjoint, proportional, and independent of the sample hash") {
+    import spark.implicits._
+    val out = Sampling.split(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byS = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    // every row assigned exactly once (withColumn keeps row count)
+    assert(byS.values.sum == 10000L)
+    assert(math.abs(byS("train") / 10000.0 - 0.8) < 0.02)
+    assert(math.abs(byS("val") / 10000.0 - 0.1) < 0.01)
+    assert(math.abs(byS("test") / 10000.0 - 0.1) < 0.01)
+    // stable under repartitioning
+    val a = out.select("id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Sampling.split(df.repartition(17), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    // salted: a 10% hashSample must NOT land inside one split — its
+    // train share should match the population's, not collapse to 0/1
+    val sampled = Sampling.hashSample(df, "id", 0.1)
+    val sTrain = Sampling.split(sampled, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter($"split" === "train").count()
+    val frac = sTrain.toDouble / sampled.count()
+    assert(frac > 0.7 && frac < 0.9, s"sampled train share $frac")
+  }
+
   test("stratified rates apply per stratum") {
     import spark.implicits._
     val out = Sampling.stratified(df, "id", "grp", Map("a" -> 0.5), defaultRate = 0.05)

@@ -68,6 +68,32 @@ class TextSignalsSpec extends SparkSpecBase {
     }
   }
 
+  test("NgramMinMaxHash kernel equals the HOF ngram-hash formulation") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{charNgrams, normText, portableHash}
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("the", "quick", "brown", "fox", "日本語", "düsseldorf", "a", "émigré")
+    val docs = (0 until 120).map { i =>
+      val n = rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    } ++ Seq((900L, ""), (901L, "short"), (902L, "exactly8"), (903L, "九字の日本語文だ"))
+    val base = docs.toDF("doc_id", "text")
+      .withColumn("_t", normText($"text"))
+    val kernel = ColumnBridge.column(graft.functions.expr.NgramMinMaxHash(
+      ColumnBridge.expression(col("_t")), 8))
+    val hof = transform(charNgrams($"_t", 8), s => portableHash(s))
+    val rows = base
+      .select($"doc_id",
+        element_at(kernel, 1).as("kmin"), element_at(kernel, 2).as("kmax"),
+        array_min(hof).as("hmin"), array_max(hof).as("hmax"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == docs.length)
+    rows.foreach { case (id, kmin, kmax, hmin, hmax) =>
+      assert(kmin == hmin && kmax == hmax, s"doc $id")
+    }
+  }
+
   test("unigram LM: hand-computed NLL on a 2-doc corpus") {
     import spark.implicits._
     val d = Seq((1L, "x x"), (2L, "x y")).toDF("doc_id", "text")
