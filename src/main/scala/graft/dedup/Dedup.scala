@@ -342,6 +342,25 @@ object Dedup {
       .select(col(idCol), col(vecCol))
       .transform(graft.Barrier.checkpoint)
     val cents = graft.ann.KMeans.lloyd(base, idCol, vecCol, seeds, iters)
+    semanticPairsWithCentroids(base, idCol, vecCol, cents,
+      threshold, maxBlockSize, rescan = false)
+  }
+
+  /** [[semanticPairs]] with a PRE-FITTED centroid frame — the
+    * production serving shape (dd_semantic_persisted): the k-means fit
+    * is an ingest-time training job whose centroids persist as a model
+    * artifact; the query path is assign + within-cluster pairs only.
+    * Row-identical to the fit-in-query form when given the same
+    * centroids (the fit is deterministic, so the shared oracle gates
+    * both).
+    */
+  def semanticPairsWithCentroids(vecs: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, threshold: Double,
+      maxBlockSize: Int = 100000, rescan: Boolean = true): DataFrame = {
+    val base =
+      if (rescan) graft.Tables.fanOut(vecs).select(col(idCol), col(vecCol))
+        .transform(graft.Barrier.checkpoint)
+      else vecs
     val assigned = graft.ann.KMeans.assign(base, idCol, vecCol, cents)
     embeddingPairs(assigned, idCol, vecCol, blockCol = "cell",
       threshold = threshold, maxBlockSize = maxBlockSize)

@@ -173,6 +173,30 @@ object DedupQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
+    // the PERSISTED-centroids twin: the k-means fit runs ONCE at
+    // ingest and its centroids persist as a parquet model artifact
+    // (the SemDeDup paper's clustering is a training job, not a
+    // query); the query path loads centroids and runs only
+    // assign + within-cluster pairs. Row-identical to dd_semantic
+    // (deterministic fit), so the oracle is shared verbatim.
+    "dd_semantic_persisted" -> ((s, dir) => {
+      val cPath = persistedArtifact("semcents", dir) { p =>
+        val emb = t(s, dir, "embeddings")
+        val m = math.max(1L, math.floor(math.sqrt(emb.count().toDouble)).toLong)
+        val seeds = emb.filter(pmod(col("vec_id"), lit(m)) === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val base = graft.Tables.fanOut(emb)
+          .select(col("vec_id"), col("embedding"))
+          .transform(graft.Barrier.checkpoint)
+        graft.ann.KMeans.lloyd(base, "vec_id", "embedding", seeds, SemDedupIters)
+          .write.mode("overwrite").parquet(p)
+      }
+      Dedup.semanticPairsWithCentroids(t(s, dir, "embeddings"),
+          "vec_id", "embedding", s.read.parquet(cPath),
+          threshold = SemDedupThreshold, maxBlockSize = 4096)
+        .orderBy(col("ida"), col("idb"))
+    }),
+
     // end-to-end curation: quality gate → lang gate → exact dedup →
     // minhash near-dedup → stratified sample, one declarative chain
     // (graft.pipeline.CurationPipeline)
@@ -183,7 +207,7 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }))
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "dd_exact" ->
       s"""$sqlNorm
          |SELECT min(doc_id) AS doc_id, md5(t) AS content_hash,
@@ -467,4 +491,11 @@ object DedupQueries {
         |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT ida, idb, cos FROM p WHERE cos >= 0.35
         |ORDER BY ida, idb""".stripMargin)
+
+  /** dd_semantic_persisted is row-identical to dd_semantic by
+    * construction (the same deterministic fit, persisted then
+    * reloaded), so its oracle is shared verbatim.
+    */
+  val oracles: Map[String, String] =
+    baseOracles + ("dd_semantic_persisted" -> baseOracles("dd_semantic"))
 }
