@@ -201,6 +201,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.size == 2)
   }
 
+  test("streaming split assignment equals the batch assignment bit-for-bit") {
+    // Sampling.split is a stateless projection, so it runs UNCHANGED
+    // on a stream — the property that matters is that a doc arriving
+    // via the ingest stream lands in the same split it would get in a
+    // batch backfill (split membership must never depend on arrival
+    // order or batching).
+    import spark.implicits._
+    import graft.operators.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+    val stream = MemoryStream[Long]
+    stream.addData(0L until 40L)
+    stream.addData(40L until 100L) // two micro-batches
+    val q = Sampling.split(stream.toDF().toDF("doc_id"), "doc_id", fracs)
+      .writeStream.format("memory").queryName("split_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("split_out")
+      .as[(Long, String)].collect().toMap
+    val want = Sampling.split((0L until 100L).toDF("doc_id"), "doc_id", fracs)
+      .as[(Long, String)].collect().toMap
+    assert(got == want)
+  }
+
   test("batch twin matches the q_events_window query shape on testdata") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val viaModule = EventWindows.hourly(events)
