@@ -90,10 +90,19 @@ object Sampling {
     * contamination tracking possible across corpus versions.
     */
   def split(df: DataFrame, idCol: String,
-      splits: Seq[(String, Double)]): DataFrame = {
+      splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
     require(splits.nonEmpty, "at least one split")
+    // a negative fraction would pass the sum check while producing
+    // non-monotonic cumulative thresholds (rows silently mis-assigned)
+    require(splits.forall(_._2 >= 0),
+      s"split fractions must be non-negative, got ${splits.map(_._2)}")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    // withColumn on an existing name silently REPLACES it — refuse
+    // rather than eat a caller's column
+    require(!df.columns.contains(outCol),
+      s"split: input already has a '$outCol' column; pass outCol to rename")
     val h = sampleHash(concat(lit("split:"), col(idCol).cast("string")))
     val cum = splits.scanLeft(0.0) { case (a, (_, f)) => a + f }
       .tail.map(c => math.round(c * M))
@@ -101,7 +110,7 @@ object Sampling {
       .foldRight(lit(splits.last._1): Column) { case ((name, thr), rest) =>
         when(h < thr, lit(name)).otherwise(rest)
       }
-    df.withColumn("split", assigned)
+    df.withColumn(outCol, assigned)
   }
 
   /** Per-group token budgeting (the RefinedWeb/Dolma-style domain

@@ -71,6 +71,23 @@ class SamplingSpec extends SparkSpecBase {
     assert(frac > 0.7 && frac < 0.9, s"sampled train share $frac")
   }
 
+  test("split: guards — negative fraction, column collision, outCol rename") {
+    // a negative fraction sums to 1 but makes thresholds non-monotonic
+    intercept[IllegalArgumentException] {
+      Sampling.split(df, "id", Seq("a" -> 0.9, "b" -> 0.2, "c" -> -0.1))
+    }
+    // refuse to silently overwrite a pre-existing "split" column
+    val withSplit = Sampling.split(df, "id", Seq("x" -> 0.5, "y" -> 0.5))
+    intercept[IllegalArgumentException] {
+      Sampling.split(withSplit, "id", Seq("x" -> 0.5, "y" -> 0.5))
+    }
+    // outCol makes the second assignment coexist with the first
+    val two = Sampling.split(withSplit, "id", Seq("x" -> 0.5, "y" -> 0.5), outCol = "split2")
+    assert(two.columns.contains("split") && two.columns.contains("split2"))
+    assert(two.filter(org.apache.spark.sql.functions.col("split") =!=
+      org.apache.spark.sql.functions.col("split2")).count() == 0)
+  }
+
   test("stratified rates apply per stratum") {
     import spark.implicits._
     val out = Sampling.stratified(df, "id", "grp", Map("a" -> 0.5), defaultRate = 0.05)
