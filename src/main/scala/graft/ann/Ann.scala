@@ -69,6 +69,28 @@ object Ann {
     graft.Tables.fanOut(corpus).withColumn("cell", kernel)
   }
 
+  /** Per-row IVF residual `x − centroid(cell)` — the encode input of
+    * FAISS's IVFPQ (Jégou et al. 2011 §IV.A: quantize the residual,
+    * not the raw vector; within-cell residuals are small, so the same
+    * PQ code budget spends its precision where the data actually is —
+    * most of the composed index's recall comes from this). Shape: a
+    * broadcast join against the bounded centroid frame (≤ 65536 rows
+    * by the nlist rule) + one `zip_with` projection — no shuffle, no
+    * explosion; at 100 TB this is a narrow map over the corpus.
+    * Elementwise double subtraction, so a SQL oracle replays it
+    * exactly.
+    */
+  def residuals(assigned: DataFrame, vecCol: String, cellCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      outCol: String): DataFrame = {
+    val cents = centroids.select(col(cidCol).as(cellCol),
+      col(cvecCol).cast("array<double>").as("_ccv"))
+    assigned.join(broadcast(cents), cellCol)
+      .withColumn(outCol, zip_with(col(vecCol).cast("array<double>"),
+        col("_ccv"), (a, b) => a - b))
+      .drop("_ccv")
+  }
+
   /** IVF probe: rank cells by centroid distance to the query vector,
     * search only the top `nprobe` cells, exact top-k inside them.
     * The query arrives as a one-row DataFrame (col `qv`) so the whole

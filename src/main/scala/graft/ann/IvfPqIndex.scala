@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * index; this is that contract for the composed index).
   *
   * `build` pays the whole cost once at ingest: IVF cell assignment
-  * (Ann.ivfAssign), per-subspace PQ encoding (Pq.encode), then ONE
-  * parquet write `partitionBy(cell)` carrying (id, vector,
-  * code0..code{nSub-1}). Centroids and the nSub codebooks are tiny
+  * (Ann.ivfAssign), per-subspace PQ encoding of the RESIDUAL
+  * x − centroid(cell) (Ann.residuals + Pq.encode — the FAISS IVFPQ
+  * shape: within-cell residuals are small, so the code budget's
+  * precision lands where the data is), then ONE parquet write
+  * `partitionBy(cell)` carrying (id, vector, code0..code{nSub-1}). Centroids and the nSub codebooks are tiny
   * side parquets (bounded by the 65536-codeword require in
   * Pq.adcTopK when read back).
   *
@@ -65,23 +67,51 @@ final class IvfPqIndex private (
   }
 
   /** ADC top-k inside the driver-known probed cells: the cell filter
-    * compiles to PartitionFilters on the layout scan, then
-    * Pq.adcTopK's two-phase candidate/rerank shape runs over the
-    * surviving files. Output mirrors ann_ivf_pq: (id, cell,
-    * code0.., adc, exact_score).
+    * compiles to PartitionFilters on the layout scan, then the
+    * RESIDUAL per-cell ADC (Pq.adcTopKPerCell — codes approximate
+    * x − centroid(cell), so each probed cell gets its own query
+    * table) runs over the surviving files' code columns only, with
+    * the exact rerank fetching just the candidates' float vectors.
+    * Output mirrors ann_ivf_pq: (id, cell, code0.., adc,
+    * exact_score).
     */
   def searchCells(cellIds: Seq[Long], queryVec: Array[Double],
-      k: Int, candidates: Int = 0): DataFrame =
-    Pq.adcTopK(
+      k: Int, candidates: Int = 0): DataFrame = {
+    val probedCents = centroids
+      .select(col("cell").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter { case (c, _) => cellIds.contains(c) }
+      .toSeq
+    Pq.adcTopKPerCell(
       cells.filter(col("cell").isin(cellIds: _*)),
-      idCol, vecCol, books, queryVec, k = k, candidates = candidates,
-      carryCols = Seq("cell"))
+      idCol, vecCol, "cell", books, queryVec, probedCents,
+      k = k, candidates = candidates)
+  }
 }
 
 object IvfPqIndex {
 
-  /** Assign cells, encode codes, write the partitioned layout.
-    * `centroids` must have (cid, cv); `books` are Pq.fit's output
+  /** The per-row residual frame (assign → `x − centroid(cell)`) both
+    * the PQ fit and the encode consume — FAISS IVFPQ quantizes
+    * residuals, not raw vectors (Jégou et al. 2011 §IV.A). Cell is
+    * staged under `_ivf_cell` (Pq.encode's subspace assigns each
+    * reuse the "cell" slot — the ann_ivf_pq lesson), the residual
+    * under `_res`.
+    */
+  def residualFrame(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val assigned = Ann.ivfAssign(corpus, idCol, vecCol,
+        centroids.select(col(cidCol).as("cell"), col(cvecCol).as("cv")),
+        "cell", "cv")
+      .withColumnRenamed("cell", "_ivf_cell")
+    Ann.residuals(assigned, vecCol, "_ivf_cell",
+      centroids, cidCol, cvecCol, "_res")
+  }
+
+  /** Assign cells, residual-encode codes, write the partitioned
+    * layout. `centroids` must have (cid, cv); `books` must be
+    * Pq.fit's output over the RESIDUAL column of [[residualFrame]]
     * (Barrier them if the caller reuses them — build reads each
     * twice: encode + save).
     */
@@ -89,17 +119,15 @@ object IvfPqIndex {
       centroids: DataFrame, cidCol: String, cvecCol: String,
       books: Seq[DataFrame], dim: Int, path: String): IvfPqIndex = {
     val spark = corpus.sparkSession
-    val cents = centroids.select(col(cidCol).as("cell"), col(cvecCol).as("cv"))
-    // stage the IVF cell under its own name: Pq.encode's subspace
-    // assigns each reuse the "cell" slot (the ann_ivf_pq lesson)
-    val assigned = Ann.ivfAssign(corpus, idCol, vecCol, cents, "cell", "cv")
-      .withColumnRenamed("cell", "_ivf_cell")
-    Pq.encode(assigned, idCol, vecCol, books, dim)
+    val withRes = residualFrame(corpus, idCol, vecCol, centroids, cidCol, cvecCol)
+    Pq.encode(withRes, idCol, "_res", books, dim)
+      .drop("_res")
       .withColumnRenamed("_ivf_cell", "cell")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"$path/cells")
-    cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    centroids.select(col(cidCol).as("cell"), col(cvecCol).as("cv"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     books.zipWithIndex.foreach { case (b, s) =>
       b.write.mode(SaveMode.Overwrite).parquet(s"$path/book$s")
     }

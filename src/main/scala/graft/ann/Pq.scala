@@ -217,4 +217,74 @@ object Pq {
           round(col("_exact"), 6).as("exact_score")): _*)
   }
 
+  /** ADC + exact rerank over RESIDUAL codes (FAISS IVFPQ, Jégou et
+    * al. 2011 §IV.A): the codes approximate `x − centroid(cell)`, so
+    * the query-side distance table depends on the row's cell — the
+    * query residual `q − centroid(cell)` differs per probed cell.
+    * With nprobe cells the tables are still a planning-time constant
+    * (nprobe × nSub × K doubles): each subspace's lookup becomes a
+    * two-level map literal `cell → (code → d²)` and the scan cost per
+    * row stays nSub map lookups + an add chain over code columns
+    * only. The rerank is unchanged: the candidates' RAW vectors
+    * (`vecCol`) are fetched by id and ranked by exact cosine against
+    * the raw query. `cellCentroids` must cover every cell present in
+    * `encoded` (i.e. the probed cells — callers filter first).
+    */
+  def adcTopKPerCell(encoded: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, books: Seq[DataFrame], queryVec: Array[Double],
+      cellCentroids: Seq[(Long, Array[Double])], k: Int,
+      candidates: Int = 0, carryCols: Seq[String] = Seq.empty): DataFrame = {
+    val nCand = if (candidates <= 0) k else candidates
+    require(nCand >= k, s"candidates $nCand must be >= k $k")
+    require(cellCentroids.nonEmpty && cellCentroids.size <= 65536,
+      s"adcTopKPerCell: ${cellCentroids.size} probed centroids")
+    val localBooks = books.map(collectBook)
+    val subDim = queryVec.length / books.size
+    // per-cell query residual, then per-(cell, subspace) tables with
+    // the same left-to-right d² fold as adcTopK / the oracle
+    val qres: Seq[(Long, Array[Double])] = cellCentroids.map { case (cell, cv) =>
+      require(cv.length == queryVec.length,
+        s"adcTopKPerCell: centroid dim ${cv.length} != query dim ${queryVec.length}")
+      val r = new Array[Double](queryVec.length)
+      var j = 0
+      while (j < r.length) { r(j) = queryVec(j) - cv(j); j += 1 }
+      (cell, r)
+    }
+    val adcRaw = localBooks.zipWithIndex.map { case (book, s) =>
+      val cellMaps = qres.sortBy(_._1).flatMap { case (cell, qr) =>
+        val entries = book.flatMap { case (cid, cw) =>
+          var d = 0.0
+          var j = 0
+          while (j < subDim) {
+            val diff = qr(s * subDim + j) - cw(j)
+            d += diff * diff
+            j += 1
+          }
+          Seq(lit(cid), lit(d))
+        }
+        Seq(lit(cell), map(entries: _*))
+      }
+      element_at(element_at(map(cellMaps: _*), col(cellCol).cast("long")),
+        col(s"code$s"))
+    }.reduce(_ + _) // subspace order — matches the oracle's add chain
+    val carry = (cellCol +: carryCols).distinct.filterNot(_ == idCol)
+    val cands = encoded
+      .select(Seq(col(idCol)) ++ carry.map(col) ++
+        books.indices.map(s => col(s"code$s")): _*)
+      .withColumn("_adc", adcRaw)
+      .orderBy(col("_adc"), col(idCol))
+      .limit(nCand)
+    import graft.functions.VectorFunctions.cosine
+    val exactRaw = cosine(col(vecCol).cast("array<double>"), lit(queryVec))
+    encoded.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .withColumn("_exact", exactRaw)
+      .orderBy(desc("_exact"), col(idCol))
+      .limit(k)
+      .select(Seq(col(idCol)) ++ carry.map(col) ++
+        books.indices.map(s => col(s"code$s")) ++
+        Seq(round(col("_adc"), 6).as("adc"),
+          round(col("_exact"), 6).as("exact_score")): _*)
+  }
+
 }

@@ -188,6 +188,39 @@ object AnnQueries {
         .select(col("n_hits"), round(col("n_hits") / 9.0, 6).as("recall"))
     }),
 
+    // Recall DECOMPOSITION for the composed index — the evidence dial
+    // residual encoding makes readable: coarse_hits = how many of the
+    // true top-9 live in the probed nprobe cells (the coarse layer's
+    // CEILING — no code scheme recovers a neighbor in an unprobed
+    // cell), pq_hits = how many the full residual-ADC chain returned,
+    // recall_within_probe = pq_hits/coarse_hits. Residual encoding
+    // (FAISS IVFPQ, Jégou §IV.A) makes the within-probe term 1.0 on
+    // the synthetic sphere: every recallable neighbor IS recalled, so
+    // the composed index's total recall equals the coarse ceiling —
+    // and raising it is a (nlist, nprobe) decision, not a code-budget
+    // one. (Flat PQ at a full scan measures 8/9 — raw-vector ADC
+    // loses a neighbor to quantization that residual ADC does not.)
+    "ann_ivf_pq_coarse" -> ((s, dir) => {
+      val (emb, cent, _, _, probed) = ivfPqGeometry(s, dir)
+      val qs = emb.filter(col("vec_id") === 0L)
+      val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 9)
+        .select(col("vec_id"))
+      val assigned = Ann.ivfAssign(emb, "vec_id", "embedding",
+          cent, "cid", "cv")
+        .select(col("vec_id"), col("cell"))
+      val coarse = assigned.join(broadcast(brute), Seq("vec_id"), "left_semi")
+        .filter(col("cell").isin(probed: _*))
+        .agg(count(lit(1)).as("coarse_hits"))
+      val ivfpq = ivfPqTopK(s, dir).filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"))
+      val pqHits = brute.join(broadcast(ivfpq), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("pq_hits"))
+      coarse.crossJoin(pqHits)
+        .select(col("coarse_hits"), col("pq_hits"),
+          round(col("pq_hits") / col("coarse_hits"), 6).as("recall_within_probe"))
+    }),
+
     // The PERSISTED IVF×PQ path — the production shape the in-query
     // ann_ivf_pq entry documents: fit + assign + encode paid ONCE at
     // ingest (QueryUtil.persistedArtifact), the layout written
@@ -206,7 +239,10 @@ object AnnQueries {
         val mIvf = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
         val cent = emb.filter(pmod(col("vec_id"), lit(mIvf)) === 0)
           .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
+        // residual-fit books (FAISS IVFPQ) — same frame build encodes
+        val withRes = graft.ann.IvfPqIndex.residualFrame(
+          emb, "vec_id", "embedding", cent, "cid", "cv")
+        val books = graft.ann.Pq.fit(withRes, "vec_id", "_res",
             dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
         graft.ann.IvfPqIndex.build(emb, "vec_id", "embedding",
           cent, "cid", "cv", books, Dim, p)
@@ -360,38 +396,54 @@ object AnnQueries {
     * — shared by the ann_ivf_pq entry and ann_ivf_pq_recall's
     * candidate side.
     */
-  private def ivfPqTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** The shared IVF×PQ geometry: √n seed-row centroids, query = vec
+    * 0, nprobe=3 driver-side probe with the oracle's raw-d² fold and
+    * (d², cell) tiebreak. Returns (emb, cent, qv, centRows, probed).
+    */
+  private def ivfPqGeometry(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         Array[Double], Array[(Long, Array[Double])], Seq[Long]) = {
     val emb = t(s, dir, "embeddings")
     val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
       emb, "embedding", None).n
     val mIvf = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
     val cent = emb.filter(pmod(col("vec_id"), lit(mIvf)) === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    // Pq.encode's subspace assigns each reuse the "cell" slot —
-    // stash the IVF cell under its own name first
-    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cent, "cid", "cv")
-      .withColumnRenamed("cell", "ivf_cell")
-    val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
-        dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
-    val enc = graft.ann.Pq.encode(assigned, "vec_id", "embedding", books, Dim)
     val qv = emb.filter(col("vec_id") === 0L)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
     val centRows = cent
-      .select(col("cid").cast("long"), col("cv").cast("array<double>")).collect()
+      .select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(centRows.nonEmpty && centRows.length <= 65536,
       s"ann_ivf_pq: ${centRows.length} centroids (nlist rule bounds this)")
-    val probed = centRows.map { r =>
-      val cv = r.getSeq[Double](1)
+    val probed = centRows.map { case (c, cv) =>
       var d = 0.0
       var j = 0
       while (j < qv.length) { val diff = qv(j) - cv(j); d += diff * diff; j += 1 }
-      (r.getLong(0), d)
-    }.sortBy { case (c, d) => (d, c) }.take(3).map(_._1)
-    graft.ann.Pq.adcTopK(
+      (c, d)
+    }.sortBy { case (c, d) => (d, c) }.take(3).map(_._1).toSeq
+    (emb, cent, qv, centRows, probed)
+  }
+
+  private def ivfPqTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val (emb, cent, qv, centRows, probed) = ivfPqGeometry(s, dir)
+    val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+      emb, "embedding", None).n
+    // RESIDUAL encode (FAISS IVFPQ): fit + codes over x − centroid(cell)
+    val withRes = graft.ann.IvfPqIndex.residualFrame(
+      emb, "vec_id", "embedding", cent, "cid", "cv")
+    val books = graft.ann.Pq.fit(withRes, "vec_id", "_res",
+        dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
+    val enc = graft.ann.Pq.encode(withRes, "vec_id", "_res", books, Dim)
+      .withColumnRenamed("_ivf_cell", "ivf_cell")
+    val probedCents = centRows
+      .filter { case (c, _) => probed.contains(c) }.toSeq
+    graft.ann.Pq.adcTopKPerCell(
         enc.filter(col("ivf_cell").isin(probed: _*)),
-        "vec_id", "embedding", books, qv, k = 10, candidates = PqRerank,
-        carryCols = Seq("ivf_cell"))
+        "vec_id", "embedding", "ivf_cell", books, qv, probedCents,
+        k = 10, candidates = PqRerank)
       .withColumnRenamed("ivf_cell", "cell")
   }
 
@@ -481,18 +533,18 @@ object AnnQueries {
     s"list_reduce(list_prepend(0.0, [($a[j+1]-$b[j+1])*($a[j+1]-$b[j+1]) " +
       s"for j in range(0, $n)]), (x, y) -> x + y)"
 
-  /** The per-subspace PQ CTE chain (fit + encode + query distance
-    * table) — shared verbatim by the ann_pq and ann_ivf_pq oracles.
-    * Expects CTEs `vv` (vec_id, v), `md` (m — the seed modulus) and
-    * `q` (qv) upstream.
+  /** The per-subspace PQ fit+encode CTE chain over source CTE `src`
+    * (vec_id, v) — raw vectors for flat PQ (`vv`), per-row IVF
+    * residuals for the composed index (`rv`). Expects `md` (m — the
+    * seed modulus) upstream.
     */
-  private def pqSubCtes: String = {
+  private def pqFitCtes(src: String): String = {
     val subDim = Dim / PqSub
     val d2 = sqlD2(subDim) _
     (0 until PqSub).map { s =>
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
-      s"""sub$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM vv),
+      s"""sub$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM $src),
          |sd$s AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv AS cv
          |  FROM sub$s, md WHERE vec_id % md.m = 0),
@@ -513,10 +565,42 @@ object AnnQueries {
          |    SELECT t.vec_id, c.cid,
          |      row_number() OVER (PARTITION BY t.vec_id
          |        ORDER BY ${d2("t.sv", "c.cv")}, c.cid) AS rn
-         |    FROM sub$s t, c$s c) WHERE rn = 1),
-         |t$s AS (SELECT cid, ${d2(s"(q.qv[$lo:$hi])", "cv")} AS d FROM c$s c, q)""".stripMargin
+         |    FROM sub$s t, c$s c) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
   }
+
+  /** Flat-PQ query distance tables: one table per subspace against
+    * the RAW query slice (expects `q` (qv) upstream).
+    */
+  private def pqQueryTabCtes: String = {
+    val subDim = Dim / PqSub
+    val d2 = sqlD2(subDim) _
+    (0 until PqSub).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      s"""t$s AS (SELECT cid, ${d2(s"(q.qv[$lo:$hi])", "cv")} AS d FROM c$s c, q)"""
+    }.mkString(",\n")
+  }
+
+  /** Residual-PQ query distance tables (FAISS IVFPQ): one table per
+    * (probed cell × subspace) against the per-cell QUERY RESIDUAL
+    * slice (expects `qr` (cell, qv = q − centroid) upstream).
+    */
+  private def pqResidualTabCtes: String = {
+    val subDim = Dim / PqSub
+    val d2 = sqlD2(subDim) _
+    (0 until PqSub).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      s"""t$s AS (SELECT qr.cell, c.cid, ${d2(s"(qr.qv[$lo:$hi])", "c.cv")} AS d FROM c$s c, qr)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** The flat-PQ chain (raw-vector fit + raw-query tables) — the
+    * ann_pq / ann_pq_persisted oracles.
+    */
+  private def pqSubCtes: String =
+    pqFitCtes("vv") + ",\n" + pqQueryTabCtes
 
   private val PqCodeCols = (0 until PqSub).map(s => s"e$s.code AS code$s").mkString(", ")
   private val PqCodeNames = (0 until PqSub).map(s => s"code$s").mkString(", ")
@@ -542,30 +626,44 @@ object AnnQueries {
 
   /** ann_ivf_pq: the IVF coarse layer (√n seed-row centroids, same
     * geometry as IvfOracleSql but ordered by the raw d² fold the
-    * Spark side's driver probe uses) pruning to nprobe cells, PQ's
-    * code scan + ADC ranking inside them.
+    * Spark side's driver probe uses) pruning to nprobe cells, with
+    * RESIDUAL PQ inside them (FAISS IVFPQ): the fit/encode chain runs
+    * over `rv` (per-row x − centroid(cell)), and the query tables are
+    * per probed cell against the query residual `qr` — the ADC join
+    * therefore keys on (code, cell).
     */
   private lazy val IvfPqOracleSql: String = {
     val d2full = sqlD2(Dim) _
+    val resTabJoins = (0 until PqSub)
+      .map(s => s"JOIN t$s ON e$s.code = t$s.cid AND t$s.cell = cells.cell")
+      .mkString(" ")
     s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |md AS (SELECT GREATEST(1, CAST(FLOOR(count(*) / $PqK) AS BIGINT)) AS m FROM embeddings),
        |q AS (SELECT v AS qv FROM vv WHERE vec_id = 0),
        |mivf AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(count(*))) AS BIGINT)) AS m FROM embeddings),
        |cent AS (SELECT vec_id AS cell, v AS cv FROM vv, mivf WHERE vec_id % mivf.m = 0),
-       |cells AS (
+       |cells AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
        |    SELECT t.vec_id, c.cell,
        |      row_number() OVER (PARTITION BY t.vec_id
        |        ORDER BY ${d2full("t.v", "c.cv")}, c.cell) AS rn
        |    FROM vv t, cent c) WHERE rn = 1),
+       |rv AS MATERIALIZED (
+       |  SELECT vv.vec_id, [vv.v[j+1] - c.cv[j+1] for j in range(0, $Dim)] AS v
+       |  FROM vv JOIN cells USING (vec_id) JOIN cent c USING (cell)),
        |probe AS (
        |  SELECT cell FROM cent, q ORDER BY ${d2full("cv", "q.qv")}, cell LIMIT 3),
-       |$pqSubCtes,
+       |qr AS MATERIALIZED (
+       |  SELECT p.cell, [q.qv[j+1] - c.cv[j+1] for j in range(0, $Dim)] AS qv
+       |  FROM probe p JOIN cent c USING (cell), q),
+       |${pqFitCtes("rv")},
+       |$pqResidualTabCtes,
        |scored AS (
        |  SELECT e0.vec_id, cells.cell, $PqCodeCols, $PqAdcSum AS adc_raw
-       |  FROM e0 $PqEncJoins $PqTabJoins
+       |  FROM e0 $PqEncJoins
        |    JOIN cells ON e0.vec_id = cells.vec_id
-       |    JOIN probe USING (cell)),
+       |    JOIN probe USING (cell)
+       |    $resTabJoins),
        |cands AS (
        |  SELECT * FROM scored ORDER BY adc_raw, vec_id LIMIT $PqRerank)
        |SELECT s.vec_id, s.cell, $PqCodeNames,
@@ -635,6 +733,43 @@ object AnnQueries {
          |SELECT CAST(count(*) AS BIGINT) AS n_hits,
          |  round(count(*) / 9.0, 6) AS recall
          |FROM brute JOIN pq USING (vec_id)""".stripMargin,
+
+    // the ann_ivf_pq oracle nested verbatim, decomposed against the
+    // coarse layer: replays the cell assignment + probe to count the
+    // true top-9 inside probed cells (the ceiling), then the full
+    // chain's hits — recall_within_probe isolates what the code
+    // budget loses (1.0 = residual ADC is lossless inside the probe)
+    "ann_ivf_pq_coarse" -> {
+      val d2full = sqlD2(Dim) _
+      s"""WITH pq AS (
+         |  SELECT vec_id FROM ($IvfPqOracleSql) WHERE vec_id <> 0),
+         |vv2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q2 AS (SELECT v AS qv FROM vv2 WHERE vec_id = 0),
+         |mivf2 AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(count(*))) AS BIGINT)) AS m FROM embeddings),
+         |cent2 AS (SELECT vec_id AS cell, v AS cv FROM vv2, mivf2 WHERE vec_id % mivf2.m = 0),
+         |cells2 AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT t.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${d2full("t.v", "c.cv")}, c.cell) AS rn
+         |    FROM vv2 t, cent2 c) WHERE rn = 1),
+         |probe2 AS (
+         |  SELECT cell FROM cent2, q2 ORDER BY ${d2full("cv", "q2.qv")}, cell LIMIT 3),
+         |brute AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |      ${sqlCos("v", "qv")} AS score_raw
+         |    FROM vv2, q2 WHERE vec_id <> 0)
+         |  ORDER BY score_raw DESC, vec_id LIMIT 9),
+         |agg AS (
+         |  SELECT
+         |    CAST((SELECT count(*) FROM brute b JOIN cells2 c USING (vec_id)
+         |          JOIN probe2 USING (cell)) AS BIGINT) AS coarse_hits,
+         |    CAST((SELECT count(*) FROM brute b JOIN pq USING (vec_id)) AS BIGINT) AS pq_hits)
+         |SELECT coarse_hits, pq_hits,
+         |  round(CAST(pq_hits AS DOUBLE) / coarse_hits, 6) AS recall_within_probe
+         |FROM agg""".stripMargin
+    },
 
     // the ann_pq oracle nested verbatim vs a 9-deep exact-cosine CTE
     // (self-hit excluded both sides) — composition can only pass if

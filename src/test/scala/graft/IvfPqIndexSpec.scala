@@ -23,7 +23,12 @@ class IvfPqIndexSpec extends SparkSpecBase {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val books = Pq.fit(emb, "vec_id", "embedding",
+    // residual-fit books: the build contract (FAISS IVFPQ encodes
+    // x − centroid(cell), so the codebooks must be trained on the
+    // same residual frame the encode consumes)
+    val withRes = IvfPqIndex.residualFrame(emb, "vec_id", "embedding",
+      cents, "cid", "cv")
+    val books = Pq.fit(withRes, "vec_id", "_res",
         dim = Dim, nSub = NSub, seedMod = 25L, iters = 1)
       .map(Barrier.checkpoint(_))
     IvfPqIndex.build(emb, "vec_id", "embedding", cents, "cid", "cv",
@@ -47,21 +52,27 @@ class IvfPqIndexSpec extends SparkSpecBase {
       s"codes must be byte-rangeable: $ranges")
   }
 
-  test("probe + search equals the in-memory IVF x PQ path row for row") {
+  test("probe + search equals the in-memory residual IVF x PQ path row for row") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val books = Pq.fit(emb, "vec_id", "embedding",
+    val withRes = IvfPqIndex.residualFrame(emb, "vec_id", "embedding",
+      cents, "cid", "cv")
+    val books = Pq.fit(withRes, "vec_id", "_res",
         dim = Dim, nSub = NSub, seedMod = 25L, iters = 1)
       .map(Barrier.checkpoint(_))
-    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cents, "cid", "cv")
-      .withColumnRenamed("cell", "ivf_cell")
-    val enc = Pq.encode(assigned, "vec_id", "embedding", books, Dim)
+    val enc = Pq.encode(withRes, "vec_id", "_res", books, Dim)
+      .withColumnRenamed("_ivf_cell", "ivf_cell")
     val probed = idx.probeCells(q0, nprobe = 2)
-    val inMem = Pq.adcTopK(
+    val probedCents = cents
+      .select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter { case (c, _) => probed.contains(c) }.toSeq
+    val inMem = Pq.adcTopKPerCell(
         enc.filter(col("ivf_cell").isin(probed: _*)),
-        "vec_id", "embedding", books, q0, k = 5, candidates = 20,
-        carryCols = Seq("ivf_cell"))
+        "vec_id", "embedding", "ivf_cell", books, q0, probedCents,
+        k = 5, candidates = 20)
       .withColumnRenamed("ivf_cell", "cell")
       .collect().map(_.toString).toSeq
     val fromDisk = idx.searchCells(probed, q0, k = 5, candidates = 20)
