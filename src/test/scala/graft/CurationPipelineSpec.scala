@@ -41,4 +41,21 @@ class CurationPipelineSpec extends SparkSpecBase {
     assert(new java.io.File(s"$tmp2/stage_0").exists() &&
       new java.io.File(s"$tmp2/stage_2").exists())
   }
+
+  test("prebuilt signature table reproduces the in-plan minhash stage exactly") {
+    assume(haveData)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.select("doc_id", "lang").orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    val base = rows(CurationPipeline.run(docs, "doc_id", "text", "lang"))
+    Barrier.release(spark)
+
+    val sigPath = java.nio.file.Files.createTempDirectory("graft_pipe_sig").toString + "/sigs"
+    CurationPipeline.buildSignatureTable(docs, "doc_id", "text", sigPath)
+    val viaSigs = rows(CurationPipeline.runWithSignatures(
+      docs, "doc_id", "text", "lang", spark.read.parquet(sigPath)))
+    assert(viaSigs == base)
+    assert(base.nonEmpty)
+  }
 }

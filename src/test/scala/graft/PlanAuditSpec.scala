@@ -29,7 +29,14 @@ class PlanAuditSpec extends SparkSpecBase {
     * shuffles might-match candidates.
     */
   private val SmjAllowList =
-    Set("dd_groups", "dd_pipeline", "mm_join", "q_merge", "ta_contaminate")
+    Set("dd_groups", "dd_pipeline",
+      // the persisted-signature twin inherits dd_pipeline's SMJs
+      // unchanged (LSH bucket self-join + near-dup anti-join — both
+      // sides corpus-sized survivor sets, broadcast would be wrong);
+      // reading signatures from parquet removes a map stage, not a
+      // join
+      "dd_pipeline_persisted",
+      "mm_join", "q_merge", "ta_contaminate")
 
   private val Kernels = Seq("vector_dot", "vector_l2sq", "word_shingles",
     "char_ngrams", "rolling_fp", "topk", "nearest_centroid", "redact_pii",
