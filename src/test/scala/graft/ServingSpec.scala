@@ -226,4 +226,78 @@ class ServingSpec extends SparkSpecBase {
     val want = viaBatch.select("vec_id", "label").as[(Long, Int)].collect().toSet
     assert(got == want)
   }
+
+  test("ShardedVectorServing: scatter-gather is row-identical to the single-index " +
+      "path, including across concurrent per-shard refresh") {
+    assume(haveData)
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "embeddings")
+    val nShards = 3
+    val sharded = new graft.serve.ShardedVectorServing(
+      base, "vec_id", "embedding", nShards)
+    val single = new graft.serve.RefreshingVectorServing(base, "vec_id", "embedding")
+    val q0 = queryVec
+    def asTuples(xs: Seq[(org.apache.spark.sql.Row, Double)]) =
+      xs.map { case (r, s) => (r.getAs[Long]("vec_id"), s) }
+
+    // placement partitions the corpus (every row on exactly one shard,
+    // murmur3 spreads across all shards at this corpus size)
+    assert(sharded.size == single.serving.size)
+    assert((0 until nShards).forall(i => sharded.shard(i).serving.size > 0))
+
+    // read identity, unfiltered and filtered
+    assert(asTuples(sharded.queryItems(q0, 10)) ==
+      asTuples(single.serving.queryItems(q0, 10)))
+    val mf = MetaFilter.parse("""{"label":{"$in":[1,2,3,4]}}""")
+    assert(asTuples(sharded.queryItems(q0, 10, Some(mf))) ==
+      asTuples(single.serving.queryItems(q0, 10, Some(mf))))
+
+    // one changelog batch routed to per-shard partitions with the SAME
+    // spark-side hash the router uses, then applied CONCURRENTLY (one
+    // thread per shard — the production wiring: changelog partition i →
+    // shard(i).applyChanges) while a reader queries throughout
+    val victim = asTuples(single.serving.queryItems(q0, 5)).map(_._1)(1)
+    val changes = Seq(
+      (7L, "u", q0, 3),
+      (victim, "d", Seq.empty[Double], 0),
+      (999999L, "i", q0.map(-_), 2))
+      .toDF("vec_id", "op", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val stamped = changes
+      .withColumn("_shard", pmod(hash(col("vec_id")), lit(nShards)))
+      .localCheckpoint()
+    val readerFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stopReader.get()) {
+          val res = sharded.queryItems(q0, 5)
+          // never torn: always k rows, ordering contract intact
+          assert(res.size == 5)
+          assert(res.map(-_._2) == res.map(-_._2).sorted)
+        }
+      } catch { case t: Throwable => readerFailure.set(t) }
+    })
+    reader.start()
+    val writers = (0 until nShards).map { i =>
+      new Thread(() => {
+        val part = stamped.filter(col("_shard") === i).drop("_shard")
+        if (!part.isEmpty) sharded.shard(i).applyChanges(part)
+      })
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join())
+    stopReader.set(true)
+    reader.join()
+    assert(readerFailure.get() == null,
+      s"reader failed during concurrent refresh: ${readerFailure.get()}")
+
+    // post-refresh identity with the single-index path given the same batch
+    single.applyChanges(changes)
+    assert(asTuples(sharded.queryItems(q0, 10)) ==
+      asTuples(single.serving.queryItems(q0, 10)))
+    assert(sharded.getItem(999999L).exists(_.getAs[Int]("label") == 2))
+    assert(sharded.getItem(victim).isEmpty)
+    assert(sharded.size == single.serving.size)
+  }
 }
