@@ -80,6 +80,62 @@ object BenchStream {
       return
     }
 
+    // mode=cdc: sustained-load of the serving-tier WRITE path
+    // (RefreshingVectorServing — the s_merge CDC apply + snapshot
+    // swap). The stream carries update batches against existing ids;
+    // each round's latency IS the refresh lag: merge-apply + lineage
+    // truncation + O(shard) snapshot rebuild + atomic swap, i.e. how
+    // stale the serving tier runs under that changelog rate. A
+    // serve-local query is timed after every apply to confirm reads
+    // stay in-process microseconds while writes churn.
+    if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("cdc")) {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val n = emb.count()
+      val rvs = new graft.serve.RefreshingVectorServing(
+        emb, "vec_id", "embedding")
+      val pool = emb.filter(col("vec_id") < batch.toLong)
+        .as[(Long, Array[Float], Int)].collect()
+      val qv = pool.head._2.map(_.toDouble).toSeq
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val stream = MemoryStream[(Long, String, Array[Float], Int)]
+      val query = stream.toDF().toDF("vec_id", "op", "embedding", "label")
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) => rvs.applyChanges(b) }
+        .outputMode("append").start()
+      val qLats = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def round(r: Int): Double = {
+        // updates: same ids, label stamped with the round so every
+        // apply really rewrites rows
+        val t0 = System.nanoTime()
+        stream.addData(pool.map { case (id, v, _) => (id, "u", v, r) }.toSeq)
+        query.processAllAvailable()
+        val lag = (System.nanoTime() - t0) / 1e9
+        val q0 = System.nanoTime()
+        val top = rvs.serving.queryItems(qv, 10)
+        qLats += (System.nanoTime() - q0) / 1e9
+        require(top.size == 10, "serving query must stay answerable mid-churn")
+        lag
+      }
+      try {
+        (1 to 3).foreach(round)
+        qLats.clear()
+        val lats = (4 to 3 + rounds).map(round).sorted
+        val mean = lats.sum / lats.length
+        def pct(p: Double) = lats(math.min(lats.length - 1, (p * lats.length).toInt))
+        val cps = batch / mean
+        val qMean = qLats.sum / math.max(1, qLats.size)
+        System.err.println(f"[bench-stream] cdc corpus=$n batch=$batch " +
+          f"refresh mean=${mean * 1000}%.1f ms p95=${pct(0.95) * 1000}%.1f ms " +
+          f"changes/s=$cps%.0f serveq=${qMean * 1e6}%.0f us")
+        println(f"""{"metric":"stream_cdc","corpus":$n,"batch":$batch,"rounds":$rounds,"refresh_mean_sec":$mean%.4f,"refresh_p50_sec":${pct(0.5)}%.4f,"refresh_p95_sec":${pct(0.95)}%.4f,"changes_per_sec":$cps%.1f,"applied":${rvs.appliedBatches},"serve_query_mean_sec":$qMean%.6f,"sf":"$sfDir"}""")
+      } finally {
+        query.stop()
+        spark.stop()
+      }
+      return
+    }
+
     val emb = Tables.load(spark, sfDir, "embeddings")
     val corpus = emb.select(col("vec_id"), col("embedding")).cache()
     val n = corpus.count()
