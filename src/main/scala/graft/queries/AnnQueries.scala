@@ -329,6 +329,52 @@ object AnnQueries {
         .search(qv, k = 10, candidates = SqRerank)
     }),
 
+    // 1-bit binary quantization (graft.ann.Bq) — the BOTTOM rung of
+    // the compression ladder (64 dims → 8 bytes, 32× less candidate
+    // I/O than the float scan): midpoint sign bits (one min/max fit
+    // pass, no training), XOR+popcount Hamming candidate scan
+    // (codegen'd BqHamming over the packed codes — integer, so the
+    // candidate ordering has no float surface), exact rerank. The
+    // production role is the cheapest first-pass filter in front of
+    // a finer index at 100 TB.
+    "ann_bq" -> ((s, dir) => bqTopK(s, dir)),
+
+    // recall@9 of the 1-bit index vs exact ground truth (self-hit
+    // excluded both sides) — quantifies what 1 bit/dim loses vs SQ8
+    // (ann_sq_recall) and PQ (ann_pq_recall) at the SAME candidate
+    // budget: the quality dial for the ladder's cheapest rung.
+    "ann_bq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") === 0L)
+      val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 9)
+        .select(col("vec_id"))
+      val bq = bqTopK(s, dir).filter(col("vec_id") =!= 0L).select(col("vec_id"))
+      brute.join(broadcast(bq), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("n_hits"), round(col("n_hits") / 9.0, 6).as("recall"))
+    }),
+
+    // The PERSISTED 1-bit path (graft.ann.BqIndex): fit + encode paid
+    // once at ingest, layout = (id, vector, bcodes[binary]) parquet +
+    // a 1-row thresholds parquet; the query's candidate pass reads
+    // ONLY the (id, bcodes) columns — ceil(dim/8) bytes/row, asserted
+    // by BqSpec — before the bounded exact rerank. Same thresholds
+    // and geometry as ann_bq, so results (and the oracle) are
+    // identical; what THIS entry checks is that save → load →
+    // code-only-scan preserves them.
+    "ann_bq_persisted" -> ((s, dir) => {
+      val idxPath = persistedArtifact("bq1", dir) { p =>
+        graft.ann.BqIndex.build(t(s, dir, "embeddings"),
+          "vec_id", "embedding", Dim, p)
+      }
+      val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      graft.ann.BqIndex.load(s, idxPath, "vec_id", "embedding")
+        .search(qv, k = 10, candidates = BqRerank)
+    }),
+
     // approximate kNN: (label × LSH bucket) blocking, multi-probe
     // hamming-1 — the exact label-blocked join is quadratic in block
     // size (162s at a 10× scale-up). The plane count comes from
@@ -484,6 +530,57 @@ object AnnQueries {
     graft.ann.Sq.adcTopK(enc, "vec_id", "embedding", grid, qv,
       k = 10, candidates = SqRerank)
   }
+
+  /** 1-bit rerank depth — same candidate budget as PQ/SQ8 so the
+    * recall entries compare the three code geometries at equal scan
+    * cost.
+    */
+  private val BqRerank = 100
+
+  /** The ann_bq plan (midpoint fit → sign-bit encode → Hamming
+    * top-BqRerank candidates for vec_id 0 → exact rerank to 10) —
+    * shared by the ann_bq entry and ann_bq_recall's candidate side.
+    */
+  private def bqTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val emb = t(s, dir, "embeddings")
+    val th = graft.ann.Bq.fit(emb, "embedding", Dim)
+    val enc = graft.ann.Bq.encode(emb, "embedding", th)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    graft.ann.Bq.hammingTopK(enc, "vec_id", "embedding", th, qv,
+      k = 10, candidates = BqRerank)
+  }
+
+  /** Bit-for-bit replay of Bq.fit + BqEncode + BqHamming: midpoint
+    * thresholds from the same order-free min/max, bits as the same
+    * strict x > mid comparison (replayed on UNPACKED bits — hamming
+    * over packed bytes ≡ count of differing bits by construction),
+    * integer hamming candidate ordering (no float surface), then the
+    * exact-cosine rerank.
+    */
+  private lazy val BqOracleSql: String =
+    s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM vv WHERE vec_id = 0),
+       |grid AS (
+       |  SELECT d, (min(v[d]) + max(v[d])) * 0.5 AS mid
+       |  FROM vv, range(1, ${Dim + 1}) r(d) GROUP BY d),
+       |bits AS (
+       |  SELECT vv.vec_id, g.d,
+       |    CASE WHEN vv.v[g.d] > g.mid THEN 1 ELSE 0 END AS b
+       |  FROM vv, grid g),
+       |qbits AS (
+       |  SELECT g.d, CASE WHEN q.qv[g.d] > g.mid THEN 1 ELSE 0 END AS b
+       |  FROM grid g, q),
+       |ham AS (
+       |  SELECT bits.vec_id,
+       |    CAST(sum(CASE WHEN bits.b <> qb.b THEN 1 ELSE 0 END) AS INT) AS hamming
+       |  FROM bits JOIN qbits qb USING (d) GROUP BY bits.vec_id),
+       |cands AS (SELECT * FROM ham ORDER BY hamming, vec_id LIMIT $BqRerank)
+       |SELECT c.vec_id, c.hamming,
+       |  round(${sqlCos("vv.v", "q.qv")}, 6) AS exact_score
+       |FROM cands c JOIN vv USING (vec_id), q
+       |ORDER BY ${sqlCos("vv.v", "q.qv")} DESC, c.vec_id LIMIT 10""".stripMargin
 
   /** Bit-for-bit replay of Sq.fit + SqEncode + the SqAdc fold (see
     * the SqKernel scaladoc for the exact op sequences): per-dimension
@@ -685,6 +782,30 @@ object AnnQueries {
     // rows, exactly as ann_ivf_pq_persisted does for the composed
     // layout
     "ann_pq_persisted" -> PqOracleSql,
+
+    "ann_bq" -> BqOracleSql,
+
+    // identical semantics to ann_bq (same thresholds, candidates,
+    // rerank) — the entry pins the save→load→code-only-scan path to
+    // the same rows, exactly as ann_sq_persisted does for SQ8
+    "ann_bq_persisted" -> BqOracleSql,
+
+    // the ann_bq oracle nested verbatim vs the 9-deep exact-cosine
+    // CTE (self-hit excluded both sides) — the 1-bit twin of
+    // ann_sq_recall / ann_pq_recall
+    "ann_bq_recall" ->
+      s"""WITH bqc AS (
+         |  SELECT vec_id FROM ($BqOracleSql) WHERE vec_id <> 0),
+         |bq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |brute AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |      ${sqlCos("CAST(embedding AS DOUBLE[])", "qv")} AS score_raw
+         |    FROM embeddings, bq WHERE vec_id <> 0)
+         |  ORDER BY score_raw DESC, vec_id LIMIT 9)
+         |SELECT CAST(count(*) AS BIGINT) AS n_hits,
+         |  round(count(*) / 9.0, 6) AS recall
+         |FROM brute JOIN bqc USING (vec_id)""".stripMargin,
 
     "ann_sq" -> SqOracleSql,
 
