@@ -477,9 +477,19 @@ object AnnQueries {
     val (emb, cent, qv, centRows, probed) = ivfPqGeometry(s, dir)
     val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
       emb, "embedding", None).n
-    // RESIDUAL encode (FAISS IVFPQ): fit + codes over x − centroid(cell)
-    val withRes = graft.ann.IvfPqIndex.residualFrame(
-      emb, "vec_id", "embedding", cent, "cid", "cv")
+    // RESIDUAL encode (FAISS IVFPQ): fit + codes over x − centroid(cell).
+    // BARRIER the residual frame: its lineage (crossJoin cell assignment
+    // + zip_with residuals over the corpus) is otherwise RECOMPUTED by
+    // every downstream pass — Pq.fit's seed collect, the merged Lloyd
+    // update, the encode scan, and the rerank's vector fetch (~5 full
+    // assignment passes; the 100× sweep measured 56s vs 20s for the
+    // raw-vector plan this replaced). One eager materialization makes
+    // every pass read the assigned+residual rows instead. Production
+    // flip per Barrier scaladoc: the persisted twin (IvfPqIndex.build)
+    // IS that flip — assignment paid once at ingest into the layout.
+    val withRes = graft.Barrier.checkpoint(
+      graft.ann.IvfPqIndex.residualFrame(
+        emb, "vec_id", "embedding", cent, "cid", "cv"))
     val books = graft.ann.Pq.fit(withRes, "vec_id", "_res",
         dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
     val enc = graft.ann.Pq.encode(withRes, "vec_id", "_res", books, Dim)
