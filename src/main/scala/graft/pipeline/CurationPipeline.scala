@@ -48,7 +48,8 @@ object CurationPipeline {
   def run(docs: DataFrame, idCol: String, textCol: String, langCol: String,
       cfg: Config = Config(),
       barrier: DataFrame => DataFrame = graft.Barrier.checkpoint): DataFrame =
-    runImpl(docs, idCol, textCol, langCol, cfg, barrier, signatures = None)
+    runImpl(docs, idCol, textCol, langCol, cfg, barrier,
+      signatures = None, signals = None)
 
   /** [[run]] with the minhash SIGNATURE stage read from a PREBUILT
     * table ([[buildSignatureTable]]) instead of recomputed in-plan —
@@ -69,7 +70,29 @@ object CurationPipeline {
       langCol: String, signatures: DataFrame,
       cfg: Config = Config(),
       barrier: DataFrame => DataFrame = graft.Barrier.checkpoint): DataFrame =
-    runImpl(docs, idCol, textCol, langCol, cfg, barrier, Some(signatures))
+    runImpl(docs, idCol, textCol, langCol, cfg, barrier, Some(signatures), None)
+
+  /** The FULLY-persisted twin: BOTH per-doc projections — the minhash
+    * signature matrix ([[buildSignatureTable]]) AND the signal frame
+    * ([[buildSignalTable]]: quality counts, lang-id, content digest) —
+    * come from ingest-time stage tables. With both in place the
+    * curation run never touches `textCol` at all: the only scan of
+    * the corpus table reads (id, lang), and everything else is joins
+    * over small per-doc projections. At 100 TB this is the difference
+    * between re-reading the corpus text per curation run and reading
+    * a few narrow columns — the standing-pipeline shape where raw
+    * bytes are paid once per doc VERSION (ingest), not once per run.
+    * Row-identical to [[run]]: both artifacts are pure per-doc
+    * projections, so filter-then-read ≡ read-then-filter
+    * (CurationPipelineSpec asserts identity; the dd_pipeline oracle
+    * is shared verbatim).
+    */
+  def runWithArtifacts(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, signals: DataFrame, signatures: DataFrame,
+      cfg: Config = Config(),
+      barrier: DataFrame => DataFrame = graft.Barrier.checkpoint): DataFrame =
+    runImpl(docs, idCol, textCol, langCol, cfg, barrier,
+      Some(signatures), Some(signals))
 
   /** The ingest-side fingerprint job for [[runWithSignatures]]: the
     * corpus's minhash signature matrix (one row per doc, nHashes
@@ -81,9 +104,30 @@ object CurationPipeline {
     Dedup.minHashSignatures(docs, idCol, textCol, cfg.shingleLen, cfg.nHashes)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 
+  /** The ingest-side SIGNAL job for [[runWithArtifacts]]: the per-doc
+    * quality/lang-id/digest projection (id, n_words, alpha_ratio,
+    * pred_lang, content_hash) written as a parquet stage table — the
+    * exact frame [[run]] computes behind its first barrier, paid at
+    * ingest instead. One narrow map pass over the corpus text.
+    */
+  def buildSignalTable(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    signalFrame(docs, idCol, textCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  private def signalFrame(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    TextAnalysis.langId(
+        TextAnalysis.quality(docs, idCol, textCol), idCol, textCol)
+      .withColumn("content_hash", org.apache.spark.sql.functions.md5(
+        graft.functions.TextFunctions.normText(col(textCol))))
+      .select(col(idCol), col("n_words"), col("alpha_ratio"),
+        col("pred_lang"), col("content_hash"))
+
   private def runImpl(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, cfg: Config, barrier: DataFrame => DataFrame,
-      signatures: Option[DataFrame]): DataFrame = {
+      signatures: Option[DataFrame],
+      signals: Option[DataFrame]): DataFrame = {
     // All per-row text signals in ONE projection: Spark re-derives a
     // DataFrame per join branch, so stages must not each re-tokenize —
     // a stage is a predicate over this single derived frame, and what
@@ -98,13 +142,11 @@ object CurationPipeline {
     // are computed once, in one narrow pass, and every later stage
     // consumes materialized rows. (At cluster scale this is the
     // standard persisted-signals table between pipeline phases.)
-    val sigs = TextAnalysis.langId(
-        TextAnalysis.quality(docs, idCol, textCol), idCol, textCol)
-      .withColumn("content_hash", org.apache.spark.sql.functions.md5(
-        graft.functions.TextFunctions.normText(col(textCol))))
-      .select(col(idCol), col("n_words"), col("alpha_ratio"),
-        col("pred_lang"), col("content_hash"))
-      .transform(barrier)
+    // (With a PERSISTED signal table the frame is already a
+    // materialized parquet read — no barrier needed, and the corpus
+    // text is never scanned by the run at all.)
+    val sigs = signals.getOrElse(
+      signalFrame(docs, idCol, textCol).transform(barrier))
     // 1+2. quality + language gates
     val gated = sigs.filter(
       col("n_words") >= cfg.minWords && col("alpha_ratio") >= cfg.minAlphaRatio &&

@@ -58,4 +58,35 @@ class CurationPipelineSpec extends SparkSpecBase {
     assert(viaSigs == base)
     assert(base.nonEmpty)
   }
+
+  test("fully-persisted artifacts reproduce the in-plan run and never scan text") {
+    assume(haveData)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.select("doc_id", "lang").orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    val base = rows(CurationPipeline.run(docs, "doc_id", "text", "lang"))
+    Barrier.release(spark)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pipe_art").toString
+    CurationPipeline.buildSignatureTable(docs, "doc_id", "text", s"$tmp/sigs")
+    CurationPipeline.buildSignalTable(docs, "doc_id", "text", s"$tmp/signals")
+    val out = CurationPipeline.runWithArtifacts(
+      docs, "doc_id", "text", "lang",
+      spark.read.parquet(s"$tmp/signals"), spark.read.parquet(s"$tmp/sigs"))
+      .select("doc_id", "lang")
+
+    // the run's only corpus read is (doc_id, lang): no parquet scan
+    // in the final plan carries the text column
+    val body = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemas = new scala.util.matching.Regex(
+      "ReadSchema: struct<([^>]*)").findAllMatchIn(body).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(s => !s.contains("text:")),
+      s"text column scanned: ${readSchemas.mkString(" | ")}")
+
+    assert(rows(out) == base)
+    assert(base.nonEmpty)
+  }
 }
