@@ -251,7 +251,7 @@ object AnnQueries {
       val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toArray
-      val probed = idx.probeCells(qv, nprobe = 3)
+      val probed = idx.probeCells(qv, nprobe = IvfPqProbe)
       idx.searchCells(probed, qv, k = 10, candidates = PqRerank)
         // partition-column type inference reads cell back as int
         .withColumn("cell", col("cell").cast("long"))
@@ -436,15 +436,22 @@ object AnnQueries {
   private val PqK = 32
   private val PqRerank = 100
 
-  /** The ann_ivf_pq plan (√n IVF coarse layer pruning to nprobe=3
-    * cells, PQ ADC + exact rerank inside them; probe selection
-    * driver-side with the oracle's d² fold and (d², cell) tiebreak)
-    * — shared by the ann_ivf_pq entry and ann_ivf_pq_recall's
-    * candidate side.
+  /** IVF×PQ probe width. The coarse ceiling is the composed index's
+    * only recall loss (residual ADC is lossless inside the probe set —
+    * ann_ivf_pq_coarse), so nprobe is the recall dial: at nprobe=3 the
+    * sf0.01 sphere's true top-9 has cells at probe ranks {1,8,15} and
+    * recall caps at 7/9; 16 covers them all → 9/9, BEATING flat PQ's
+    * full-scan 8/9 (residual codes quantize tighter than raw-vector
+    * codes). 16 of √n cells is the standard FAISS operating point
+    * (~11% of corpus at sf0.01, 3.6% at 100×, nprobe/nlist → 0 as the
+    * corpus grows at fixed probe width).
     */
+  private val IvfPqProbe = 16
+
   /** The shared IVF×PQ geometry: √n seed-row centroids, query = vec
-    * 0, nprobe=3 driver-side probe with the oracle's raw-d² fold and
-    * (d², cell) tiebreak. Returns (emb, cent, qv, centRows, probed).
+    * 0, nprobe=[[IvfPqProbe]] driver-side probe with the oracle's
+    * raw-d² fold and (d², cell) tiebreak. Returns
+    * (emb, cent, qv, centRows, probed).
     */
   private def ivfPqGeometry(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
@@ -469,7 +476,7 @@ object AnnQueries {
       var j = 0
       while (j < qv.length) { val diff = qv(j) - cv(j); d += diff * diff; j += 1 }
       (c, d)
-    }.sortBy { case (c, d) => (d, c) }.take(3).map(_._1).toSeq
+    }.sortBy { case (c, d) => (d, c) }.take(IvfPqProbe).map(_._1).toSeq
     (emb, cent, qv, centRows, probed)
   }
 
@@ -759,7 +766,7 @@ object AnnQueries {
        |  SELECT vv.vec_id, [vv.v[j+1] - c.cv[j+1] for j in range(0, $Dim)] AS v
        |  FROM vv JOIN cells USING (vec_id) JOIN cent c USING (cell)),
        |probe AS (
-       |  SELECT cell FROM cent, q ORDER BY ${d2full("cv", "q.qv")}, cell LIMIT 3),
+       |  SELECT cell FROM cent, q ORDER BY ${d2full("cv", "q.qv")}, cell LIMIT $IvfPqProbe),
        |qr AS MATERIALIZED (
        |  SELECT p.cell, [q.qv[j+1] - c.cv[j+1] for j in range(0, $Dim)] AS qv
        |  FROM probe p JOIN cent c USING (cell), q),
@@ -885,7 +892,7 @@ object AnnQueries {
          |        ORDER BY ${d2full("t.v", "c.cv")}, c.cell) AS rn
          |    FROM vv2 t, cent2 c) WHERE rn = 1),
          |probe2 AS (
-         |  SELECT cell FROM cent2, q2 ORDER BY ${d2full("cv", "q2.qv")}, cell LIMIT 3),
+         |  SELECT cell FROM cent2, q2 ORDER BY ${d2full("cv", "q2.qv")}, cell LIMIT $IvfPqProbe),
          |brute AS (
          |  SELECT vec_id FROM (
          |    SELECT vec_id,
