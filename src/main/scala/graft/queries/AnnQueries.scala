@@ -201,18 +201,22 @@ object AnnQueries {
     // one. (Flat PQ at a full scan measures 8/9 — raw-vector ADC
     // loses a neighbor to quantization that residual ADC does not.)
     "ann_ivf_pq_coarse" -> ((s, dir) => {
-      val (emb, cent, _, _, probed) = ivfPqGeometry(s, dir)
+      // reuse the chain's barriered residual frame for the coarse
+      // side: its _ivf_cell IS the assignment (same NearestCentroid
+      // kernel), already materialized for the fit/encode passes — a
+      // second corpus × centroids pass would re-pay the dominant cost
+      val (topk, withRes, probed) = ivfPqChain(s, dir)
+      val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") === 0L)
       val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding",
           qs, "vec_id", "embedding", k = 9)
         .select(col("vec_id"))
-      val assigned = Ann.ivfAssign(emb, "vec_id", "embedding",
-          cent, "cid", "cv")
-        .select(col("vec_id"), col("cell"))
-      val coarse = assigned.join(broadcast(brute), Seq("vec_id"), "left_semi")
+      val coarse = withRes
+        .select(col("vec_id"), col("_ivf_cell").as("cell"))
+        .join(broadcast(brute), Seq("vec_id"), "left_semi")
         .filter(col("cell").isin(probed: _*))
         .agg(count(lit(1)).as("coarse_hits"))
-      val ivfpq = ivfPqTopK(s, dir).filter(col("vec_id") =!= 0L)
+      val ivfpq = topk.filter(col("vec_id") =!= 0L)
         .select(col("vec_id"))
       val pqHits = brute.join(broadcast(ivfpq), Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("pq_hits"))
@@ -480,7 +484,16 @@ object AnnQueries {
     (emb, cent, qv, centRows, probed)
   }
 
-  private def ivfPqTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** [[ivfPqTopK]] plus the barriered residual frame it scored and
+    * the probed cells — shared so evidence entries
+    * (ann_ivf_pq_coarse) count coarse hits off the SAME materialized
+    * assignment instead of paying a second corpus × centroids
+    * NearestCentroid pass (the 100× sweep charged that second pass
+    * ~10s).
+    */
+  private def ivfPqChain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         Seq[Long]) = {
     val (emb, cent, qv, centRows, probed) = ivfPqGeometry(s, dir)
     val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
       emb, "embedding", None).n
@@ -503,12 +516,21 @@ object AnnQueries {
       .withColumnRenamed("_ivf_cell", "ivf_cell")
     val probedCents = centRows
       .filter { case (c, _) => probed.contains(c) }.toSeq
-    graft.ann.Pq.adcTopKPerCell(
+    val topk = graft.ann.Pq.adcTopKPerCell(
         enc.filter(col("ivf_cell").isin(probed: _*)),
         "vec_id", "embedding", "ivf_cell", books, qv, probedCents,
         k = 10, candidates = PqRerank)
       .withColumnRenamed("ivf_cell", "cell")
+    (topk, withRes, probed)
   }
+
+  /** The ann_ivf_pq plan (√n IVF coarse layer pruning to
+    * [[IvfPqProbe]] cells, residual PQ ADC + exact rerank inside
+    * them) — shared by the ann_ivf_pq entry and
+    * ann_ivf_pq_recall's candidate side.
+    */
+  private def ivfPqTopK(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = ivfPqChain(s, dir)._1
 
   /** The ann_pq plan (fit → encode → ADC top-PqRerank candidates for
     * vec_id 0 → exact rerank to 10) — shared by the ann_pq entry and
