@@ -591,10 +591,20 @@ object Dedup {
             lit("Compose the block key with an LSH bucket or IVF cell.")))))
       .filter(col("_guard"))
       .drop("_blk_n", "_guard")
-    val a = guarded.select(col(blockCol), col(idCol).as("ida"), col(vecCol).as("va"))
-    val b = guarded.select(col(blockCol).as("blk_b"), col(idCol).as("idb"), col(vecCol).as("vb"))
+    // norms are per-ROW quantities: fold them once before the pair
+    // join (n rows) instead of inside it (n·blockSize pairs — at 100×
+    // the within-block join evaluates ~45M pairs, and recomputing both
+    // 64-dim norms per pair was 2/3 of its flops). cosinePreNorm's
+    // denom is the same normD product, so results are bit-identical.
+    val withNorm = guarded.withColumn("_nrm",
+      graft.functions.VectorFunctions.normD(col(vecCol)))
+    val a = withNorm.select(col(blockCol), col(idCol).as("ida"),
+      col(vecCol).as("va"), col("_nrm").as("na"))
+    val b = withNorm.select(col(blockCol).as("blk_b"), col(idCol).as("idb"),
+      col(vecCol).as("vb"), col("_nrm").as("nb"))
     a.join(b, col(blockCol) === col("blk_b") && col("ida") < col("idb"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos", round(graft.functions.VectorFunctions.cosinePreNorm(
+        col("va"), col("na"), col("vb"), col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("ida"), col("idb"), col("cos"))
   }
