@@ -235,18 +235,26 @@ object Ann {
 
   def knnJoinLsh(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    // per-ROW norm folded once before the candidate join (same move
+    // as Dedup.embeddingPairs): the join evaluates ~targetCandidates
+    // pairs per vector, and cosine would recompute both 64-dim norms
+    // per pair. cosinePreNorm's denom is the same normD product —
+    // results bit-identical.
     val bucketed = graft.Tables.fanOut(vecs)
       .select(col(blockCol).as("blk"), col(idCol), col(vecCol))
       .withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
+      .withColumn("_nrm", graft.functions.VectorFunctions.normD(col(vecCol)))
     val probes = bucketed.select(col("blk"), col(idCol), col(vecCol),
+      col("_nrm"),
       explode(array(col("bucket") +:
         (0 until nPlanes).map(p => flipBit(col("bucket"), p, nPlanes)): _*)).as("pb"))
     val nbrs = bucketed.select(col("blk").as("blk_r"), col(idCol).as("nbr_id"),
-      col(vecCol).as("nv"), col("bucket").as("b_r"))
+      col(vecCol).as("nv"), col("_nrm").as("_nrm_r"), col("bucket").as("b_r"))
     probes
       .join(nbrs, col("pb") === col("b_r") && col("blk") === col("blk_r") &&
         col(idCol) =!= col("nbr_id"))
-      .withColumn("score_raw", cosine(col(vecCol), col("nv")))
+      .withColumn("score_raw", graft.functions.VectorFunctions.cosinePreNorm(
+        col(vecCol), col("_nrm"), col("nv"), col("_nrm_r")))
       .groupBy(col(idCol))
       .agg(topK(col("score_raw"), col("nbr_id"), k).as("top"))
       .select(col(idCol), posexplode(col("top")).as(Seq("_pos", "_t")))
@@ -261,12 +269,17 @@ object Ann {
     */
   def knnJoin(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, k: Int): DataFrame = {
+    // per-row norm folded before the |block|² join — see knnJoinLsh
     val fv = graft.Tables.fanOut(vecs)
-    val l = fv.select(col(blockCol).as("blk"), col(idCol), col(vecCol))
-    val r = fv.select(col(blockCol).as("blk"), col(idCol).as("nbr_id"), col(vecCol).as("nv"))
+      .withColumn("_nrm", graft.functions.VectorFunctions.normD(col(vecCol)))
+    val l = fv.select(col(blockCol).as("blk"), col(idCol), col(vecCol),
+      col("_nrm"))
+    val r = fv.select(col(blockCol).as("blk"), col(idCol).as("nbr_id"),
+      col(vecCol).as("nv"), col("_nrm").as("_nrm_r"))
     l.join(r, Seq("blk"))
       .filter(col(idCol) =!= col("nbr_id"))
-      .withColumn("score_raw", cosine(col(vecCol), col("nv")))
+      .withColumn("score_raw", graft.functions.VectorFunctions.cosinePreNorm(
+        col(vecCol), col("_nrm"), col("nv"), col("_nrm_r")))
       .groupBy(col(idCol))
       .agg(topK(col("score_raw"), col("nbr_id"), k).as("top"))
       .select(col(idCol), posexplode(col("top")).as(Seq("_pos", "_t")))
