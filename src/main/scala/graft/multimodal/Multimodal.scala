@@ -114,7 +114,17 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"phashPairs: maxHamming=$maxHamming — 4×16-bit chunk blocking " +
         "guarantees a shared chunk only for hamming <= 3")
-    val chunked = sigs.select(col(idCol), col("content_key"), col("phash"),
+    // PLAN BARRIER (the ngramJaccardPairs sigs pattern): both join
+    // sides below re-derive `sigs`, so without materialization the
+    // payload → cast → shingle → SimHash64 signature pass runs TWICE
+    // over the corpus. The barriered frame is the narrow
+    // (id, content_key, phash) projection — payload bytes are gone
+    // before the copy. Batch-only by construction (a hamming
+    // self-join has no streaming form; the streaming gate uses
+    // contentSignatures directly).
+    val matSigs = graft.Barrier.checkpoint(
+      sigs.select(col(idCol), col("content_key"), col("phash")))
+    val chunked = matSigs.select(col(idCol), col("content_key"), col("phash"),
       posexplode(expr(
         "transform(sequence(0,3), c -> shiftright(phash, c*16) & 65535L)"))
         .as(Seq("chunk_i", "chunk_v")))
