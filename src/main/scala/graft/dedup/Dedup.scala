@@ -286,8 +286,17 @@ object Dedup {
       s"simHashPairs: maxHamming=$maxHamming — the 4×16-bit chunk " +
         "blocking guarantees a shared chunk only for hamming <= 3; a " +
         "larger radius silently loses recall (use more/narrower chunks)")
-    val fp = simHash(docs, idCol, textCol, keepCols = Seq(blockCol), portable)
-      .select(col(idCol), col(blockCol), col("simhash"))
+    // PLAN BARRIER (the ngramJaccardPairs / phashPairs sigs pattern):
+    // both join sides below re-derive this frame, so without
+    // materialization the SimHash64 fingerprint pass (tokenize + hash
+    // every token) runs TWICE over the corpus. The barriered frame is
+    // the narrow (id, block, simhash) projection — text is gone
+    // before the copy. Batch-only by construction (a hamming
+    // self-join has no streaming form; StreamingNearDup gates against
+    // a static fingerprint frame instead).
+    val fp = graft.Barrier.checkpoint(
+      simHash(docs, idCol, textCol, keepCols = Seq(blockCol), portable)
+        .select(col(idCol), col(blockCol), col("simhash")))
     val chunked = fp.select(col(idCol), col(blockCol), col("simhash"),
       posexplode(expr(
         "transform(sequence(0,3), c -> shiftright(simhash, c*16) & 65535L)"))
