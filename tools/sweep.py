@@ -36,8 +36,24 @@ def run_session(sf_dir, reps, only, idx):
     if only:
         env["SPARK_GRAFT_BENCH_ONLY"] = only
     t0 = time.time()
-    out = subprocess.run(["tools/run.sh", "graft.Bench"], env=env,
-                         capture_output=True, text=True, check=True)
+    # one retry per session: a ~35-min 100x session can die to a
+    # transient JVM/host fault, and losing the whole sweep to it wastes
+    # the other session's clean run. The failing attempt's stderr tail
+    # is printed so the fault is diagnosable, and timing starts over —
+    # a retried session is a fresh cold session, protocol-identical.
+    for attempt in (1, 2):
+        r = subprocess.run(["tools/run.sh", "graft.Bench"], env=env,
+                           capture_output=True, text=True)
+        if r.returncode == 0:
+            out = r
+            break
+        print(f"[sweep] session {idx} attempt {attempt} exited "
+              f"{r.returncode}; stderr tail:\n" +
+              "\n".join(r.stderr.splitlines()[-15:]), file=sys.stderr)
+        if attempt == 2:
+            raise SystemExit(
+                f"[sweep] session {idx} failed twice — artifact refused")
+        t0 = time.time()
     # full-precision medians live in the detail sidecar (the stdout
     # line is 2dp-compacted to fit the driver's tail capture); fall
     # back to the stdout line if the sidecar is missing
