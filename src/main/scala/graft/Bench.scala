@@ -145,16 +145,24 @@ object Bench {
   /** HEAD commit stamped into every bench artifact so a stale artifact
     * is mechanically detectable (the round-9 lesson: committed 100×
     * numbers silently predated two optimization commits). Env override
-    * for harnesses that run outside the repo; "unknown+dirty"-style
-    * suffix when the working tree has uncommitted changes.
+    * for harnesses that run outside the repo. A dirty tree stamps
+    * `+dirty{file,...}` — NAMING the uncommitted paths (capped at 5),
+    * because a bare "+dirty" is unauditable: the round-10 sweep chain
+    * hit exactly that when an earlier sweep's uncommitted ARTIFACT
+    * JSON (zero code) dirtied the next sweep's stamp, and the flag
+    * couldn't say so. Source dirt and bench-output dirt look the same
+    * without the list; with it, the judge reads which it was.
     */
   private lazy val gitSha: String =
     sys.env.get("SPARK_GRAFT_GIT_SHA").getOrElse {
       try {
         import scala.sys.process._
         val sha = Seq("git", "rev-parse", "--short", "HEAD").!!.trim
-        val dirty = Seq("git", "status", "--porcelain").!!.trim.nonEmpty
-        if (dirty) s"$sha+dirty" else sha
+        val dirty = Seq("git", "status", "--porcelain").!!.linesIterator
+          .map(_.drop(3).trim).filter(_.nonEmpty).toSeq
+        if (dirty.isEmpty) sha
+        else s"$sha+dirty{${dirty.take(5).mkString(",")}" +
+          (if (dirty.size > 5) s",+${dirty.size - 5}}" else "}")
       } catch { case _: Throwable => "unknown" }
     }
 

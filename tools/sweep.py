@@ -89,7 +89,7 @@ def main():
     if len(shas) > 1:
         raise SystemExit(f"[sweep] sessions ran on different commits: {shas}")
     sha = shas.pop()
-    if sha.endswith("+dirty") or sha == "unknown":
+    if "+dirty" in sha or sha == "unknown":
         print(f"[sweep] WARNING: git_sha={sha} (uncommitted changes or "
               "no repo) — artifact will say so", file=sys.stderr)
     names = sorted(runs[0]["queries"])
