@@ -143,11 +143,15 @@ object Pq {
       books: Seq[Array[(Long, Array[Double])]], dim: Int): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val subDim = dim / books.size
+    // offset-based subspace reads: each kernel folds its subDim range
+    // of the FULL vector in place — the earlier slice() formulation
+    // allocated a fresh ArrayData per row per subspace. Float inputs
+    // widen inside the kernel (getFloat→double), identical to the
+    // cast-then-slice arithmetic this replaces.
     val codeCols = books.zipWithIndex.map { case (book, s) =>
       ColumnBridge.column(graft.functions.expr.NearestCentroid(
-        ColumnBridge.expression(
-          slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)),
-        book.map(_._1), book.map(_._2))).as(s"code$s")
+        ColumnBridge.expression(col(vecCol)),
+        book.map(_._1), book.map(_._2), offset = s * subDim)).as(s"code$s")
     }
     graft.Tables.fanOut(corpus).select(col("*") +: codeCols: _*)
   }

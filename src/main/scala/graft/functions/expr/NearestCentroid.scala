@@ -20,6 +20,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * `addReferenceObj` (NOT inlined source), so nlist = 65536 × dim 1024
   * is still just an executor-held array.
   *
+  * Two hot-loop properties matter at √n×dim work per row:
+  *   - the row vector is copied ONCE into a reused primitive buffer —
+  *     ArrayData element reads are per-call accessor work (null/offset
+  *     bookkeeping on an UnsafeArrayData), and the naive loop re-pays
+  *     them nlist times per element; the nlist distance passes here
+  *     run over plain double[] (JIT-vectorizable);
+  *   - blocked partial-distance early exit (the standard exhaustive-
+  *     assignment pruning, e.g. FAISS's exhaustive_L2sqr_seq): a
+  *     centroid is abandoned as soon as its PARTIAL sum exceeds the
+  *     current best. The argmin decision is unchanged — the partial
+  *     sum is monotone nondecreasing, so a skipped centroid's full
+  *     distance could only have been ≥ best, and the keep test is
+  *     strict (`< best`) with ties already resolved to the earliest
+  *     (lowest) cell id. Results are bit-identical to the full scan.
+  *
+  * `offset` starts the distance fold at that element of the input
+  * vector (length = the centroid's length): PQ's per-subspace encode
+  * passes the FULL vector with offset s·subDim instead of slicing —
+  * `slice()` allocates a fresh ArrayData per row per subspace.
+  *
   * Distance accumulation is the same sequential left-to-right fold as
   * VectorL2Sq / DuckDB's list_distance, so cell picks are bit-identical
   * across engines (SURVEY.md §5).
@@ -27,10 +47,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
 case class NearestCentroid(
     child: Expression,
     cells: Array[Long],
-    centroids: Array[Array[Double]]) extends UnaryExpression {
+    centroids: Array[Array[Double]],
+    offset: Int = 0) extends UnaryExpression {
 
   require(cells.length == centroids.length && cells.nonEmpty,
     "NearestCentroid needs one id per centroid and at least one centroid")
+  require(offset >= 0, s"NearestCentroid offset must be >= 0, got $offset")
 
   override def prettyName: String = "nearest_centroid"
   override def dataType: DataType = LongType
@@ -44,21 +66,37 @@ case class NearestCentroid(
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private lazy val maxCentLen: Int = centroids.map(_.length).max
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    var m = arr.numElements() - offset
+    if (m < 0) m = 0
+    if (m > maxCentLen) m = maxCentLen
+    val buf = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      buf(i) = if (elemIsFloat) arr.getFloat(offset + i).toDouble
+               else arr.getDouble(offset + i)
+      i += 1
+    }
     var best = Double.PositiveInfinity
     var bestCell = cells(0)
     var c = 0
     while (c < centroids.length) {
       val cv = centroids(c)
-      val n = math.min(cv.length, arr.numElements())
+      val n = math.min(cv.length, m)
       var acc = 0.0
-      var i = 0
-      while (i < n) {
-        val x = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        val d = x - cv(i)
-        acc += d * d
-        i += 1
+      i = 0
+      var continue = true
+      while (continue) {
+        val lim = math.min(i + 16, n)
+        while (i < lim) {
+          val d = buf(i) - cv(i)
+          acc += d * d
+          i += 1
+        }
+        if (i >= n || acc >= best) continue = false
       }
       if (acc < best) { best = acc; bestCell = cells(c) }
       c += 1
@@ -70,25 +108,40 @@ case class NearestCentroid(
     nullSafeCodeGen(ctx, ev, a => {
       val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
       val ids = ctx.addReferenceObj("cells", cells, "long[]")
+      val buf = ctx.addMutableState("double[]", "ncBuf", v => s"$v = null;")
+      val m = ctx.freshName("m")
       val best = ctx.freshName("best")
       val bestCell = ctx.freshName("bestCell")
       val c = ctx.freshName("c")
       val cv = ctx.freshName("cv")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val lim = ctx.freshName("lim")
+      val d = ctx.freshName("d")
       val acc = ctx.freshName("acc")
       val getElem =
-        if (elemIsFloat) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
+        if (elemIsFloat) s"(double)$a.getFloat($offset + $i)"
+        else s"$a.getDouble($offset + $i)"
       s"""
+         |int $m = $a.numElements() - $offset;
+         |if ($m < 0) $m = 0;
+         |if ($m > $maxCentLen) $m = $maxCentLen;
+         |if ($buf == null || $buf.length < $m) $buf = new double[$m];
+         |for (int $i = 0; $i < $m; $i++) $buf[$i] = $getElem;
          |double $best = Double.POSITIVE_INFINITY;
          |long $bestCell = $ids[0];
          |for (int $c = 0; $c < $cents.length; $c++) {
          |  double[] $cv = $cents[$c];
-         |  int $n = java.lang.Math.min($cv.length, $a.numElements());
+         |  int $n = java.lang.Math.min($cv.length, $m);
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double _d = $getElem - $cv[$i];
-         |    $acc += _d * _d;
+         |  int $i = 0;
+         |  while (true) {
+         |    int $lim = ($i + 16 < $n) ? $i + 16 : $n;
+         |    for (; $i < $lim; $i++) {
+         |      double $d = $buf[$i] - $cv[$i];
+         |      $acc += $d * $d;
+         |    }
+         |    if ($i >= $n || $acc >= $best) break;
          |  }
          |  if ($acc < $best) { $best = $acc; $bestCell = $ids[$c]; }
          |}

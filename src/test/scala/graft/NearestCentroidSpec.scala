@@ -44,6 +44,59 @@ class NearestCentroidSpec extends SparkSpecBase {
     assert(cell == 3L)
   }
 
+  // 64 dims × 50 centroids: crosses the 16-element early-exit block
+  // boundary many times per centroid, so a pruning bug that changed
+  // the argmin decision would surface against the full-scan window
+  test("blocked early exit keeps the argmin decision (64-dim, 50 centroids)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val corpus = Seq.tabulate(300) { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val cents = Seq.tabulate(50) { c =>
+      (c.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("cid", "cv")
+    val kernel = Ann.ivfAssign(corpus, "vec_id", "embedding", cents, "cid", "cv")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("_d"), col("cell"))
+    val expected = corpus
+      .crossJoin(cents.select(col("cid").as("cell"), col("cv")))
+      .withColumn("_d", graft.functions.VectorFunctions.l2SqD(col("embedding"), col("cv")))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(kernel == expected)
+  }
+
+  test("offset-based subspace reads equal cast-then-slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val rnd = new scala.util.Random(41)
+    val corpus = Seq.tabulate(120) { i =>
+      (i.toLong, Array.fill(32)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val subDim = 8
+    val books = Seq.tabulate(4) { _ =>
+      (Array.tabulate(6)(_.toLong),
+        Array.fill(6)(Array.fill(subDim)(rnd.nextDouble() * 2 - 1)))
+    }
+    val offsetCols = books.zipWithIndex.map { case ((ids, cvs), s) =>
+      ColumnBridge.column(graft.functions.expr.NearestCentroid(
+        ColumnBridge.expression(col("embedding")), ids, cvs,
+        offset = s * subDim)).as(s"o$s")
+    }
+    val sliceCols = books.zipWithIndex.map { case ((ids, cvs), s) =>
+      ColumnBridge.column(graft.functions.expr.NearestCentroid(
+        ColumnBridge.expression(
+          slice(col("embedding").cast("array<double>"), s * subDim + 1, subDim)),
+        ids, cvs)).as(s"s$s")
+    }
+    val both = corpus.select(col("vec_id") +: (offsetCols ++ sliceCols): _*)
+    val bad = both.filter((0 until 4)
+      .map(s => col(s"o$s") =!= col(s"s$s")).reduce(_ || _)).count()
+    assert(bad == 0L)
+  }
+
   test("oversized centroid sets are refused by the nlist bound") {
     import spark.implicits._
     val corpus = Seq((0L, Array(1.0f))).toDF("vec_id", "embedding")

@@ -23,6 +23,7 @@ Driver-side tooling only (pandas/pyarrow are not available to the
 Scala library; this script only writes test inputs under /tmp).
 """
 import os
+import shutil
 import sys
 
 import numpy as np
@@ -31,6 +32,35 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
+
+# Corpus tables are written as DIRECTORIES of N_FILES parquet files
+# (each one row group), not one monolithic file: pyarrow's default
+# single-file/single-row-group layout makes every Spark scan decode
+# the whole table in ONE task (a row group is the parquet decode
+# unit, and a single row group can never split across tasks), which
+# serialized the corpus-read prefix of every 100x measurement. A real
+# 100 TB corpus is thousands of files — the multi-file layout is the
+# representative shape, not an optimization trick. Spark reads the
+# `x.parquet` directory transparently; DuckDB reads it with a glob.
+N_FILES = 32
+
+
+def write_sharded(table: pa.Table, path: str):
+    """Write `table` as a directory of N_FILES single-row-group files."""
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    os.makedirs(path)
+    rows = table.num_rows
+    step = (rows + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        lo = i * step
+        if lo >= rows:
+            break
+        shard = table.slice(lo, min(step, rows - lo))
+        pq.write_table(shard, f"{path}/part-{i:05d}.parquet",
+                       row_group_size=shard.num_rows)
 
 
 def main():
@@ -48,8 +78,8 @@ def main():
         d["n_chars"] = d["text"].str.len()
         reps.append(d)
     big = pd.concat(reps, ignore_index=True)
-    pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
-                   f"{out}/documents.parquet")
+    write_sharded(pa.Table.from_pandas(big, preserve_index=False),
+                  f"{out}/documents.parquet")
     print("docs", len(big))
 
     emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
@@ -70,8 +100,8 @@ def main():
     schema = pa.schema([("vec_id", pa.int64()),
                         ("embedding", pa.list_(pa.float32())),
                         ("label", pa.int32())])
-    pq.write_table(pa.Table.from_pandas(bige, preserve_index=False, schema=schema),
-                   f"{out}/embeddings.parquet")
+    write_sharded(pa.Table.from_pandas(bige, preserve_index=False, schema=schema),
+                  f"{out}/embeddings.parquet")
     print("emb", len(bige))
 
 
@@ -113,8 +143,8 @@ def replicate_relational(out, n):
         d["user_id"] = d["user_id"] + r * uid
         parts.append(d)
     bige = pd.concat(parts, ignore_index=True)
-    pq.write_table(pa.Table.from_pandas(bige, preserve_index=False, schema=ev.schema),
-                   f"{out}/events.parquet")
+    write_sharded(pa.Table.from_pandas(bige, preserve_index=False, schema=ev.schema),
+                  f"{out}/events.parquet")
     print("events", len(bige))
 
 
