@@ -8,18 +8,25 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // Scan-split sizing (the brief's "size maxPartitionBytes for the
-      // target SF"): the stress corpora are 32-file tables of ~1-4 MB
+      // target SF"): the stress corpora are 32-file tables of ~2-4 MB
       // files. At the 128 MB default + 4 MB openCost, Spark PACKS all
       // 32 files into ONE scan partition — the corpus decodes on one
-      // core and every query pays a serial-scan prefix. 16 MB/16 MB
+      // core and every query pays a serial-scan prefix. 32 MB/32 MB
       // makes packing stop at one file (openCost ≥ maxPartitionBytes),
-      // i.e. one scan task per corpus file, and splits the big
-      // single-file relational tables (lineitem ~1 GB, many row
-      // groups) into ~64 byte ranges instead of 9. This is cluster
-      // tuning, not a bench trick: a 1000-executor deployment sizes
-      // exactly these two knobs to its file layout.
-      .config("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
-      .config("spark.sql.files.openCostInBytes", (16L * 1024 * 1024).toString)
+      // i.e. one scan task per corpus file (measured: ann_ivf 3.9 →
+      // 2.2 s, ta_langid 14.5 → 12.6 s at 100×), and splits the big
+      // single-file relational tables (lineitem ~1 GB, 489 row
+      // groups) into ~34 byte ranges instead of 9. 16 MB was probed
+      // too and costs more than it buys on the range-split tables
+      // (every range-task re-parses the 489-row-group footer). This
+      // is cluster tuning, not a bench trick: a 1000-executor
+      // deployment sizes exactly these two knobs to its file layout.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES",
+          (32L * 1024 * 1024).toString))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES",
+          (32L * 1024 * 1024).toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

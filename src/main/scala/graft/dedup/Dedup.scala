@@ -91,21 +91,40 @@ object Dedup {
       .select(col("ida"), col("idb"))
     // Same barrier for the shingle frame: the verify join consumes it
     // twice (sa / sb) — one tokenize+shingle pass materialized, not
-    // two corpus scans. The arrays are corpus-sized, so this is a
-    // MEMORY_AND_DISK spill candidate by design: one materialized copy
-    // still beats re-shingling the corpus per join side.
+    // two corpus scans. The SET representation is sorted 60-bit
+    // shingle HASHES (ShingleHashes kernel), not the shingle strings:
+    // ~3× less to materialize (longs, no text bytes ride the barrier)
+    // and the per-pair intersection is a merge walk over sorted longs
+    // (SortedIntersectCount) instead of array_intersect's per-pair
+    // string hash table. The oracle replays the identical hashes, so
+    // jaccard values agree bit-for-bit across engines (a 2^-60
+    // collision would shrink both engines' sets identically).
     val sh = fanned.select(col(idCol), col(blockCol),
-      wordShingles(wsTokens(normText(col(textCol))), n).as("sh"))
+      shingleHashArray(wsTokens(normText(col(textCol))), n).as("sh"))
       .transform(graft.Barrier.checkpoint)
+    val iCnt = {
+      import org.apache.spark.sql.graftshim.ColumnBridge
+      ColumnBridge.column(graft.functions.expr.SortedIntersectCount(
+        ColumnBridge.expression(col("sa")), ColumnBridge.expression(col("sb"))))
+    }
     estOk
       .join(sh.select(col(idCol).as("ida"), col(blockCol).as("blk_a"), col("sh").as("sa")), "ida")
       .join(sh.select(col(idCol).as("idb"), col(blockCol).as("blk_b"), col("sh").as("sb")), "idb")
       .filter(col("blk_a") === col("blk_b"))
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("i", iCnt)
       .withColumn("jaccard",
         round(col("i") / (size(col("sa")) + size(col("sb")) - col("i")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  /** Sorted distinct 60-bit hashes of the word n-shingles — the
+    * exact-jaccard set representation (see ShingleHashes).
+    */
+  private def shingleHashArray(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.ShingleHashes(
+      ColumnBridge.expression(tokens), n))
   }
 
   /** Modulus and mixing constant of the portable universal hash family

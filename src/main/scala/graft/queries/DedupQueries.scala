@@ -285,13 +285,18 @@ object DedupQueries {
          |  JOIN sig pa ON c.ida = pa.doc_id
          |  JOIN sig pb ON c.idb = pb.doc_id
          |  WHERE ($estSum) / 32.0 >= 0.25),
+         |shh AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct([('0x'||substr(md5(g), 1, 15))::BIGINT
+         |      for g in shingles]) AS hs
+         |  FROM sh),
          |verified AS (
          |  SELECT c.ida, c.idb,
-         |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS i,
-         |    len(sa.shingles) AS ca, len(sb.shingles) AS cb
+         |    len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS i,
+         |    len(sa.hs) AS ca, len(sb.hs) AS cb
          |  FROM cand c
-         |  JOIN sh sa ON c.ida = sa.doc_id
-         |  JOIN sh sb ON c.idb = sb.doc_id
+         |  JOIN shh sa ON c.ida = sa.doc_id
+         |  JOIN shh sb ON c.idb = sb.doc_id
          |  WHERE sa.lang = sb.lang)
          |SELECT ida, idb, round(i * 1.0 / (ca + cb - i), 6) AS jaccard
          |FROM verified

@@ -31,40 +31,50 @@ object TextAnalysis {
       ColumnBridge.column(graft.functions.expr.TokensInSets(
         ColumnBridge.expression(toks), langs.map(_._2)))
     }
-    val scoreCols = langs.zipWithIndex.map { case ((code, _), i) =>
-      code -> element_at(countsCol, i + 1)
+    // CJK: any han character → zh outright. Count via the
+    // CodePointRangeCount kernel — an all-ASCII row is one byte scan.
+    // The regexp_replace length-diff this replaces (itself a fix for
+    // the split-per-char interpreted rlike, ~500M evals at 100×)
+    // still built a replaced COPY of every document per row; the
+    // count is identical (both count matched code points).
+    val nCjk = {
+      import org.apache.spark.sql.graftshim.ColumnBridge
+      ColumnBridge.column(graft.functions.expr.CodePointRangeCount(
+        ColumnBridge.expression(col(textCol)), 0x4e00, 0x9fff))
     }
-    // CJK: any han character → zh outright. Count via one codegen'd
-    // regexp_replace pass (length minus non-han length) — the earlier
-    // split-per-char + HOF-filter rlike ran an INTERPRETED regex per
-    // character (~500M evals at the 100× corpus, the hidden 178s
-    // inside dd_pipeline; Bench's pruned count masked it in ta_langid).
-    val nCjk = length(col(textCol)) -
-      length(regexp_replace(col(textCol), "[\\u4e00-\\u9fff]", ""))
     // MATERIALIZE the counts array and the cjk count as real columns
-    // before building the argmax tree: the pick/best expressions
-    // reference each score many times, and with inline subtrees the
-    // optimizer's CollapseProject + codegen duplicated the whole
-    // tokenize+probe pipeline per reference (~25 evaluations of
-    // split+regexp_replace per ROW — the dominant hidden cost of the
-    // signal pass). As standalone aliased columns they are evaluated
-    // once; CollapseProject keeps non-cheap multiply-referenced
-    // aliases un-inlined.
+    // before the argmax: the pick/best expressions reference the
+    // scores many times, and with inline subtrees the optimizer's
+    // CollapseProject + codegen duplicated the whole tokenize+probe
+    // pipeline per reference (~25 evaluations of split+regexp_replace
+    // per ROW — the dominant hidden cost of the signal pass). As
+    // standalone aliased columns they are evaluated once.
+    //
+    // The argmax itself is the ArgMaxFirst kernel (ties → lowest
+    // index = first-in-Seq alphabetical priority, exactly what the
+    // earlier foldRight when-chain encoded): the declarative
+    // when/greatest tree re-expanded the 5-way comparison ~11× in the
+    // generated projection, blew the JIT's huge-method limit, and ran
+    // the stage as interpreted bytecode — the pick layer alone cost
+    // 8× the tokenize+probe work (6.5 s vs 0.8 s at the 100×
+    // corpus). A flat CASE over the index keeps the method tiny.
     val scored = graft.Tables.fanOut(docs)
       .withColumn("_lc", countsCol)
       .withColumn("_cjk", nCjk)
-    val scoreRefs = langs.zipWithIndex.map { case ((code, _), i) =>
-      code -> element_at(col("_lc"), i + 1)
+      .withColumn("_best", array_max(col("_lc")))
+      .withColumn("_widx", {
+        import org.apache.spark.sql.graftshim.ColumnBridge
+        ColumnBridge.column(graft.functions.expr.ArgMaxFirst(
+          ColumnBridge.expression(col("_lc"))))
+      })
+    val pick = langs.zipWithIndex.foldRight(lit("und")) {
+      case (((code, _), i), rest) =>
+        when(col("_widx") === i && col("_best") > 0, code).otherwise(rest)
     }
-    val best = scoreRefs.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scoreRefs.foldRight(lit("und")) { case ((code, s), rest) =>
-      when(s === best && best > 0, code).otherwise(rest)
-    }
-    // foldRight gives first-in-Seq (alphabetical) priority on ties.
     scored
       .withColumn("pred_lang", when(col("_cjk") > 0, lit("zh")).otherwise(pick))
-      .withColumn("lang_score", greatest(best, col("_cjk")).cast("long"))
-      .drop("_lc", "_cjk")
+      .withColumn("lang_score", greatest(col("_best"), col("_cjk")).cast("long"))
+      .drop("_lc", "_cjk", "_best", "_widx")
   }
 
   /** Quality scores (the standard cheap pretraining filters):
@@ -109,9 +119,17 @@ object TextAnalysis {
     * portable stand-in used everywhere a token budget appears).
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // BpeishTokenCount = size(regexTokens(_t)) without materializing
+    // the match array (see the kernel scaladoc); regexTokens stays the
+    // reference formulation the kernel is spec'd against
+    val nre = {
+      import org.apache.spark.sql.graftshim.ColumnBridge
+      ColumnBridge.column(graft.functions.expr.BpeishTokenCount(
+        ColumnBridge.expression(col("_t"))))
+    }
     val base = graft.Tables.fanOut(docs)
       .withColumn("_t", normText(col(textCol)))
-      .withColumn("_nre", size(regexTokens(col("_t"))))
+      .withColumn("_nre", nre)
     base
       .withColumn("ws_tokens", size(wsTokens(col("_t"))).cast("long"))
       .withColumn("re_tokens", col("_nre").cast("long"))

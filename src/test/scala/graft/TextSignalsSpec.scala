@@ -10,6 +10,58 @@ import graft.text.{TextAnalysis, UnigramLm}
   */
 class TextSignalsSpec extends SparkSpecBase {
 
+  test("BpeishTokenCount kernel equals size(regexp_extract_all) incl. unicode") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val texts = Seq(
+      "", " ", "abc", "abc def", "a1b2", "123 456", "a-b.c!",
+      "  leading and trailing  ", "tabs\tand\nnewlinesvt\fff\rcr",
+      "mixed UPPER lower 0x9 #$%", "über café 中文 emoji 😀 end",
+      "a" * 300 + "9" * 5 + "." * 4,
+      "word, word; word: 42.5% (paren) [brack]")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val kernel = ColumnBridge.column(
+      graft.functions.expr.BpeishTokenCount(ColumnBridge.expression(col("t"))))
+    val bad = df
+      .withColumn("k", kernel)
+      .withColumn("r", size(graft.functions.TextFunctions.regexTokens(col("t"))).cast("long"))
+      .filter(col("k") =!= col("r"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("ArgMaxFirst picks the first maximum (the foldRight tie rule)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val cases = Seq(
+      (Seq(3, 1, 2), 0), (Seq(1, 3, 2), 1), (Seq(2, 2, 1), 0),
+      (Seq(0, 0, 0), 0), (Seq(1, 2, 2), 1), (Seq(-5, -2, -2), 1),
+      (Seq.empty[Int], -1))
+    val df = cases.zipWithIndex.map { case ((a, e), i) => (i.toLong, a, e) }
+      .toDF("id", "arr", "expected")
+    val kernel = ColumnBridge.column(graft.functions.expr.ArgMaxFirst(
+      ColumnBridge.expression(col("arr"))))
+    assert(df.withColumn("k", kernel).filter(col("k") =!= col("expected")).count() == 0L)
+  }
+
+  test("CodePointRangeCount equals the regexp_replace length diff incl. CJK") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val texts = Seq(
+      "", "plain ascii only", "中文", "mixed 中文 and ascii",
+      "边界 一 鿿 ䷿ ꀀ", "emoji 😀 no han", "ü é ß")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val kernel = ColumnBridge.column(graft.functions.expr.CodePointRangeCount(
+      ColumnBridge.expression(col("t")), 0x4e00, 0x9fff))
+    val bad = df
+      .withColumn("k", kernel)
+      .withColumn("r", (length(col("t")) -
+        length(regexp_replace(col("t"), "[\\u4e00-\\u9fff]", ""))).cast("long"))
+      .filter(col("k") =!= col("r"))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("repetition: ratios match hand counts") {
     import spark.implicits._
     val d = Seq((1L, "a a a b"), (2L, "z"), (3L, "u v w x"))
