@@ -7,26 +7,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Scan-split sizing (the brief's "size maxPartitionBytes for the
-      // target SF"): the stress corpora are 32-file tables of ~2-4 MB
-      // files. At the 128 MB default + 4 MB openCost, Spark PACKS all
-      // 32 files into ONE scan partition — the corpus decodes on one
-      // core and every query pays a serial-scan prefix. 32 MB/32 MB
-      // makes packing stop at one file (openCost ≥ maxPartitionBytes),
-      // i.e. one scan task per corpus file (measured: ann_ivf 3.9 →
-      // 2.2 s, ta_langid 14.5 → 12.6 s at 100×), and splits the big
-      // single-file relational tables (lineitem ~1 GB, 489 row
-      // groups) into ~34 byte ranges instead of 9. 16 MB was probed
-      // too and costs more than it buys on the range-split tables
-      // (every range-task re-parses the 489-row-group footer). This
-      // is cluster tuning, not a bench trick: a 1000-executor
-      // deployment sizes exactly these two knobs to its file layout.
+      // Scan-split sizing stays at the Spark DEFAULTS (128 MB max,
+      // 4 MB openCost) — measured, not assumed. Spark sizes splits as
+      // min(maxPartitionBytes, max(openCost, totalBytes/cores)), so
+      // once tables are multi-file/multi-row-group the default
+      // self-tunes splits to the core count (lineitem 10×: 27 splits,
+      // q1_agg 0.8 s). RAISING openCost — probed at 16/32/64 MB while
+      // chasing one-task-per-corpus-file packing — clamps that floor
+      // and serializes exactly the big scans it was meant to spread
+      // (q1_agg 3.1 s at openCost 32 MB even with max at 128 MB). The
+      // single-row-group corpus monolith this was fighting is fixed
+      // where it belonged: the table LAYOUT (32-file dirs,
+      // make_stress_corpus.py). Env hooks remain for A/B probes.
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES",
-          (32L * 1024 * 1024).toString))
+          (128L * 1024 * 1024).toString))
       .config("spark.sql.files.openCostInBytes",
         sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES",
-          (32L * 1024 * 1024).toString))
+          (4L * 1024 * 1024).toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,10 +25,6 @@ object BenchStream {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // same scan-split sizing as graft.Bench: one scan task per
-      // stress-corpus file instead of all 32 packed into one
-      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
-      .config("spark.sql.files.openCostInBytes", (32L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
