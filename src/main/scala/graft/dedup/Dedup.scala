@@ -440,6 +440,76 @@ object Dedup {
       .select(col(idCol), col("n_windows"), col("n_dup_windows"), col("dup_ratio"))
   }
 
+  /** Above this many covered-window rows the per-doc covered-starts
+    * frame joins back by shuffle; below it it broadcasts (one id +
+    * one int per row — tens of MB at the cap, safe for a
+    * 1000-executor driver; the connectedGroups BroadcastChangedMax
+    * sizing rationale).
+    */
+  private val BroadcastCoveredMax = 2000000L
+
+  /** The REWRITE step of exact-substring dedup (Lee et al. 2022:
+    * after finding duplicated spans, REMOVE them from the corpus
+    * rather than dropping whole documents). A positional `span`-token
+    * window whose hash occurs in ≥ 2 distinct documents is duplicated
+    * (the [[duplicateSpans]] criterion — within-doc repetition is
+    * deliberately not counted, see TextAnalysis.repetition); every
+    * token covered by any duplicated window is dropped from every
+    * document carrying it (the paper's shape: no copy survives), and
+    * the remaining tokens are re-joined in order. Returns one row per
+    * non-null-text doc: (id, n_tokens, n_removed, text_kept).
+    *
+    * Scale shape: dup detection is the duplicateSpans window-hash
+    * shuffle — narrow (id, pos, hash) rows, O(corpus tokens) longs,
+    * never text. The rewrite itself is per-ROW: covered window starts
+    * aggregate to one int-array per AFFECTED doc (≪ corpus in a real
+    * pipeline), join back (broadcast under the cap), and the
+    * [[graft.functions.expr.DropSpanTokens]] kernel drops covered
+    * tokens in one merged-interval walk — corpus text bytes never
+    * leave their scan partition. Cost: two corpus scans (window pass
+    * + rewrite pass); the text-bearing frame is deliberately NOT
+    * barriered — pinning corpus bytes in executor storage is the
+    * wrong trade at 100 TB.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      span: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val toks = wsTokens(normText(col(textCol)))
+    val raw = ColumnBridge.column(graft.functions.expr.WordShingles(
+      ColumnBridge.expression(toks), span))
+    val base = graft.Tables.fanOut(docs).filter(col(textCol).isNotNull)
+    // (id, window start, window hash) — barriered: the dup aggregate
+    // and the covered-starts join below both read it
+    val wins = base
+      .select(col(idCol), posexplode(raw).as(Seq("p", "g")))
+      .select(col(idCol), col("p"), portableHash(col("g")).as("h"))
+      .transform(graft.Barrier.checkpoint)
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select(col("h"))
+    // covered window starts, one row per (doc, start) — barriered so
+    // the broadcast-vs-shuffle row count does not recompute the join
+    val covered = wins.join(dup, "h").select(col(idCol), col("p"))
+      .transform(graft.Barrier.checkpoint)
+    val nCovered = covered.count()
+    val covStarts = covered.groupBy(col(idCol))
+      .agg(collect_list(col("p")).as("_ps"))
+    val covSide =
+      if (nCovered <= BroadcastCoveredMax) broadcast(covStarts) else covStarts
+    val kept = ColumnBridge.column(graft.functions.expr.DropSpanTokens(
+      ColumnBridge.expression(col("_toks")),
+      ColumnBridge.expression(coalesce(col("_ps"), lit(Array.empty[Int]))),
+      span))
+    base.select(col(idCol), toks.as("_toks"))
+      .join(covSide, Seq(idCol), "left")
+      .withColumn("_kept", kept)
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
+        array_join(col("_kept"), " ").as("text_kept"))
+  }
+
   /** Connected components over a near-dup pair frame — the step every
     * dedup pipeline needs between "candidate pairs" and "keep one per
     * group": docs A~B and B~C must collapse into ONE group even though

@@ -158,6 +158,16 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // span REMOVAL (Dedup.removeDuplicateSpans — the Lee et al.
+    // rewrite step dd_spans only detects): every token covered by a
+    // cross-doc duplicated window is dropped and the survivors
+    // re-joined; per-doc token/removal counts + rewritten text
+    "dd_spans_rewrite" -> ((s, dir) => {
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+          span = SpanTokens)
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup (Dedup.semanticPairs): deterministic Lloyd k-means over
     // the embedding space (√n seed rule — cluster count grows with the
     // corpus, the ann_ivf lesson), then cosine pairs WITHIN clusters
@@ -414,6 +424,44 @@ object DedupQueries {
          |  coalesce(d.n_dup_windows, 0) AS n_dup_windows,
          |  round(coalesce(d.n_dup_windows, 0) * 1.0 / t.n_windows, 6) AS dup_ratio
          |FROM tot t LEFT JOIN dd d USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
+    "dd_spans_rewrite" -> {
+      // same window family as dd_spans, with start positions kept
+      // (zipped parallel unnest); covered positions = dup window
+      // starts × range(0, span); rewrite = ordered string_agg over
+      // the anti-joined token positions. Clamping cov to the doc
+      // length is unnecessary — positions past the end match no token
+      // row in the anti-join (the Spark kernel's maxEnd sweep
+      // likewise just runs out of tokens).
+      val w = SpanTokens
+      s"""$sqlNorm,
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t IS NOT NULL),
+         |win AS (
+         |  SELECT doc_id,
+         |    unnest([i - 1 for i in range(1, greatest(len(toks)-${w - 2}, 2))]) AS p,
+         |    unnest([('0x'||substr(md5(array_to_string(toks[i : i+${w - 1}], ' ')), 1, 15))::BIGINT
+         |      for i in range(1, greatest(len(toks)-${w - 2}, 2))]) AS h
+         |  FROM tok),
+         |dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT w.doc_id, w.p + r.j AS pos
+         |  FROM win w JOIN dup USING (h) CROSS JOIN range(0, $w) r(j)),
+         |tpos AS (
+         |  SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos
+         |  FROM tok),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM tpos t ANTI JOIN cov c
+         |    ON t.doc_id = c.doc_id AND t.pos = c.pos),
+         |reb AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS text_kept
+         |  FROM kept GROUP BY 1)
+         |SELECT k.doc_id, len(k.toks) AS n_tokens,
+         |  len(k.toks) - coalesce(r.n_kept, 0) AS n_removed,
+         |  coalesce(r.text_kept, '') AS text_kept
+         |FROM tok k LEFT JOIN reb r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "dd_semantic" -> {

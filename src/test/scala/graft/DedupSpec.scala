@@ -113,6 +113,28 @@ class DedupSpec extends SparkSpecBase {
       (3L, 3L, 0L, 0.0), (4L, 3L, 0L, 0.0)))
   }
 
+  test("removeDuplicateSpans: covered tokens dropped from every copy, " +
+      "overlaps merged, short docs truncate") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"),          // fully duplicated by 3
+      (2L, "x y a b c q"),          // shares only window "a b c" (pos 2)
+      (3L, "a b c d e f"),          // identical to 1
+      (4L, "z q"),                  // shorter than span: one truncated window, unique
+      (5L, null.asInstanceOf[String])) // null text: dropped
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text", span = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toList
+    // docs 1/3: every window duplicated → everything removed (the
+    // paper's shape: no copy survives). doc 2: window at pos 2 covers
+    // tokens 2..4 → "x y q" kept. doc 4 untouched.
+    assert(out == List(
+      (1L, 6L, 6L, ""), (2L, 6L, 3L, "x y q"),
+      (3L, 6L, 6L, ""), (4L, 2L, 0L, "z q")))
+    Barrier.release(spark)
+  }
+
   test("semanticPairs: pairs only within a cluster, above threshold") {
     import spark.implicits._
     val vecs = Seq(
