@@ -94,21 +94,65 @@ object HistogramSketch {
     * `ps`: output groupCols ++ (n: long) ++ one round-6 double column
     * per p, named by `names`.
     */
+  /** Single-group-column stats frames at or under this row count get
+    * their (lo, hi) INLINED into the bin expression as a literal
+    * when-chain instead of broadcast-joined into the corpus scan. The
+    * join tax is the motivation (round 10, measured at 100×): a
+    * broadcast-hash probe on a string key plus the row-at-a-time
+    * processing it forces downstream cost ~5 s over a 60M-row scan —
+    * 6× the join-free columnar scan+agg. A ≤32-branch chain of
+    * short-circuit equality checks over small arithmetic subtrees
+    * stays well inside codegen method limits (the ta_langid
+    * interpreted-bytecode lesson bounds the chain width) and is
+    * arithmetic-identical to the joined form: the SAME column/literal
+    * types feed the SAME IEEE op chain, so the oracle is unchanged.
+    */
+  val MaxInlineGroups = 32
+
   def quantiles(df: DataFrame, groupCols: Seq[String], valCol: Column,
       ps: Seq[(String, Double)]): DataFrame = {
     val gcols = groupCols.map(col)
-    // the stats frame is joined three times downstream — barrier it so
-    // the corpus is scanned once for stats, not once per reference
+    // the stats frame is consumed three times downstream — barrier it
+    // so the corpus is scanned once for stats, not once per reference
     val stats = graft.Barrier.checkpoint(df.groupBy(gcols: _*)
       .agg(min(valCol).as("_lo"), max(valCol).as("_hi"), count(lit(1)).as("n")))
-    val bin = when(col("_hi") === col("_lo"), lit(0L))
-      .otherwise(least(
-        floor((valCol - col("_lo")) * lit(B.toDouble) / (col("_hi") - col("_lo"))),
-        lit((B - 1).toLong)).cast("long"))
-    val binned = df.join(broadcast(stats), groupCols)
-      .select(gcols :+ bin.as("_bin"): _*)
-      .groupBy(gcols :+ col("_bin"): _*)
-      .agg(count(lit(1)).as("_c"))
+    // bounded probe: up to MaxInlineGroups+1 rows, just enough to
+    // know whether the inline path applies
+    val inlineRows =
+      if (groupCols.size == 1) stats.limit(MaxInlineGroups + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val binned =
+      if (groupCols.size == 1 && inlineRows.length <= MaxInlineGroups
+          && inlineRows.nonEmpty) {
+        // inline path: literal per-group bounds, join-free columnar scan
+        val branches = inlineRows.toSeq.map { r =>
+          val cond = col(groupCols.head) <=> lit(r.get(0))
+          val b =
+            if (r.get(1) == r.get(2)) lit(0L)
+            else least(
+              floor((valCol - lit(r.get(1))) * lit(B.toDouble)
+                / (lit(r.get(2)) - lit(r.get(1)))),
+              lit((B - 1).toLong)).cast("long")
+          (cond, b)
+        }
+        val bin = branches.tail
+          .foldLeft(when(branches.head._1, branches.head._2)) {
+            case (acc, (c, b)) => acc.when(c, b)
+          }
+        df.select(gcols :+ bin.as("_bin"): _*)
+          .groupBy(gcols :+ col("_bin"): _*)
+          .agg(count(lit(1)).as("_c"))
+      } else {
+        // join path: unbounded group cardinality (or composite keys)
+        val bin = when(col("_hi") === col("_lo"), lit(0L))
+          .otherwise(least(
+            floor((valCol - col("_lo")) * lit(B.toDouble) / (col("_hi") - col("_lo"))),
+            lit((B - 1).toLong)).cast("long"))
+        df.join(broadcast(stats), groupCols)
+          .select(gcols :+ bin.as("_bin"): _*)
+          .groupBy(gcols :+ col("_bin"): _*)
+          .agg(count(lit(1)).as("_c"))
+      }
     val w = Window.partitionBy(gcols: _*).orderBy(col("_bin"))
     val cum = binned.withColumn("_cum", sum(col("_c")).over(w))
       .join(broadcast(stats), groupCols)
