@@ -160,13 +160,21 @@ object Dedup {
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, nHashes: Int): DataFrame = {
-    val postings = graft.Tables.fanOut(docs).select(col(idCol),
-      explode(wordShingles(wsTokens(normText(col(textCol))), shingleLen)).as("g"))
-      .withColumn("base", portableHash(col("g")) % MinHashP)
-    val minAggs = (0 until nHashes).map { s =>
-      min((col("base") * (2 * s + 1) + MinHashMix * s) % MinHashP).as(s"h$s")
-    }
-    postings.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    // ONE narrow per-row pass via the MinHashSig kernel (no explode,
+    // no shuffle — signatures are per-doc values; see the kernel
+    // scaladoc for the explode+groupBy formulation this replaces,
+    // arithmetic-identical and gated by every MinHash oracle). The
+    // null-text filter preserves the old explode semantics: a null
+    // text emitted no postings, hence no signature row.
+    val sig = ColumnBridge.column(graft.functions.expr.MinHashSig(
+      ColumnBridge.expression(wsTokens(normText(col(textCol)))),
+      shingleLen, nHashes))
+    graft.Tables.fanOut(docs)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol) +: Seq(sig.as("_sig")): _*)
+      .select(col(idCol) +:
+        (0 until nHashes).map(s => col("_sig").getItem(s).as(s"h$s")): _*)
   }
 
   /** Banded LSH candidate pairs from a signature matrix: band keys =
