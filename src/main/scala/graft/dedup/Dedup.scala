@@ -424,15 +424,16 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       span: Int): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
-    // raw (positional, non-distinct) shingles: multiplicity matters
-    // for the per-doc window counts, unlike the dedup-set shingles
-    val raw = ColumnBridge.column(graft.functions.expr.WordShingles(
+    // raw (positional, non-distinct) window HASHES in one kernel pass
+    // (RawShingleHashes): multiplicity matters for the per-doc window
+    // counts, unlike the dedup-set shingles — and no shingle string
+    // is ever materialized, only the 60-bit hash stream explodes.
+    val raw = ColumnBridge.column(graft.functions.expr.RawShingleHashes(
       ColumnBridge.expression(wsTokens(normText(col(textCol)))), span))
     // barrier: the frequency, total, and dup-count branches below all
     // read this materialized (id, h) frame — one corpus scan
     val wins = graft.Tables.fanOut(docs)
-      .select(col(idCol), explode(raw).as("g"))
-      .select(col(idCol), portableHash(col("g")).as("h"))
+      .select(col(idCol), explode(raw).as("h"))
       .transform(graft.Barrier.checkpoint)
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("_nd"))
@@ -483,14 +484,15 @@ object Dedup {
       span: Int): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val toks = wsTokens(normText(col(textCol)))
-    val raw = ColumnBridge.column(graft.functions.expr.WordShingles(
+    val raw = ColumnBridge.column(graft.functions.expr.RawShingleHashes(
       ColumnBridge.expression(toks), span))
     val base = graft.Tables.fanOut(docs).filter(col(textCol).isNotNull)
-    // (id, window start, window hash) — barriered: the dup aggregate
-    // and the covered-starts join below both read it
+    // (id, window start, window hash) — the RawShingleHashes array
+    // index IS the start position, so posexplode carries it with no
+    // shingle string column. Barriered: the dup aggregate and the
+    // covered-starts join below both read it.
     val wins = base
-      .select(col(idCol), posexplode(raw).as(Seq("p", "g")))
-      .select(col(idCol), col("p"), portableHash(col("g")).as("h"))
+      .select(col(idCol), posexplode(raw).as(Seq("p", "h")))
       .transform(graft.Barrier.checkpoint)
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("_nd"))

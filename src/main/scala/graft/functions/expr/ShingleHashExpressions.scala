@@ -132,3 +132,59 @@ object SortedIntersectCount {
     c
   }
 }
+
+/** POSITIONAL (non-distinct, unsorted) 60-bit hashes of the word
+  * n-shingles: out(i) = hash of the window starting at token i — the
+  * raw window-hash stream of exact-substring dedup (duplicateSpans /
+  * removeDuplicateSpans), where multiplicity carries the per-doc
+  * window counts and the array index IS the window start position
+  * (posexplode recovers it with no separate shingle column).
+  *
+  * Same per-window digest loop as [[ShingleHashes]] (values
+  * bit-identical to `portableHash(WordShingles(...))`, which the
+  * span oracles replay in SQL) minus the sort/dedup — and minus the
+  * UTF8String shingle materialization and the md5-hex + base-16-conv
+  * expression chain the column formulation paid per window.
+  */
+case class RawShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def prettyName: String = "raw_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input and n >= 1")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RawShingleHashes.eval(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.RawShingleHashes.eval($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): RawShingleHashes =
+    copy(child = newChild)
+}
+
+object RawShingleHashes {
+
+  /** Static entry for both interpreted eval and generated code. */
+  def eval(tokens: ArrayData, n: Int): GenericArrayData = {
+    val len = tokens.numElements()
+    val m = math.max(len - (n - 1), 1)
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      var s = if (i < len) tokens.getUTF8String(i) else UTF8String.EMPTY_UTF8
+      var j = 1
+      while (j < n && i + j < len) {
+        s = UTF8String.concat(s, WordShingles.Space, tokens.getUTF8String(i + j))
+        j += 1
+      }
+      out(i) = Long.box(Md5Hash64.hash(s) >>> 4)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
