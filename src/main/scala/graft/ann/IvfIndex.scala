@@ -50,6 +50,44 @@ final class IvfIndex private (
       .select(col(idCol), col("cell"), round(col("score_raw"), 6).as("score"))
   }
 
+  /** Metadata-FILTERED probe: top-k among the corpus rows satisfying
+    * `pred`, within the `nprobe` cells nearest the query. The layout
+    * keeps every corpus column alongside (id, vector, cell), so the
+    * predicate is applied directly to the cells frame BEFORE the probe
+    * join — Catalyst pushes it into the parquet scan (PushedFilters)
+    * where it composes with the cell partition pruning: the scan reads
+    * nprobe/nlist of the files AND row-group-skips on the predicate
+    * inside them. This is the production "filtered ANN" shape most
+    * native indexes handle badly (post-filtering k results until
+    * enough survive); here the filter is just another scan predicate
+    * and k is exact over the filtered probe set.
+    *
+    * Probe selection is unfiltered (cells nearest the query) — the
+    * filter restricts candidates, not geometry, so results are the
+    * filtered subset of what an unfiltered scan of the same cells
+    * would rank.
+    */
+  def searchWhere(query: DataFrame, qvecCol: String, nprobe: Int, k: Int,
+      pred: org.apache.spark.sql.Column,
+      keepCols: Seq[String] = Nil): DataFrame = {
+    val q = broadcast(query.select(col(qvecCol).as("qv")))
+    val probeCells = centroids
+      .crossJoin(q)
+      .select(col("cell"), l2SqD(col("cv"), col("qv")).as("_qd"))
+      .orderBy(col("_qd"), col("cell"))
+      .limit(nprobe)
+      .select(col("cell"))
+    cells
+      .filter(pred)
+      .join(broadcast(probeCells), "cell")
+      .crossJoin(q)
+      .withColumn("score_raw", cosine(col(vecCol), col("qv")))
+      .orderBy(desc("score_raw"), col(idCol))
+      .limit(k)
+      .select(col(idCol) +: col("cell") +: keepCols.map(col) :+
+        round(col("score_raw"), 6).as("score"): _*)
+  }
+
   /** Probe with a driver-known cell list — compiles to static
     * partition pruning (PartitionFilters in the scan).
     */

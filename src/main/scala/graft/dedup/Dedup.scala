@@ -177,6 +177,84 @@ object Dedup {
         (0 until nHashes).map(s => col("_sig").getItem(s).as(s"h$s")): _*)
   }
 
+  /** Banded (band, bkey) rows from a signature matrix: band keys =
+    * md5 over rowsPerBand signature slots — the shared banding step of
+    * [[candidatesFromSignatures]] (self-join dedup) and
+    * [[incrementalMatches]] (batch-vs-corpus dedup). A pure projection
+    * + posexplode: no shuffle, streams over a persisted signature
+    * table at any scale.
+    */
+  private def bandExplode(sigs: DataFrame, idCol: String,
+      nHashes: Int, nBands: Int): DataFrame = {
+    val rowsPerBand = nHashes / nBands
+    val bandKeys = (0 until nBands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(s => col(s"h$s").cast("string"))
+      md5(concat_ws(",", slots: _*))
+    }
+    sigs.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** Incremental near-dup gate: which docs of a NEW batch collide
+    * (share a minhash band bucket) with the EXISTING corpus — the
+    * continuous-ingestion twin of [[minHashCandidates]]. Corpus
+    * signatures come from the persisted per-doc signature table
+    * (CurationPipeline.buildSignatureTable — written once per corpus
+    * version at ingest); the batch's signatures are computed on the
+    * fly. The plan never self-joins and never shuffles the corpus:
+    * corpus banding is a map-only projection, the batch's distinct
+    * band keys BROADCAST into it (a semi-join that keeps only corpus
+    * rows in buckets the batch touches), and the bucket-size cap is
+    * counted over that matched subset alone — so per-batch cost
+    * scales with the batch and its collisions, not the corpus. At
+    * 100 TB this is the difference between re-running dedup over the
+    * corpus per ingest tick and a map-scan + tiny aggregate.
+    *
+    * Bucket cap semantics: a bucket is dropped when it holds more
+    * than `maxBucketSize` EXISTING corpus docs (batch members don't
+    * count) — the same degenerate-bucket guard as the self-join path,
+    * measured on the side that can explode.
+    *
+    * Output: one row per batch doc (with a signature, i.e. non-null
+    * text) — (idCol, n_dups = distinct corpus docs sharing a surviving
+    * bucket, is_dup ∈ {0,1}).
+    */
+  def incrementalMatches(corpusSigs: DataFrame, batchSigs: DataFrame,
+      idCol: String, nHashes: Int, nBands: Int,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(nBands > 0 && nHashes % nBands == 0,
+      s"nBands ($nBands) must divide nHashes ($nHashes)")
+    // the batch signature frame feeds three branches (probe keys,
+    // pair join, zero-match universe) — materialize once, text-free
+    val bSigs = graft.Barrier.checkpoint(batchSigs)
+    val bBands = bandExplode(bSigs, idCol, nHashes, nBands)
+    val probe = bBands.select(col("band"), col("bkey")).distinct()
+    // corpus rows in batch-touched buckets: broadcast semi-shape, the
+    // corpus side stays a single map-only scan of the signature table
+    val hit = bandExplode(corpusSigs, idCol, nHashes, nBands)
+      .join(broadcast(probe), Seq("band", "bkey"))
+      .transform(graft.Barrier.checkpoint) // consumed by cap + pair join
+    val okBuckets = hit.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBucketSize)
+      .select(col("band"), col("bkey"))
+    val pairs = bBands.select(col("band"), col("bkey"), col(idCol).as("_nid"))
+      .join(hit.select(col("band"), col("bkey"), col(idCol).as("_cid")),
+        Seq("band", "bkey"))
+      .join(broadcast(okBuckets), Seq("band", "bkey"))
+      .select(col("_nid"), col("_cid"))
+    // counts is one row per MATCHED batch doc (≤ batch size — bounded
+    // by the operator's contract); the planner can't see that through
+    // the barriered lineage, so the broadcast is explicit
+    val counts = pairs.groupBy(col("_nid"))
+      .agg(countDistinct(col("_cid")).as("n_dups"))
+    bSigs.select(col(idCol))
+      .join(broadcast(counts), col(idCol) === col("_nid"), "left")
+      .select(col(idCol),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) > 0).cast("int").as("is_dup"))
+  }
+
   /** Banded LSH candidate pairs from a signature matrix: band keys =
     * md5 over rowsPerBand signature slots; explode to (band, key),
     * drop oversized buckets (see DefaultMaxBucketSize), self-join —
@@ -186,13 +264,7 @@ object Dedup {
       nHashes: Int, nBands: Int, maxBucketSize: Int): DataFrame = {
     require(nBands > 0 && nHashes % nBands == 0,
       s"nBands ($nBands) must divide nHashes ($nHashes)")
-    val rowsPerBand = nHashes / nBands
-    val bandKeys = (0 until nBands).map { b =>
-      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(s => col(s"h$s").cast("string"))
-      md5(concat_ws(",", slots: _*))
-    }
-    val banded = sigs.select(col(idCol), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val banded = bandExplode(sigs, idCol, nHashes, nBands)
     val sizes = banded.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBucketSize)
@@ -682,6 +754,39 @@ object Dedup {
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("group_size"))
     labels.join(sizes, "lbl")
       .select(col("u").as(idOut), col("lbl").as("group_id"), col("group_size"))
+  }
+
+  /** Survivorship policy over dup groups: keep the BEST copy per
+    * group, not the arbitrary min-id one — production dedup keeps the
+    * highest-quality duplicate (longest text, best quality score,
+    * freshest crawl) and drops the rest. `groups` is
+    * [[connectedGroups]] output; `scores` is any per-doc frame with a
+    * numeric quality column (a corpus projection — n_chars, a
+    * ta_quality score, a classifier probability). Survivor = max
+    * score within the group, ties to the smallest id (deterministic
+    * across engines and reruns).
+    *
+    * Shape at scale: one equi-join on id (group membership is the
+    * dup subset, typically far smaller than the corpus — the planner
+    * broadcasts it when it fits, shuffles when it doesn't) and one
+    * per-group window (shuffle of group members only, partition =
+    * group — near-dup groups are cliques of a few docs, so no skew).
+    *
+    * Output: one row per grouped doc — (idCol, group_id, group_size,
+    * scoreCol, keep ∈ {0,1}); filter keep=1 for the dedup'd corpus,
+    * keep=0 rows are the drop manifest.
+    */
+  def survivorsByScore(groups: DataFrame, idCol: String,
+      scores: DataFrame, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = groups.join(
+      scores.select(col(idCol), col(scoreCol)), idCol)
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    joined
+      .withColumn("_rk", row_number().over(w))
+      .select(col(idCol), col("group_id"), col("group_size"), col(scoreCol),
+        when(col("_rk") === 1, lit(1)).otherwise(lit(0)).as("keep"))
   }
 
   def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,

@@ -110,6 +110,35 @@ object AnnQueries {
         .orderBy(desc("score"), col("vec_id"))
     }),
 
+    // metadata-FILTERED probe against the SAME persisted layout
+    // (IvfIndex.searchWhere): top-k among rows with label = 1 inside
+    // the probed cells. The label predicate lands in the cells scan
+    // (PushedFilters) and composes with the cell partition pruning —
+    // the batch-Spark answer to filtered ANN, which native indexes
+    // post-filter (scan until k survivors). k is exact over the
+    // filtered probe set; probe geometry (nprobe cells nearest the
+    // query) is unchanged by the filter.
+    "ann_ivf_filtered" -> ((s, dir) => {
+      val idxPath = persistedArtifact("ivf", dir) { p =>
+        val emb = t(s, dir, "embeddings")
+        val m = math.max(1L, math.floor(math.sqrt(
+          graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+            emb, "embedding", None).n.toDouble)).toLong)
+        val cent = emb.filter(pmod(col("vec_id"), lit(m)) === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        graft.ann.IvfIndex.build(emb, "vec_id", "embedding", cent, "cid", "cv", p)
+      }
+      graft.ann.IvfIndex.load(s, idxPath, "vec_id", "embedding")
+        .searchWhere(
+          t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+            .select(col("embedding").as("qv")),
+          "qv", nprobe = 3, k = 10,
+          pred = col("label") === 1, keepCols = Seq("label"))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("label"), col("score"))
+        .orderBy(desc("score"), col("vec_id"))
+    }),
+
     // recall@5 of the LSH index against exact brute-force ground
     // truth — the index-quality metric that decides plane counts /
     // probe budgets in production. Composes the two already-oracled
@@ -969,6 +998,25 @@ object AnnQueries {
     // only in WHERE the cells live (loaded partitioned parquet vs the
     // in-plan assignment), which SQL cannot observe
     "ann_ivf_persisted" -> IvfOracleSql,
+
+    // the IVF oracle with the label predicate applied to the assigned
+    // rows (probe selection unchanged): top-k among label=1 rows
+    // inside the probed cells
+    "ann_ivf_filtered" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |m AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(count(*))) AS BIGINT)) AS m FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+         |         FROM embeddings, m WHERE vec_id % m = 0),
+         |assign AS (
+         |  SELECT vec_id, embedding, label, cell,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY list_distance(CAST(embedding AS DOUBLE[]), cv), cell) AS rn
+         |  FROM embeddings, cent),
+         |probe AS (SELECT cell FROM cent, q ORDER BY list_distance(cv, qv), cell LIMIT 3)
+         |SELECT vec_id, cell, label, round(${sqlCos("CAST(embedding AS DOUBLE[])", "qv")}, 6) AS score
+         |FROM assign JOIN probe USING (cell), q
+         |WHERE rn = 1 AND label = 1
+         |ORDER BY ${sqlCos("CAST(embedding AS DOUBLE[])", "qv")} DESC, vec_id LIMIT 10""".stripMargin,
 
     "ann_lsh" -> LshOracleSql,
 

@@ -46,17 +46,16 @@ object DedupQueries {
     * capped band buckets → `cand` (DISTINCT ida < idb). dd_minhash
     * selects cand directly; dd_groups closes it transitively.
     */
-  private lazy val minHashCandCtes: String = {
+  private val MinHashNH = 16
+  private lazy val MinHashNB = graft.ann.AnnTuner.minHashBands(MinHashNH, MinHashThreshold)
+
+  /** norm → shingles → portable hashes → `sig` (the signature matrix —
+    * the shared prefix of every minhash oracle).
+    */
+  private lazy val minHashSigCtes: String = {
     import graft.dedup.Dedup.{MinHashMix, MinHashP}
-    val nH = 16
-    val nb = graft.ann.AnnTuner.minHashBands(nH, MinHashThreshold)
-    val rpb = nH / nb
-    val minCols = (0 until nH).map(s =>
+    val minCols = (0 until MinHashNH).map(s =>
       s"min((base * ${2 * s + 1} + ${MinHashMix * s}) % $MinHashP) AS h$s").mkString(",\n    ")
-    val bandSelects = (0 until nb).map { b =>
-      val slots = (b * rpb until (b + 1) * rpb).map(s => s"h$s::VARCHAR").mkString("||','||")
-      s"SELECT doc_id, $b AS band, md5($slots) AS bkey FROM sig"
-    }.mkString("\n  UNION ALL ")
     s"""$sqlNorm,
        |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
        |sh AS (
@@ -70,9 +69,24 @@ object DedupQueries {
        |sig AS (
        |  SELECT doc_id,
        |    $minCols
-       |  FROM hashed GROUP BY doc_id),
+       |  FROM hashed GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Band-key UNION ALL over a signature CTE (band geometry from the
+    * SAME tuner call the queries use).
+    */
+  private def sqlBandSelects(src: String): String = {
+    val rpb = MinHashNH / MinHashNB
+    (0 until MinHashNB).map { b =>
+      val slots = (b * rpb until (b + 1) * rpb).map(s => s"h$s::VARCHAR").mkString("||','||")
+      s"SELECT doc_id, $b AS band, md5($slots) AS bkey FROM $src"
+    }.mkString("\n  UNION ALL ")
+  }
+
+  private lazy val minHashCandCtes: String =
+    s"""$minHashSigCtes,
        |bands0 AS (
-       |  $bandSelects),
+       |  ${sqlBandSelects("sig")}),
        |keep AS (
        |  SELECT band, bkey FROM bands0 GROUP BY band, bkey
        |  HAVING count(*) <= ${graft.dedup.Dedup.DefaultMaxBucketSize}),
@@ -82,7 +96,6 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   val defs: Map[String, Q] = Map(
     "dd_exact" -> ((s, dir) => {
@@ -106,6 +119,32 @@ object DedupQueries {
       Dedup.minHashCandidatesTuned(t(s, dir, "documents"), "doc_id", "text",
           shingleLen = 3, nHashes = 16, threshold = MinHashThreshold)
         .orderBy(col("ida"), col("idb"))
+    }),
+
+    // incremental near-dup gate (Dedup.incrementalMatches): a NEW
+    // batch (doc_id % 10 = 7) checked against the EXISTING corpus's
+    // persisted signature table — the continuous-ingestion shape:
+    // corpus side is one map-only scan of the ingest-time signature
+    // parquet (no self-join, no corpus shuffle; the batch's distinct
+    // band keys broadcast into it), so per-tick cost scales with the
+    // batch, not the corpus. Same signature arithmetic + band
+    // geometry as dd_minhash (shared oracle CTEs).
+    "dd_incremental" -> ((s, dir) => {
+      val sigPath = persistedArtifact("incsig", dir) { p =>
+        Dedup.minHashSignatures(
+            t(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) =!= 7),
+            "doc_id", "text", shingleLen = 3, nHashes = 16)
+          .write.mode("overwrite").parquet(p)
+      }
+      val batch = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) === 7)
+      Dedup.incrementalMatches(
+          s.read.parquet(sigPath),
+          Dedup.minHashSignatures(batch, "doc_id", "text",
+            shingleLen = 3, nHashes = 16),
+          "doc_id", nHashes = 16,
+          nBands = graft.ann.AnnTuner.minHashBands(16, MinHashThreshold))
+        .orderBy(col("doc_id"))
     }),
 
     // oracle-checked via the md5-derived portable 64-bit token hash
@@ -147,6 +186,22 @@ object DedupQueries {
       val cand = Dedup.minHashCandidatesTuned(t(s, dir, "documents"), "doc_id", "text",
         shingleLen = 3, nHashes = 16, threshold = MinHashThreshold)
       Dedup.connectedGroups(cand, "ida", "idb", idOut = "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // survivorship policy (Dedup.survivorsByScore): production dedup
+    // keeps the BEST copy per dup group, not the min-id one — here
+    // quality = n_chars (longest copy wins, ties to smallest id).
+    // Composes the oracled dd_groups closure with one score join and
+    // one per-group window; keep=1 rows are the dedup'd corpus,
+    // keep=0 the drop manifest.
+    "dd_survivors_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minHashCandidatesTuned(docs, "doc_id", "text",
+        shingleLen = 3, nHashes = 16, threshold = MinHashThreshold)
+      Dedup.survivorsByScore(
+          Dedup.connectedGroups(cand, "ida", "idb", idOut = "doc_id"),
+          "doc_id", docs, "n_chars")
         .orderBy(col("doc_id"))
     }),
 
@@ -318,6 +373,32 @@ object DedupQueries {
       s"""$minHashCandCtes
          |SELECT ida, idb FROM cand ORDER BY ida, idb""".stripMargin,
 
+    // batch-vs-corpus incremental gate: same signature arithmetic +
+    // band geometry as dd_minhash, with the corpus split into
+    // existing (doc_id % 10 <> 7) and batch (= 7) sides; bucket cap
+    // counts EXISTING docs in batch-touched buckets only
+    "dd_incremental" ->
+      s"""$minHashSigCtes,
+         |bsig AS (SELECT * FROM sig WHERE doc_id % 10 = 7),
+         |csig AS (SELECT * FROM sig WHERE doc_id % 10 <> 7),
+         |bbands AS (
+         |  ${sqlBandSelects("bsig")}),
+         |cbands AS (
+         |  ${sqlBandSelects("csig")}),
+         |probe AS (SELECT DISTINCT band, bkey FROM bbands),
+         |hit AS (SELECT c.* FROM cbands c JOIN probe USING (band, bkey)),
+         |okb AS (
+         |  SELECT band, bkey FROM hit GROUP BY band, bkey
+         |  HAVING count(*) <= ${graft.dedup.Dedup.DefaultMaxBucketSize}),
+         |pairs AS (
+         |  SELECT DISTINCT b.doc_id AS nid, h.doc_id AS cid
+         |  FROM bbands b JOIN hit h USING (band, bkey) JOIN okb USING (band, bkey)),
+         |counts AS (SELECT nid, count(*) AS n_dups FROM pairs GROUP BY nid)
+         |SELECT s.doc_id, coalesce(c.n_dups, 0) AS n_dups,
+         |  CASE WHEN coalesce(c.n_dups, 0) > 0 THEN 1 ELSE 0 END AS is_dup
+         |FROM bsig s LEFT JOIN counts c ON s.doc_id = c.nid
+         |ORDER BY s.doc_id""".stripMargin,
+
     "dd_groups" ->
       // transitive closure of the SAME candidate pairs (shared CTE
       // chain): min reachable id per node = the component's canonical
@@ -337,6 +418,36 @@ object DedupQueries {
          |SELECT l.doc_id, l.group_id, s.group_size
          |FROM labels l JOIN sizes s USING (group_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // the dd_groups closure + survivorship: survivor = max n_chars
+    // within the group, ties to smallest id — replayed as
+    // max-per-group then min-id-among-max (deterministic in both
+    // engines; no arg_max, whose tie order is unspecified)
+    "dd_survivors_quality" ->
+      s"""${minHashCandCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT ida AS u, idb AS v FROM cand
+         |  UNION ALL SELECT idb, ida FROM cand),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS group_id FROM reach GROUP BY u),
+         |sizes AS (SELECT group_id, count(*) AS group_size FROM labels GROUP BY 1),
+         |scored AS (
+         |  SELECT l.doc_id, l.group_id, s.group_size, d.n_chars
+         |  FROM labels l JOIN sizes s USING (group_id)
+         |    JOIN documents d USING (doc_id)),
+         |best AS (SELECT group_id, max(n_chars) AS bn FROM scored GROUP BY 1),
+         |surv AS (
+         |  SELECT s.group_id, min(s.doc_id) AS sid
+         |  FROM scored s JOIN best b ON s.group_id = b.group_id AND s.n_chars = b.bn
+         |  GROUP BY s.group_id)
+         |SELECT s.doc_id, s.group_id, s.group_size, s.n_chars,
+         |  CASE WHEN s.doc_id = v.sid THEN 1 ELSE 0 END AS keep
+         |FROM scored s JOIN surv v USING (group_id)
+         |ORDER BY s.doc_id""".stripMargin,
 
     "dd_pipeline" -> {
       import graft.dedup.Dedup.{MinHashMix, MinHashP}

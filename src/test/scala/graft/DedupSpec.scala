@@ -165,6 +165,54 @@ class DedupSpec extends SparkSpecBase {
     Barrier.release(spark)
   }
 
+  test("survivorsByScore: max score wins, ties to min id, one keep per group") {
+    import spark.implicits._
+    val groups = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), // group 1: scores 5,9,9 → survivor 2
+      (10L, 10L, 2L), (11L, 10L, 2L))           // group 10: scores 4,4 → survivor 10 (tie)
+      .toDF("doc_id", "group_id", "group_size")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "n_chars")
+    val out = Dedup.survivorsByScore(groups, "doc_id", scores, "n_chars")
+      .orderBy($"doc_id")
+      .select("doc_id", "group_id", "keep").as[(Long, Long, Int)].collect().toList
+    assert(out == List(
+      (1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 0),
+      (10L, 10L, 1), (11L, 10L, 0)))
+  }
+
+  test("incrementalMatches: batch-vs-corpus collisions equal the self-join " +
+      "candidates crossing the split; zero-match batch docs surface with n_dups=0") {
+    import spark.implicits._
+    // ids 1..5 plus a unique batch doc 7; batch = odd ids, corpus = even
+    val all = docs.unionByName(Seq(
+      (7L, "en", "entirely novel sentence with no shingle overlap anywhere"))
+      .toDF("doc_id", "lang", "text"))
+    val isBatch = $"doc_id" % 2 === 1
+    val corpusSigs = Dedup.minHashSignatures(
+      all.filter(!isBatch), "doc_id", "text", shingleLen = 3, nHashes = 16)
+    val batchSigs = Dedup.minHashSignatures(
+      all.filter(isBatch), "doc_id", "text", shingleLen = 3, nHashes = 16)
+    val got = Dedup.incrementalMatches(corpusSigs, batchSigs, "doc_id",
+        nHashes = 16, nBands = 4)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Int)].collect().toList
+    // reference: full self-join candidates, restricted to batch×corpus
+    // pairs (no bucket hits the cap on 5 docs, so semantics coincide)
+    val cand = Dedup.minHashCandidates(all, "doc_id", "text",
+        shingleLen = 3, nHashes = 16, nBands = 4)
+      .as[(Long, Long)].collect().toSet
+    val expected = all.select("doc_id").as[Long].collect().filter(_ % 2 == 1).sorted
+      .map { nid =>
+        val n = cand.count { case (a, b) =>
+          (a == nid && b % 2 == 0) || (b == nid && a % 2 == 0) }
+        (nid, n.toLong, if (n > 0) 1 else 0)
+      }.toList
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.exists(_._2 == 0L), "expected at least one zero-match batch doc")
+    Barrier.release(spark)
+  }
+
   test("embeddingPairs refuses a corpus-growing block (maxBlockSize guard)") {
     import spark.implicits._
     val vecs = (1 to 50).map(i => (i.toLong, "all-same-block", Array(1.0f, 0.0f)))

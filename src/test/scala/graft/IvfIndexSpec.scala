@@ -45,6 +45,31 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(got.length == 5 && got.contains(5L))
   }
 
+  test("searchWhere: filtered top-k == post-filtered unfiltered probe, " +
+      "predicate pushed to the cells scan") {
+    import spark.implicits._
+    val q = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") === 1L).select(col("embedding").as("qv"))
+    val got = idx.searchWhere(q, "qv", nprobe = 3, k = 5,
+      pred = col("label") === 2, keepCols = Seq("label"))
+    val rows = got.select("vec_id", "label").as[(Long, Int)].collect().toSeq
+    assert(rows.nonEmpty && rows.forall(_._2 == 2), s"non-label-2 rows: $rows")
+    // semantics: identical to ranking the unfiltered probe of the SAME
+    // cells and keeping label-2 rows (filter restricts candidates,
+    // never the probe geometry)
+    val unfiltered = idx.search(q, "qv", nprobe = 3, k = Int.MaxValue)
+      .join(idx.cells.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") === 2)
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(5).select("vec_id").as[Long].collect().toSeq
+    assert(rows.map(_._1).toSet == unfiltered.toSet,
+      s"filtered=${rows.map(_._1)} vs post-filtered=$unfiltered")
+    // the label predicate reaches the parquet scan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"label filter not pushed:\n$plan")
+  }
+
   test("static cell probe compiles to partition pruning") {
     import spark.implicits._
     val q = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

@@ -36,6 +36,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // reading signatures from parquet removes a map stage, not a
       // join
       "dd_pipeline_persisted",
+      // inherits dd_groups' CC-round SMJs unchanged (label frames are
+      // corpus-sized; see dd_groups) — the survivorship join/window
+      // it adds on top broadcasts/partitions on group_id
+      "dd_survivors_quality",
       "mm_join", "q_merge", "ta_contaminate")
 
   private val Kernels = Seq("vector_dot", "vector_l2sq", "word_shingles",
