@@ -50,6 +50,39 @@ final class IvfIndex private (
       .select(col(idCol), col("cell"), round(col("score_raw"), 6).as("score"))
   }
 
+  /** BATCHED probe: top-k for N query vectors in one plan — the
+    * amortization that justifies running ANN in a batch engine. The
+    * per-query probe sets are ranked in one bounded window over
+    * (nlist × nq) rows, then the cells frame joins the broadcast
+    * (qid, qv, cell) probe list ONCE: a cell probed by many queries
+    * is still read from disk once and fanned to them in memory,
+    * so scan cost is |distinct probed cells|, not nq × nprobe.
+    * Top-k per query is the bounded-heap TopKAgg (≤ k rows per
+    * (query × map partition) reach the shuffle), not a global sort.
+    * Output mirrors Ann.bruteForceTopK: (qid, id, score, rk).
+    */
+  def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("_qd"), col("cell"))
+    val probe = centroids.crossJoin(broadcast(q))
+      .select(col("qid"), col("qv"), col("cell"),
+        l2SqD(col("cv"), col("qv")).as("_qd"))
+      .withColumn("_prn", row_number().over(w))
+      .filter(col("_prn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+    cells
+      .join(broadcast(probe), "cell")
+      .withColumn("score_raw", cosine(col(vecCol), col("qv")))
+      .groupBy(col("qid"))
+      .agg(topK(col("score_raw"), col(idCol), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), col("_t.id").as(idCol),
+        round(col("_t.score"), 6).as("score"),
+        (col("_pos") + 1).cast("long").as("rk"))
+  }
+
   /** Metadata-FILTERED probe: top-k among the corpus rows satisfying
     * `pred`, within the `nprobe` cells nearest the query. The layout
     * keeps every corpus column alongside (id, vector, cell), so the
@@ -107,12 +140,25 @@ object IvfIndex {
 
   /** Assign + write the cell-partitioned layout. `centroids` must have
     * (cid, cv) columns; rule of thumb nlist ≈ √n cells.
+    *
+    * The assigned frame is clustered on `cell` before the partitioned
+    * write: without it every write task emits a file into every cell
+    * directory it sees — tasks × nlist tiny files — and a probe pays
+    * file-grain overhead (open + footer per fragment) instead of data
+    * cost; measured 8-15s vs ~2s for an 8-query batch probe on the
+    * 100× corpus (~32 fragments/cell). With the cluster each cell is
+    * ONE file, probes open nprobe files, and the extra ingest shuffle
+    * is paid once per corpus version. (At sizes where one cell
+    * outgrows a good parquet file, compose the key as
+    * (cell, salt = pmod(hash(id), filesPerCell)) — same discipline
+    * Delta's OPTIMIZE applies.)
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String, path: String): IvfIndex = {
     val spark = corpus.sparkSession
     val cents = centroids.select(col(cidCol).as("cell"), col(cvecCol).as("cv"))
     Ann.ivfAssign(corpus, idCol, vecCol, cents, "cell", "cv")
+      .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"$path/cells")

@@ -120,9 +120,12 @@ object IvfPqIndex {
       books: Seq[DataFrame], dim: Int, path: String): IvfPqIndex = {
     val spark = corpus.sparkSession
     val withRes = residualFrame(corpus, idCol, vecCol, centroids, cidCol, cvecCol)
+    // cluster on cell before the partitioned write: one file per cell
+    // instead of tasks × nlist fragments (see IvfIndex.build)
     Pq.encode(withRes, idCol, "_res", books, dim)
       .drop("_res")
       .withColumnRenamed("_ivf_cell", "cell")
+      .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"$path/cells")

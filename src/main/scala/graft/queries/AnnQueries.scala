@@ -110,6 +110,31 @@ object AnnQueries {
         .orderBy(desc("score"), col("vec_id"))
     }),
 
+    // BATCHED probe against the SAME persisted layout
+    // (IvfIndex.searchBatch): 8 query vectors in one plan — per-query
+    // probe cells ranked in one bounded window, then the cells frame
+    // joins the broadcast probe list ONCE (a cell probed by many
+    // queries is read once and fanned in memory), top-k per query via
+    // the bounded-heap TopKAgg. The batch-amortization shape that
+    // justifies ANN in a batch engine: scan cost is |distinct probed
+    // cells|, not nq × nprobe.
+    "ann_ivf_batch" -> ((s, dir) => {
+      val idxPath = persistedArtifact("ivf", dir) { p =>
+        val emb = t(s, dir, "embeddings")
+        val m = math.max(1L, math.floor(math.sqrt(
+          graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+            emb, "embedding", None).n.toDouble)).toLong)
+        val cent = emb.filter(pmod(col("vec_id"), lit(m)) === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        graft.ann.IvfIndex.build(emb, "vec_id", "embedding", cent, "cid", "cv", p)
+      }
+      graft.ann.IvfIndex.load(s, idxPath, "vec_id", "embedding")
+        .searchBatch(
+          t(s, dir, "embeddings").filter(col("vec_id") < 8),
+          "vec_id", "embedding", nprobe = 3, k = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // metadata-FILTERED probe against the SAME persisted layout
     // (IvfIndex.searchWhere): top-k among rows with label = 1 inside
     // the probed cells. The label predicate lands in the cells scan
@@ -998,6 +1023,36 @@ object AnnQueries {
     // only in WHERE the cells live (loaded partitioned parquet vs the
     // in-plan assignment), which SQL cannot observe
     "ann_ivf_persisted" -> IvfOracleSql,
+
+    // the IVF assign CTEs with a PER-QUERY probe ranking (row_number
+    // over cells per qid) and per-query top-k — the batched twin of
+    // the ann_ivf oracle
+    "ann_ivf_batch" ->
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 8),
+         |m AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(count(*))) AS BIGINT)) AS m FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+         |         FROM embeddings, m WHERE vec_id % m = 0),
+         |assign AS (
+         |  SELECT vec_id, embedding, cell,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY list_distance(CAST(embedding AS DOUBLE[]), cv), cell) AS rn
+         |  FROM embeddings, cent),
+         |probe AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.qid, cent.cell,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_distance(cv, qv), cell) AS prn
+         |    FROM cent, q)
+         |  WHERE prn <= 3),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id,
+         |    ${sqlCos("CAST(a.embedding AS DOUBLE[])", "q.qv")} AS score_raw
+         |  FROM assign a JOIN probe p USING (cell) JOIN q ON q.qid = p.qid
+         |  WHERE a.rn = 1)
+         |SELECT qid, vec_id, round(score_raw, 6) AS score,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_raw DESC, vec_id) AS BIGINT) AS rk
+         |FROM scored QUALIFY rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     // the IVF oracle with the label predicate applied to the assigned
     // rows (probe selection unchanged): top-k among label=1 rows

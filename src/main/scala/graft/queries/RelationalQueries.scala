@@ -37,6 +37,37 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // incremental aggregate maintenance (IncrementalAgg.merge): the
+    // persisted partial-agg state (built once at "ingest" over the
+    // standing 90% of lineitem) folded with the new batch's partials
+    // (l_orderkey % 10 = 7) — result ≡ the full recompute, but the
+    // refresh reads the batch + a state table bounded by group-key
+    // cardinality, never the history. Partial sums are decimal-exact
+    // so the merge's re-ordered additions are bit-for-bit.
+    "q_agg_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def partials(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(28, 10))).as("sum_qty_d"),
+          count(lit(1)).as("n_rows"))
+      val statePath = persistedArtifact("aggstate", dir) { p =>
+        partials(t(s, dir, "lineitem")
+            .filter(pmod(col("l_orderkey"), lit(10)) =!= 7))
+          .write.mode("overwrite").parquet(p)
+      }
+      val batch = partials(t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(10)) === 7))
+      graft.operators.IncrementalAgg.merge(
+          Seq(s.read.parquet(statePath), batch),
+          keys = Seq("l_returnflag", "l_linestatus"),
+          sumCols = Seq("sum_qty_d", "n_rows"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("sum_qty_d").cast("double"), 2).as("sum_qty"),
+          col("n_rows"),
+          round(col("sum_qty_d").cast("double") / col("n_rows"), 6).as("avg_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     "q3_join" -> ((s, dir) => {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders")
@@ -410,6 +441,17 @@ object RelationalQueries {
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // the merged state+batch partials must equal the full recompute —
+    // the oracle IS the full recompute (same decimal-exact sums)
+    "q_agg_incremental" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_qty,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_qty
+        |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 

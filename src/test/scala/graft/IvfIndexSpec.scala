@@ -70,6 +70,22 @@ class IvfIndexSpec extends SparkSpecBase {
       s"label filter not pushed:\n$plan")
   }
 
+  test("searchBatch: one plan reproduces per-query single probes") {
+    import spark.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+    val batch = idx.searchBatch(queries, "vec_id", "embedding", nprobe = 2, k = 5)
+      .select("qid", "vec_id", "score", "rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val singles = (0L until 4L).flatMap { qid =>
+      idx.search(emb.filter(col("vec_id") === qid).select(col("embedding").as("qv")),
+          "qv", nprobe = 2, k = 5)
+        .select("vec_id", "score").as[(Long, Double)].collect()
+        .zipWithIndex.map { case ((id, sc), i) => (qid, id, sc, (i + 1).toLong) }
+    }.toSet
+    assert(batch == singles, s"batch=$batch\nsingles=$singles")
+  }
+
   test("static cell probe compiles to partition pruning") {
     import spark.implicits._
     val q = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
