@@ -63,14 +63,19 @@ final class IvfIndex private (
     */
   def searchBatch(queries: DataFrame, qidCol: String, qvecCol: String,
       nprobe: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("_qd"), col("cell"))
+    // per-query nearest cells via the bounded-heap TopKAgg (ties →
+    // lowest cell id), not a window: the (nq × nlist) ranking frame
+    // never sorts globally — ≤ nprobe rows per (query × map
+    // partition) reach the shuffle, so a 10k-query batch over a
+    // 65536-cell index shuffles 10k × nprobe rows, not 650M
     val probe = centroids.crossJoin(broadcast(q))
-      .select(col("qid"), col("qv"), col("cell"),
-        l2SqD(col("cv"), col("qv")).as("_qd"))
-      .withColumn("_prn", row_number().over(w))
-      .filter(col("_prn") <= nprobe)
+      .select(col("qid"),
+        (-l2SqD(col("cv"), col("qv"))).as("_negd"), col("cell"))
+      .groupBy(col("qid"))
+      .agg(topK(col("_negd"), col("cell"), nprobe).as("_top"))
+      .select(col("qid"), explode(col("_top.id")).as("cell"))
+      .join(broadcast(q), "qid") // re-attach qv (tiny, one row per query)
       .select(col("qid"), col("qv"), col("cell"))
     cells
       .join(broadcast(probe), "cell")
