@@ -329,6 +329,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == Set((1L, 11.0), (4L, 40.0), (5L, 55.0)))
   }
 
+  test("streaming incremental agg: per-micro-batch partial merge " +
+      "equals the one-shot aggregate over everything seen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.IncrementalAgg
+
+    // the standing-rollup refresh shape: the state table holds
+    // decimal-exact partial aggregates; every micro-batch folds its
+    // OWN partials in via IncrementalAgg.merge (a parquet/lakehouse
+    // table rewrite in production — localCheckpoint bounds lineage
+    // the same way). No streaming state at all: restart-safe because
+    // the state IS the table.
+    def partials(df: org.apache.spark.sql.DataFrame) = df.groupBy($"k")
+      .agg(sum($"v".cast(org.apache.spark.sql.types.DecimalType(28, 10))).as("s"),
+        count(lit(1)).as("n"))
+    var state = partials(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"))
+    val stream = MemoryStream[(String, Double)]
+    val q = stream.toDF().toDF("k", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = IncrementalAgg.merge(Seq(state, partials(batch)),
+          keys = Seq("k"), sumCols = Seq("s", "n")).localCheckpoint()
+      }
+      .outputMode("append").start()
+    val b1 = Seq(("a", 10.0), ("c", 5.0))
+    val b2 = Seq(("b", 1.5), ("a", 0.5), ("d", 9.0))
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = state
+      .select($"k", $"s".cast("double"), $"n")
+      .as[(String, Double, Long)].collect().toSet
+    val oneShot = partials(
+        (Seq(("a", 1.0), ("b", 2.0)) ++ b1 ++ b2).toDF("k", "v"))
+      .select($"k", $"s".cast("double"), $"n")
+      .as[(String, Double, Long)].collect().toSet
+    assert(streamed == oneShot)
+    assert(streamed == Set(
+      ("a", 11.5, 3L), ("b", 3.5, 2L), ("c", 5.0, 1L), ("d", 9.0, 1L)))
+  }
+
   test("file-source stream (readStream.parquet) matches batch totals") {
     // the real ingest shape: a parquet directory consumed as a stream
     val batchEvents = Tables.load(spark, "/root/testdata/sf0.001", "events")
