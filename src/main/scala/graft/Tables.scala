@@ -54,10 +54,22 @@ object Tables {
     m
   }
 
-  /** Drop cached handles (all sessions). Call after rewriting a
-    * corpus dir's files in place.
+  /** Caches derived from table contents (e.g. VectorQueries' memoized
+    * query vector) register here so [[invalidate]] clears them in the
+    * same breath — one invalidation point for the whole catalog.
     */
-  def invalidate(): Unit = handleCache.synchronized { handleCache.clear() }
+  private val invalidateHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  def onInvalidate(hook: () => Unit): Unit = invalidateHooks.add(hook)
+
+  /** Drop cached handles (all sessions) and every registered derived
+    * cache. Call after rewriting a corpus dir's files in place.
+    */
+  def invalidate(): Unit = {
+    handleCache.synchronized { handleCache.clear() }
+    invalidateHooks.forEach(h => h())
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     sessionCache(spark).computeIfAbsent(s"$sfDir/$name", _ => load0(spark, sfDir, name))

@@ -47,7 +47,13 @@ object Bq {
     val aggs = (0 until dim).map(d => min(element_at(v, d + 1)).as(s"_lo$d")) ++
       (0 until dim).map(d => max(element_at(v, d + 1)).as(s"_hi$d"))
     val r = corpus.agg(aggs.head, aggs.tail: _*).head()
-    Thresholds(Array.tabulate(dim)(d => (r.getDouble(d) + r.getDouble(dim + d)) * 0.5))
+    Thresholds(Array.tabulate(dim) { d =>
+      require(!r.isNullAt(d) && !r.isNullAt(dim + d),
+        s"Bq.fit: no values in dimension $d — empty corpus, or null " +
+          s"vectors/components throughout; cannot derive thresholds " +
+          s"(the '$vecCol' table must hold at least one non-null $dim-dim vector)")
+      (r.getDouble(d) + r.getDouble(dim + d)) * 0.5
+    })
   }
 
   def encodeCol(vec: Column, th: Thresholds): Column =

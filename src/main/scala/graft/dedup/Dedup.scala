@@ -775,18 +775,128 @@ object Dedup {
     * Output: one row per grouped doc — (idCol, group_id, group_size,
     * scoreCol, keep ∈ {0,1}); filter keep=1 for the dedup'd corpus,
     * keep=0 rows are the drop manifest.
+    *
+    * The score join is LEFT outer: a grouped doc missing from the
+    * scores frame must not silently vanish from the keep set AND the
+    * drop manifest (if it vanished while being the best copy, a
+    * worse duplicate would be marked keep=1 with group_size still
+    * counting the absent doc). Unscored members sort after every
+    * scored one (nulls last) and among themselves by id, so the
+    * survivor choice stays deterministic — all-null groups keep the
+    * smallest id.
     */
   def survivorsByScore(groups: DataFrame, idCol: String,
       scores: DataFrame, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val joined = groups.join(
-      scores.select(col(idCol), col(scoreCol)), idCol)
+      scores.select(col(idCol), col(scoreCol)), Seq(idCol), "left")
     val w = Window.partitionBy(col("group_id"))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
     joined
       .withColumn("_rk", row_number().over(w))
       .select(col(idCol), col("group_id"), col("group_size"), col(scoreCol),
         when(col("_rk") === 1, lit(1)).otherwise(lit(0)).as("keep"))
+  }
+
+  /** Ingest-time dup-group artifact: the full pairs→closure chain
+    * ([[minHashCandidatesTuned]] → [[connectedGroups]]) run ONCE per
+    * corpus version and persisted as a (idCol, group_id, group_size)
+    * parquet table. A standing pipeline must never recompute the
+    * transitive closure per query — group membership is a property of
+    * the corpus, not of the question being asked of it; queries read
+    * the assignment (dd_groups_persisted) or join survivorship
+    * policy over it (dd_survivors_persisted), and ingest ticks extend
+    * it incrementally via [[mergeGroups]] with the new batch's pairs.
+    */
+  def buildGroupsTable(docs: DataFrame, idCol: String, textCol: String,
+      path: String, shingleLen: Int, nHashes: Int, threshold: Double,
+      maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
+    val cand = minHashCandidatesTuned(docs, idCol, textCol,
+      shingleLen, nHashes, threshold, maxBucketSize)
+    connectedGroups(cand, "ida", "idb", idOut = idCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Incremental maintenance of a persisted group-assignment table:
+    * merge a new batch's near-dup pairs into an EXISTING closure
+    * without re-running connected components over the full pair set.
+    * `existing` is [[connectedGroups]] / [[buildGroupsTable]] output
+    * over pair set P0; `newPairs` (aCol, bCol) is the batch tick's
+    * pairs — batch-internal candidates plus batch-vs-corpus matches
+    * (the [[incrementalMatches]] shape). The result is row-identical
+    * to `connectedGroups(P0 ∪ newPairs)` (GroupsMaintenanceSpec
+    * property-checks the algebra on random graph splits): collapsing
+    * each existing group to its canonical id is a quotient of the
+    * full graph, P0 edges become self-loops, so closing ONLY the
+    * rep-mapped new pairs merges exactly the components the batch
+    * connects — and since each existing group_id is already the min
+    * member id, the min label over merged reps and new doc ids IS the
+    * merged component's min member id.
+    *
+    * Scale shape: the corpus-sized assignment table is only ever
+    * map-scanned (rep lookup, final remap, affected-size recount) —
+    * every join against it broadcasts a batch-scale frame (endpoint
+    * ids, the rep remap, recounted sizes); the closure itself runs on
+    * the rep graph, whose node count is bounded by batch endpoints +
+    * touched groups, never the corpus. Per-tick cost scales with the
+    * batch and what it touches.
+    */
+  def mergeGroups(existing: DataFrame, idCol: String,
+      newPairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val asg = existing.select(col(idCol).as("_id"), col("group_id").as("_gid"),
+      col("group_size").as("_gsz"))
+    // distinct batch endpoints → their representative: the existing
+    // group id when grouped, themselves when new/ungrouped. Both the
+    // hit and miss legs keep the corpus-sized side probe-only: `hit`
+    // is one assignment map-scan against the broadcast endpoint set,
+    // `miss` subtracts the (≤ endpoints) hit keys batch-side.
+    val endIds = newPairs.select(col(aCol).as("_e"))
+      .unionByName(newPairs.select(col(bCol).as("_e")))
+      .distinct()
+      .transform(graft.Barrier.checkpoint)
+    val hit = asg.join(broadcast(endIds), col("_id") === col("_e"))
+      .select(col("_e"), col("_gid").as("_rep"))
+      .transform(graft.Barrier.checkpoint)
+    val miss = endIds
+      .join(broadcast(hit.select(col("_e").as("_he"))), col("_e") === col("_he"), "left_anti")
+      .select(col("_e"), col("_e").as("_rep"))
+      .transform(graft.Barrier.checkpoint)
+    val reps = hit.unionByName(miss)
+    // quotient graph: new pairs with endpoints replaced by reps;
+    // same-group pairs collapse to self-loops and drop out
+    val repPairs = newPairs
+      .join(broadcast(reps.select(col("_e").as("_ea"), col("_rep").as("_ra"))),
+        col(aCol) === col("_ea"))
+      .join(broadcast(reps.select(col("_e").as("_eb"), col("_rep").as("_rb"))),
+        col(bCol) === col("_eb"))
+      .select(col("_ra").as("u"), col("_rb").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val remap = connectedGroups(repPairs, "u", "v", idOut = "_node")
+      .select(col("_node"), col("group_id").as("_super"))
+      .transform(graft.Barrier.checkpoint)
+    // existing rows: group ids that merged move to their super
+    val gidRemap = remap.filter(col("_node") =!= col("_super"))
+      .select(col("_node").as("_old"), col("_super").as("_supU"))
+    val updated = asg.join(broadcast(gidRemap), col("_gid") === col("_old"), "left")
+      .select(col("_id"), coalesce(col("_supU"), col("_gid")).as("_ng"), col("_gsz"))
+    // previously-ungrouped endpoints become member rows of their super
+    val newMembers = miss
+      .join(broadcast(remap), col("_rep") === col("_node"), "left")
+      .select(col("_e").as("_id"), coalesce(col("_super"), col("_e")).as("_ng"),
+        lit(null).cast("long").as("_gsz"))
+    val allRows = updated.unionByName(newMembers)
+    // group_size recount ONLY for groups the batch touched (every
+    // remap super — merged groups and groups that gained members);
+    // untouched groups keep their stored size. Labels only merge,
+    // never split, so no untouched group can have lost members.
+    val affected = remap.select(col("_super").as("_ag")).distinct()
+    val newSizes = allRows.join(broadcast(affected), col("_ng") === col("_ag"))
+      .groupBy(col("_ng")).agg(count(lit(1)).as("_nsz"))
+      .select(col("_ng").as("_sg"), col("_nsz"))
+    allRows.join(broadcast(newSizes), col("_ng") === col("_sg"), "left")
+      .select(col("_id").as(idCol), col("_ng").as("group_id"),
+        coalesce(col("_nsz"), col("_gsz")).as("group_size"))
   }
 
   def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,

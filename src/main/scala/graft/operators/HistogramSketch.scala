@@ -127,8 +127,17 @@ object HistogramSketch {
         // inline path: literal per-group bounds, join-free columnar scan
         val branches = inlineRows.toSeq.map { r =>
           val cond = col(groupCols.head) <=> lit(r.get(0))
+          // degenerate-range check by NUMERIC value, matching the join
+          // path's SQL === semantics: boxed equals diverges on
+          // lo=-0.0 / hi=0.0 (equals=false, SQL ===true) and would
+          // divide by zero here; SQL null===null is null (not
+          // degenerate), so nulls fall through to the arithmetic
+          // branch exactly as the join path does
+          val degenerate = r.get(1) != null && r.get(2) != null &&
+            r.get(1).asInstanceOf[Number].doubleValue() ==
+              r.get(2).asInstanceOf[Number].doubleValue()
           val b =
-            if (r.get(1) == r.get(2)) lit(0L)
+            if (degenerate) lit(0L)
             else least(
               floor((valCol - lit(r.get(1))) * lit(B.toDouble)
                 / (lit(r.get(2)) - lit(r.get(1)))),

@@ -189,6 +189,25 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the PERSISTED-closure twin of dd_groups: the pairs→closure
+    // chain runs ONCE at ingest (Dedup.buildGroupsTable — the
+    // buildSignatureTable pattern applied to group assignment) and
+    // persists as a (doc_id, group_id, group_size) parquet artifact;
+    // the query is a bare artifact read. Group membership is a
+    // property of the corpus version, so the result is row-identical
+    // to dd_groups (shared oracle) — what THIS entry times is the
+    // standing pipeline's per-run cost, with the connected-components
+    // closure amortized to ingest and maintained incrementally by
+    // Dedup.mergeGroups as batches arrive (GroupsMaintenanceSpec
+    // pins incremental ≡ full recompute).
+    "dd_groups_persisted" -> ((s, dir) => {
+      val gPath = persistedArtifact("ddgroups", dir) { p =>
+        Dedup.buildGroupsTable(t(s, dir, "documents"), "doc_id", "text", p,
+          shingleLen = 3, nHashes = 16, threshold = MinHashThreshold)
+      }
+      s.read.parquet(gPath).orderBy(col("doc_id"))
+    }),
+
     // survivorship policy (Dedup.survivorsByScore): production dedup
     // keeps the BEST copy per dup group, not the min-id one — here
     // quality = n_chars (longest copy wins, ties to smallest id).
@@ -202,6 +221,21 @@ object DedupQueries {
       Dedup.survivorsByScore(
           Dedup.connectedGroups(cand, "ida", "idb", idOut = "doc_id"),
           "doc_id", docs, "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
+    // survivorship over the PERSISTED closure: the expensive part of
+    // dd_survivors_quality is the inherited dd_groups recomputation —
+    // against the ingest artifact the operator is what it always was
+    // on paper: one score join + one per-group window. Row-identical
+    // to dd_survivors_quality (shared oracle).
+    "dd_survivors_persisted" -> ((s, dir) => {
+      val gPath = persistedArtifact("ddgroups", dir) { p =>
+        Dedup.buildGroupsTable(t(s, dir, "documents"), "doc_id", "text", p,
+          shingleLen = 3, nHashes = 16, threshold = MinHashThreshold)
+      }
+      Dedup.survivorsByScore(s.read.parquet(gPath), "doc_id",
+          t(s, dir, "documents"), "n_chars")
         .orderBy(col("doc_id"))
     }),
 
@@ -690,6 +724,11 @@ object DedupQueries {
   val oracles: Map[String, String] =
     baseOracles +
       ("dd_semantic_persisted" -> baseOracles("dd_semantic")) +
+      // the ingest-time closure is the same deterministic
+      // pairs→components computation, persisted then reloaded —
+      // row-identical to the in-query parents by construction
+      ("dd_groups_persisted" -> baseOracles("dd_groups")) +
+      ("dd_survivors_persisted" -> baseOracles("dd_survivors_quality")) +
       // identical semantics to dd_pipeline (signatures are a per-doc
       // projection: filter-then-read ≡ read-then-filter) — the entry
       // pins the ingest-signature → semi-join → LSH path to the same

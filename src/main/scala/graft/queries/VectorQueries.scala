@@ -25,14 +25,35 @@ import QueryUtil._
   */
 object VectorQueries {
 
+  /** Memoized query vectors, keyed WEAKLY by session then by corpus
+    * dir — the exact catalog identity Tables.load keys its handle
+    * cache on, with the same staleness contract: if a corpus dir's
+    * files are rewritten in place mid-session, both caches serve the
+    * old version until [[graft.Tables.invalidate]] (which clears this
+    * cache too, via the registered hook below). A fresh session or
+    * JVM always refetches.
+    */
   private val qvCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Array[Float]]]()
+
+  graft.Tables.onInvalidate { () =>
+    qvCache.synchronized(qvCache.clear())
+  }
 
   /** The query vector (embedding of vec_id=0) as a literal column —
-    * fetched once per corpus dir per JVM.
+    * fetched once per (session, corpus dir).
     */
   private def qv(s: SparkSession, dir: String): org.apache.spark.sql.Column = {
-    val arr = qvCache.computeIfAbsent(dir, _ =>
+    val m = qvCache.synchronized {
+      var c = qvCache.get(s)
+      if (c == null) {
+        c = new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+        qvCache.put(s, c)
+      }
+      c
+    }
+    val arr = m.computeIfAbsent(dir, _ =>
       t(s, dir, "embeddings").filter(col("vec_id") === 0L)
         .select(col("embedding")).head().getSeq[Float](0).toArray)
     typedlit(arr)

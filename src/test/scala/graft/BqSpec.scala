@@ -39,6 +39,16 @@ class BqSpec extends SparkSpecBase {
     assert(idx.thresholds.mid.toSeq == th.mid.toSeq)
   }
 
+  test("fit refuses an empty corpus with a clear message (no opaque NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Bq.fit(empty.select(col("embedding")), "embedding", Dim)
+    }
+    assert(e.getMessage.contains("empty corpus"),
+      s"unexpected message: ${e.getMessage}")
+  }
+
   test("kernel encode matches driver-side encodeLocal on every row") {
     val rows = Bq.encode(emb, "embedding", th)
       .select(col("embedding").cast("array<double>"), col("bcodes"))

@@ -181,6 +181,23 @@ class DedupSpec extends SparkSpecBase {
       (10L, 10L, 1), (11L, 10L, 0)))
   }
 
+  test("survivorsByScore: unscored group members stay in the manifest (nulls last)") {
+    import spark.implicits._
+    val groups = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), // 3 is missing from scores
+      (10L, 10L, 2L), (11L, 10L, 2L))           // BOTH unscored → min id keeps
+      .toDF("doc_id", "group_id", "group_size")
+    val scores = Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "n_chars")
+    val out = Dedup.survivorsByScore(groups, "doc_id", scores, "n_chars")
+      .orderBy($"doc_id")
+      .select("doc_id", "group_id", "keep").as[(Long, Long, Int)].collect().toList
+    // doc 3 must appear (keep=0 — a scored sibling outranks it); the
+    // all-null group keeps its smallest id deterministically
+    assert(out == List(
+      (1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 0),
+      (10L, 10L, 1), (11L, 10L, 0)))
+  }
+
   test("incrementalMatches: batch-vs-corpus collisions equal the self-join " +
       "candidates crossing the split; zero-match batch docs surface with n_dups=0") {
     import spark.implicits._

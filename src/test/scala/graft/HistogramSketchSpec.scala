@@ -54,6 +54,18 @@ class HistogramSketchSpec extends SparkSpecBase {
     assert(out._3 > 150.0)
   }
 
+  test("lo=-0.0 / hi=0.0 is a degenerate range in the inline path (SQL === semantics)") {
+    import spark.implicits._
+    // boxed equals says -0.0 != 0.0, SQL === says they're equal; the
+    // inline path must take the degenerate branch (bin 0) like the
+    // join path, not divide by the zero width and bin to NaN/99
+    val rows = Seq(("g", -0.0), ("g", 0.0), ("g", 0.0))
+    val out = HistogramSketch.quantiles(
+        rows.toDF("g", "x"), Seq("g"), col("x"), Seq("p50" -> 0.5))
+      .select($"p50").as[Double].head()
+    assert(out == 0.0, s"degenerate -0.0/0.0 range returned $out")
+  }
+
   test("partition invariance: identical bits at any parallelism") {
     val a = sketch(1).orderBy("g").collect().toSeq
     val b = sketch(17).orderBy("g").collect().toSeq
