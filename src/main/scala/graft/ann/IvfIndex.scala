@@ -143,33 +143,62 @@ final class IvfIndex private (
 
 object IvfIndex {
 
+  /** Rows a single cell file should hold before the layout splits the
+    * cell across slot files (~64-dim float vectors + metadata ≈
+    * 300 B/row → ~150 MB parquet, a healthy file grain).
+    */
+  val DefaultTargetRowsPerFile = 500000L
+
   /** Assign + write the cell-partitioned layout. `centroids` must have
     * (cid, cv) columns; rule of thumb nlist ≈ √n cells.
     *
-    * The assigned frame is clustered on `cell` before the partitioned
-    * write: without it every write task emits a file into every cell
-    * directory it sees — tasks × nlist tiny files — and a probe pays
-    * file-grain overhead (open + footer per fragment) instead of data
-    * cost; measured 8-15s vs ~2s for an 8-query batch probe on the
-    * 100× corpus (~32 fragments/cell). With the cluster each cell is
-    * ONE file, probes open nprobe files, and the extra ingest shuffle
-    * is paid once per corpus version. (At sizes where one cell
-    * outgrows a good parquet file, compose the key as
-    * (cell, salt = pmod(hash(id), filesPerCell)) — same discipline
-    * Delta's OPTIMIZE applies.)
+    * The assigned frame is clustered on the partition key before the
+    * partitioned write: without it every write task emits a file into
+    * every cell directory it sees — tasks × nlist tiny files — and a
+    * probe pays file-grain overhead (open + footer per fragment)
+    * instead of data cost; measured 8-15s vs ~2s for an 8-query batch
+    * probe on the 100× corpus (~32 fragments/cell).
+    *
+    * The partition key is COMPOSED — (cell, slot = pmod(hash(id),
+    * filesPerCell)) — so a hot cell is never capped at one write task
+    * and one parquet file (the Delta OPTIMIZE discipline): pruning
+    * still prunes on the leading `cell` directory level, writes of a
+    * big cell parallelize across its slots, and per-file rows stay
+    * ~targetRowsPerFile. `filesPerCell` ≤ 0 sizes itself from the
+    * MEAN rows/cell (corpus count ÷ nlist — both already known at
+    * ingest); at bench scales that resolves to 1 slot per cell, i.e.
+    * exactly the old one-file-per-cell layout plus one directory
+    * level.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, cidCol: String, cvecCol: String, path: String): IvfIndex = {
+      centroids: DataFrame, cidCol: String, cvecCol: String, path: String,
+      filesPerCell: Int = 0,
+      targetRowsPerFile: Long = DefaultTargetRowsPerFile): IvfIndex = {
     val spark = corpus.sparkSession
     val cents = centroids.select(col(cidCol).as("cell"), col(cvecCol).as("cv"))
+    val fpc = resolveFilesPerCell(corpus, cents, filesPerCell, targetRowsPerFile)
     Ann.ivfAssign(corpus, idCol, vecCol, cents, "cell", "cv")
-      .repartition(col("cell"))
+      .withColumn("slot", pmod(hash(col(idCol)), lit(fpc)))
+      .repartition(col("cell"), col("slot"))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("cell")
+      .partitionBy("cell", "slot")
       .parquet(s"$path/cells")
     cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     new IvfIndex(spark, path, idCol, vecCol)
   }
+
+  /** Slot count from the mean cell population: max(1, ⌈(n/nlist) /
+    * targetRowsPerFile⌉). Shared with IvfPqIndex.
+    */
+  private[ann] def resolveFilesPerCell(corpus: DataFrame, cents: DataFrame,
+      filesPerCell: Int, targetRowsPerFile: Long): Int =
+    if (filesPerCell > 0) filesPerCell
+    else {
+      require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+      val n = corpus.count()
+      val nlist = math.max(1L, cents.count())
+      math.max(1L, math.ceil(n.toDouble / nlist / targetRowsPerFile).toLong).toInt
+    }
 
   def load(spark: SparkSession, path: String, idCol: String, vecCol: String): IvfIndex =
     new IvfIndex(spark, path, idCol, vecCol)

@@ -117,17 +117,24 @@ object IvfPqIndex {
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
-      books: Seq[DataFrame], dim: Int, path: String): IvfPqIndex = {
+      books: Seq[DataFrame], dim: Int, path: String,
+      filesPerCell: Int = 0,
+      targetRowsPerFile: Long = IvfIndex.DefaultTargetRowsPerFile): IvfPqIndex = {
     val spark = corpus.sparkSession
     val withRes = residualFrame(corpus, idCol, vecCol, centroids, cidCol, cvecCol)
-    // cluster on cell before the partitioned write: one file per cell
-    // instead of tasks × nlist fragments (see IvfIndex.build)
+    // cluster on the composed (cell, slot) key before the partitioned
+    // write: fragment-free like the one-file-per-cell layout, but a
+    // hot cell spreads over filesPerCell write tasks/files instead of
+    // being capped at one (see IvfIndex.build)
+    val fpc = IvfIndex.resolveFilesPerCell(corpus,
+      centroids.select(col(cidCol).as("cell")), filesPerCell, targetRowsPerFile)
     Pq.encode(withRes, idCol, "_res", books, dim)
       .drop("_res")
       .withColumnRenamed("_ivf_cell", "cell")
-      .repartition(col("cell"))
+      .withColumn("slot", pmod(hash(col(idCol)), lit(fpc)))
+      .repartition(col("cell"), col("slot"))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("cell")
+      .partitionBy("cell", "slot")
       .parquet(s"$path/cells")
     centroids.select(col(cidCol).as("cell"), col(cvecCol).as("cv"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")

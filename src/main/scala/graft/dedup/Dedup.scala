@@ -52,8 +52,58 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, threshold: Double,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val nHashes = 32
     val fanned = graft.Tables.fanOut(docs)
+    // both per-doc projections computed in-query; the persisted twin
+    // (dd_ngram_jaccard_persisted) reads the same frames from the
+    // ingest-time artifacts instead — one code path from here on
+    ngramJaccardFromArtifacts(
+      minHashSignatures(fanned, idCol, textCol, shingleLen = n,
+        nHashes = NgramJaccardHashes),
+      fanned.select(col(idCol), col(blockCol),
+        shingleHashArray(wsTokens(normText(col(textCol))), n).as("sh")),
+      idCol, blockCol, threshold, maxBucketSize)
+  }
+
+  /** Signature width of the n-gram jaccard family (32 slots: the
+    * estimate prefilter's variance needs more than the 16 the plain
+    * minhash entries use).
+    */
+  val NgramJaccardHashes = 32
+
+  /** Ingest builder for [[ngramJaccardFromArtifacts]]'s signature
+    * side: the 32-slot minhash matrix as a parquet stage table.
+    */
+  def buildJaccardSignatureTable(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, path: String): Unit =
+    minHashSignatures(docs, idCol, textCol, shingleLen = n,
+        nHashes = NgramJaccardHashes)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Ingest builder for the verify side: sorted distinct 60-bit
+    * shingle hashes per doc plus the blocking key — the exact-jaccard
+    * set representation, persisted so the standing pipeline's verify
+    * step never re-tokenizes the corpus.
+    */
+  def buildShingleTable(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int, path: String): Unit =
+    graft.Tables.fanOut(docs)
+      .select(col(idCol), col(blockCol),
+        shingleHashArray(wsTokens(normText(col(textCol))), n).as("sh"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** The candidates-then-verify chain over PRECOMPUTED per-doc
+    * projections: `sigs` = (idCol, h0..h31) minhash matrix
+    * ([[buildJaccardSignatureTable]]), `shingles` = (idCol, blockCol,
+    * sh sorted 60-bit hashes) ([[buildShingleTable]]). Both are pure
+    * per-doc projections of the text, so running from the artifacts is
+    * row-identical to the in-query path — what changes at 100 TB is
+    * that the corpus text is read ONCE per version (at ingest), never
+    * per dedup run.
+    */
+  def ngramJaccardFromArtifacts(sigs0: DataFrame, shingles: DataFrame,
+      idCol: String, blockCol: String, threshold: Double,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val nHashes = NgramJaccardHashes
     // PLAN BARRIER (the CurationPipeline signal-frame pattern): the
     // signature frame is consumed by FIVE plan branches below (banding
     // → bucket sizes, banding → kept-left, kept-right, and the sigA /
@@ -64,9 +114,10 @@ object Dedup {
     // text-free (id + 32 longs) frame makes every branch read one
     // local copy: at 100 TB that is 1 corpus read + 15 tiny signature
     // reads instead of 16 corpus reads. (On a long-lived cluster this
-    // is the persisted signature table between dedup phases.)
-    val sigs = minHashSignatures(fanned, idCol, textCol, shingleLen = n, nHashes = nHashes)
-      .transform(graft.Barrier.checkpoint)
+    // is the persisted signature table between dedup phases — which is
+    // exactly what the artifact path feeds in; the barrier then pins
+    // one local copy instead of 5 parquet re-reads.)
+    val sigs = graft.Barrier.checkpoint(sigs0)
     val cand = candidatesFromSignatures(sigs, idCol, nHashes = nHashes,
       nBands = 8, maxBucketSize = maxBucketSize)
     // Signature-estimate prefilter: matching-slot fraction is an
@@ -99,9 +150,7 @@ object Dedup {
     // string hash table. The oracle replays the identical hashes, so
     // jaccard values agree bit-for-bit across engines (a 2^-60
     // collision would shrink both engines' sets identically).
-    val sh = fanned.select(col(idCol), col(blockCol),
-      shingleHashArray(wsTokens(normText(col(textCol))), n).as("sh"))
-      .transform(graft.Barrier.checkpoint)
+    val sh = graft.Barrier.checkpoint(shingles)
     val iCnt = {
       import org.apache.spark.sql.graftshim.ColumnBridge
       ColumnBridge.column(graft.functions.expr.SortedIntersectCount(

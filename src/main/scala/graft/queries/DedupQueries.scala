@@ -109,6 +109,28 @@ object DedupQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
+    // the PERSISTED-projection twin of dd_ngram_jaccard: BOTH per-doc
+    // text projections — the 32-slot signature matrix AND the sorted
+    // shingle-hash sets the exact verify walks — are ingest-time
+    // parquet stage tables (the dd_pipeline_persisted move applied to
+    // the standalone entry); the dedup run is then candidate/estimate/
+    // verify JOINS over narrow artifacts, never a corpus text scan.
+    // Pure per-doc projections → row-identical, shared oracle.
+    "dd_ngram_jaccard_persisted" -> ((s, dir) => {
+      val sigPath = persistedArtifact("njsig32", dir) { p =>
+        Dedup.buildJaccardSignatureTable(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, p)
+      }
+      val shPath = persistedArtifact("njshingle", dir) { p =>
+        Dedup.buildShingleTable(t(s, dir, "documents"),
+          "doc_id", "text", "lang", n = 3, p)
+      }
+      Dedup.ngramJaccardFromArtifacts(
+          s.read.parquet(sigPath), s.read.parquet(shPath),
+          "doc_id", "lang", threshold = 0.5)
+        .orderBy(col("ida"), col("idb"))
+    }),
+
     // bands derived from the 0.7 target jaccard via the S-curve
     // (AnnTuner.minHashBands(16, 0.7) = 4 → s* = (1/4)^(1/4) ≈ 0.707):
     // same geometry round 4 hardcoded, now pinned to the threshold —
@@ -118,6 +140,24 @@ object DedupQueries {
     "dd_minhash" -> ((s, dir) => {
       Dedup.minHashCandidatesTuned(t(s, dir, "documents"), "doc_id", "text",
           shingleLen = 3, nHashes = 16, threshold = MinHashThreshold)
+        .orderBy(col("ida"), col("idb"))
+    }),
+
+    // the PERSISTED-signature twin of dd_minhash: candidates from the
+    // ingest-time 16-slot signature table (the same artifact
+    // dd_incremental's corpus side and the curation pipeline read) —
+    // per-run cost is the band/bucket joins alone. Signatures are a
+    // per-doc projection → row-identical, shared oracle.
+    "dd_minhash_persisted" -> ((s, dir) => {
+      val sigPath = persistedArtifact("mhsig16full", dir) { p =>
+        Dedup.minHashSignatures(t(s, dir, "documents"), "doc_id", "text",
+            shingleLen = 3, nHashes = 16)
+          .write.mode("overwrite").parquet(p)
+      }
+      Dedup.candidatesFromSignatures(
+          graft.Barrier.checkpoint(s.read.parquet(sigPath)),
+          "doc_id", nHashes = 16, nBands = MinHashNB,
+          maxBucketSize = graft.dedup.Dedup.DefaultMaxBucketSize)
         .orderBy(col("ida"), col("idb"))
     }),
 
@@ -729,6 +769,11 @@ object DedupQueries {
       // row-identical to the in-query parents by construction
       ("dd_groups_persisted" -> baseOracles("dd_groups")) +
       ("dd_survivors_persisted" -> baseOracles("dd_survivors_quality")) +
+      // signatures and shingle sets are per-doc projections:
+      // filter-then-read ≡ read-then-filter, so the artifact-fed
+      // chains reproduce their in-query parents row for row
+      ("dd_minhash_persisted" -> baseOracles("dd_minhash")) +
+      ("dd_ngram_jaccard_persisted" -> baseOracles("dd_ngram_jaccard")) +
       // identical semantics to dd_pipeline (signatures are a per-doc
       // projection: filter-then-read ≡ read-then-filter) — the entry
       // pins the ingest-signature → semi-join → LSH path to the same

@@ -86,6 +86,64 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(batch == singles, s"batch=$batch\nsingles=$singles")
   }
 
+  test("composed (cell, slot) layout: bounded files, pruning intact, results unchanged") {
+    import spark.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val mdir = Files.createTempDirectory("ivfmulti").toString
+    val midx = IvfIndex.build(emb, "vec_id", "embedding", cents, "cid", "cv",
+      mdir, filesPerCell = 3)
+
+    // layout: every cell directory splits into slot subdirectories,
+    // each holding exactly ONE parquet file (clustered write), and the
+    // slot union covers the corpus exactly once
+    val cellsRoot = new java.io.File(s"$mdir/cells")
+    val cellDirs = cellsRoot.listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    val slotCounts = cellDirs.map(_.listFiles().count(_.getName.startsWith("slot=")))
+    assert(slotCounts.forall(c => c >= 1 && c <= 3), slotCounts.toSeq.toString)
+    assert(slotCounts.exists(_ > 1), "expected at least one multi-slot cell")
+    for (cd <- cellDirs; sd <- cd.listFiles() if sd.getName.startsWith("slot="))
+      assert(sd.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${sd} must hold exactly one clustered file")
+    assert(midx.cells.count() == emb.count())
+    assert(midx.cells.select("vec_id").distinct().count() == emb.count())
+
+    // partition pruning still prunes on the leading cell level of the
+    // composed key
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    val df = midx.searchCells(Seq(0L, 50L), q, "qv", k = 3)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"), s"plan:\n$scan")
+
+    // same results as the single-file layout
+    val a = midx.search(q, "qv", nprobe = 2, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val b = idx.search(q, "qv", nprobe = 2, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  test("auto filesPerCell sizes from mean cell population") {
+    import spark.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // tiny targetRowsPerFile forces multi-slot cells even at sf0.001
+    val adir = Files.createTempDirectory("ivfauto").toString
+    val aidx = IvfIndex.build(emb, "vec_id", "embedding", cents, "cid", "cv",
+      adir, filesPerCell = 0, targetRowsPerFile = 10L)
+    val n = emb.count().toDouble
+    val nlist = cents.count().toDouble
+    val expected = math.max(1L, math.ceil(n / nlist / 10.0).toLong)
+    val slotDirs = new java.io.File(s"$adir/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).head.listFiles()
+      .count(_.getName.startsWith("slot="))
+    assert(slotDirs <= expected && expected > 1, s"slots=$slotDirs expected<=$expected")
+    assert(aidx.cells.count() == emb.count())
+  }
+
   test("static cell probe compiles to partition pruning") {
     import spark.implicits._
     val q = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
