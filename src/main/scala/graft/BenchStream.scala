@@ -136,6 +136,63 @@ object BenchStream {
       return
     }
 
+    // mode=ivf: the INDEX-probed serve path (AnnServe.scoreBatchIvf) —
+    // each micro-batch is one IvfIndex.searchBatch probe against the
+    // persisted cell-partitioned layout, so per-batch cost is
+    // |distinct probed cells|, not batch × corpus: the p50 should stay
+    // near-flat from 10× to 100× where the brute stream-static join
+    // scales with the corpus.
+    if (sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("ivf")) {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val n = emb.count()
+      val pid = ProcessHandle.current().pid()
+      val base = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_srvivf_${base}_$pid"
+      val idx = graft.ann.IvfIndex.buildAuto(emb, "vec_id", "embedding", path)
+      val nprobe = sys.env.getOrElse("SPARK_GRAFT_STREAM_NPROBE", "4").toInt
+      // warm serving handle: centroids pinned once, one pruned
+      // scan+join+topk plan per micro-batch (not searchBatch's
+      // probe-ranking stages re-paid every batch)
+      val serving = new graft.serve.IvfServing(idx, nprobe)
+      val pool = emb.filter(col("vec_id") < batch.toLong)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val stream = MemoryStream[(Long, Array[Float])]
+      @volatile var rowsOut = 0L
+      val query = stream.toDF().toDF("qid", "qv").writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // a request batch is driver-local by the serving contract
+          val reqs = b.as[(Long, Array[Float])].collect().toSeq
+          if (reqs.nonEmpty) {
+            val top = serving.searchBatch(reqs, k = 10).collect()
+            rowsOut += top.iterator.map(_.getLong(0)).toSet.size
+          }
+        }
+        .outputMode("append").start()
+      def round(r: Int): Double = {
+        val offset = r.toLong * 10000000L
+        val t0 = System.nanoTime()
+        stream.addData(pool.map { case (id, v) => (id + offset, v) }.toSeq)
+        query.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        (1 to 3).foreach(round)
+        val lats = (4 to 3 + rounds).map(round).sorted
+        val mean = lats.sum / lats.length
+        def pct(p: Double) = lats(math.min(lats.length - 1, (p * lats.length).toInt))
+        val qps = batch / mean
+        System.err.println(f"[bench-stream] ivf corpus=$n batch=$batch nprobe=$nprobe " +
+          f"mean=${mean * 1000}%.1f ms p50=${pct(0.5) * 1000}%.1f ms p95=${pct(0.95) * 1000}%.1f ms qps=$qps%.0f")
+        println(f"""{"metric":"stream_serve_ivf","corpus":$n,"batch":$batch,"nprobe":$nprobe,"rounds":$rounds,"mean_sec":$mean%.4f,"p50_sec":${pct(0.5)}%.4f,"p95_sec":${pct(0.95)}%.4f,"qps":$qps%.1f,"answered_queries":$rowsOut,"sf":"$sfDir"}""")
+      } finally {
+        query.stop()
+        spark.stop()
+      }
+      return
+    }
+
     val emb = Tables.load(spark, sfDir, "embeddings")
     val corpus = emb.select(col("vec_id"), col("embedding")).cache()
     val n = corpus.count()

@@ -117,16 +117,15 @@ object DedupQueries {
     // verify JOINS over narrow artifacts, never a corpus text scan.
     // Pure per-doc projections → row-identical, shared oracle.
     "dd_ngram_jaccard_persisted" -> ((s, dir) => {
-      val sigPath = persistedArtifact("njsig32", dir) { p =>
+      val sigs = persistedTable(s, "njsig32", dir) { p =>
         Dedup.buildJaccardSignatureTable(t(s, dir, "documents"),
           "doc_id", "text", n = 3, p)
       }
-      val shPath = persistedArtifact("njshingle", dir) { p =>
+      val shingles = persistedTable(s, "njshingle", dir) { p =>
         Dedup.buildShingleTable(t(s, dir, "documents"),
           "doc_id", "text", "lang", n = 3, p)
       }
-      Dedup.ngramJaccardFromArtifacts(
-          s.read.parquet(sigPath), s.read.parquet(shPath),
+      Dedup.ngramJaccardFromArtifacts(sigs, shingles,
           "doc_id", "lang", threshold = 0.5)
         .orderBy(col("ida"), col("idb"))
     }),
@@ -149,13 +148,13 @@ object DedupQueries {
     // per-run cost is the band/bucket joins alone. Signatures are a
     // per-doc projection → row-identical, shared oracle.
     "dd_minhash_persisted" -> ((s, dir) => {
-      val sigPath = persistedArtifact("mhsig16full", dir) { p =>
+      val sigs = persistedTable(s, "mhsig16full", dir) { p =>
         Dedup.minHashSignatures(t(s, dir, "documents"), "doc_id", "text",
             shingleLen = 3, nHashes = 16)
           .write.mode("overwrite").parquet(p)
       }
       Dedup.candidatesFromSignatures(
-          graft.Barrier.checkpoint(s.read.parquet(sigPath)),
+          graft.Barrier.checkpoint(sigs),
           "doc_id", nHashes = 16, nBands = MinHashNB,
           maxBucketSize = graft.dedup.Dedup.DefaultMaxBucketSize)
         .orderBy(col("ida"), col("idb"))
@@ -170,7 +169,7 @@ object DedupQueries {
     // batch, not the corpus. Same signature arithmetic + band
     // geometry as dd_minhash (shared oracle CTEs).
     "dd_incremental" -> ((s, dir) => {
-      val sigPath = persistedArtifact("incsig", dir) { p =>
+      val corpusSigs = persistedTable(s, "incsig", dir) { p =>
         Dedup.minHashSignatures(
             t(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) =!= 7),
             "doc_id", "text", shingleLen = 3, nHashes = 16)
@@ -179,7 +178,7 @@ object DedupQueries {
       val batch = t(s, dir, "documents")
         .filter(pmod(col("doc_id"), lit(10)) === 7)
       Dedup.incrementalMatches(
-          s.read.parquet(sigPath),
+          corpusSigs,
           Dedup.minHashSignatures(batch, "doc_id", "text",
             shingleLen = 3, nHashes = 16),
           "doc_id", nHashes = 16,
@@ -240,13 +239,8 @@ object DedupQueries {
     // closure amortized to ingest and maintained incrementally by
     // Dedup.mergeGroups as batches arrive (GroupsMaintenanceSpec
     // pins incremental ≡ full recompute).
-    "dd_groups_persisted" -> ((s, dir) => {
-      val gPath = persistedArtifact("ddgroups", dir) { p =>
-        Dedup.buildGroupsTable(t(s, dir, "documents"), "doc_id", "text", p,
-          shingleLen = 3, nHashes = 16, threshold = MinHashThreshold)
-      }
-      s.read.parquet(gPath).orderBy(col("doc_id"))
-    }),
+    "dd_groups_persisted" -> ((s, dir) =>
+      groupsTable(s, dir).orderBy(col("doc_id"))),
 
     // survivorship policy (Dedup.survivorsByScore): production dedup
     // keeps the BEST copy per dup group, not the min-id one — here
@@ -269,15 +263,10 @@ object DedupQueries {
     // against the ingest artifact the operator is what it always was
     // on paper: one score join + one per-group window. Row-identical
     // to dd_survivors_quality (shared oracle).
-    "dd_survivors_persisted" -> ((s, dir) => {
-      val gPath = persistedArtifact("ddgroups", dir) { p =>
-        Dedup.buildGroupsTable(t(s, dir, "documents"), "doc_id", "text", p,
-          shingleLen = 3, nHashes = 16, threshold = MinHashThreshold)
-      }
-      Dedup.survivorsByScore(s.read.parquet(gPath), "doc_id",
+    "dd_survivors_persisted" -> ((s, dir) =>
+      Dedup.survivorsByScore(groupsTable(s, dir), "doc_id",
           t(s, dir, "documents"), "n_chars")
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // duplicate-span detection (Dedup.duplicateSpans — the Lee et al.
     // exact-substring dedup as a window-hash shuffle): per-doc count
@@ -372,6 +361,17 @@ object DedupQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }))
+
+  /** Session-cached handle on the ingest-time group-assignment
+    * artifact (Dedup.buildGroupsTable), shared by dd_groups_persisted
+    * and dd_survivors_persisted.
+    */
+  private def groupsTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    persistedTable(s, "ddgroups", dir) { p =>
+      Dedup.buildGroupsTable(t(s, dir, "documents"), "doc_id", "text", p,
+        shingleLen = 3, nHashes = 16, threshold = MinHashThreshold)
+    }
 
   private val baseOracles: Map[String, String] = Map(
     "dd_exact" ->

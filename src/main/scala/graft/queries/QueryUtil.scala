@@ -43,4 +43,32 @@ object QueryUtil {
       build(p)
       p
     })
+
+  private val artifactHandles =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  /** [[persistedArtifact]] plus a session-scoped DataFrame handle —
+    * the Tables.load discipline applied to artifact reads: a bare
+    * `spark.read.parquet(path)` re-lists the directory and re-reads
+    * footers on EVERY query construction (~0.1 s of pure fixed cost
+    * per run at sf0.1, measured via BenchProbe on
+    * d_query_documents_persisted), which for a standing artifact is
+    * paid once per session instead. Same staleness contract as
+    * Tables.load (weak per-session keying; artifacts are immutable
+    * within a JVM by persistedArtifact's pid-keyed path).
+    */
+  def persistedTable(s: SparkSession, kind: String, corpusDir: String)(
+      build: String => Unit): DataFrame = {
+    val m = artifactHandles.synchronized {
+      var c = artifactHandles.get(s)
+      if (c == null) {
+        c = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        artifactHandles.put(s, c)
+      }
+      c
+    }
+    m.computeIfAbsent(s"$kind|$corpusDir",
+      _ => s.read.parquet(persistedArtifact(kind, corpusDir)(build)))
+  }
 }

@@ -76,6 +76,36 @@ final class ShardedVectorServing(
     all.sortBy { case (r, s) => (-s, idKey(r)) }.take(k)
   }
 
+  /** Re-shard n → m (the operation a growing corpus forces): rebuild
+    * placement from the SAME hash law — `pmod(hash(id), m)` with the
+    * new modulus — over the union of the current shard tables, and
+    * return a fully-built m-shard router. This is drain + swap, not an
+    * in-place mutation:
+    *
+    *   1. DRAIN — quiesce the changelog (or buffer it) so the shard
+    *      tables stop moving; the union here reads each shard's
+    *      maintained table as of this call.
+    *   2. BUILD — the new router materializes every one of its m
+    *      snapshots in its constructor, while the OLD router keeps
+    *      serving reads untouched (ServingSpec pins query identity
+    *      before, during and after).
+    *   3. SWAP — the caller flips its (volatile) router reference and
+    *      replays any buffered changelog entries into the new router;
+    *      readers see either the n-shard or the m-shard tier, never a
+    *      mix.
+    *
+    * Placement is recomputed from scratch rather than incrementally
+    * migrated: with `pmod(hash(id), m)` there is no split lineage
+    * between moduli (this is not a consistent-hash ring), and the
+    * rebuild cost is the same bounded per-shard collects the CDC path
+    * already pays per refresh — O(corpus/m) per new shard, embarrassed
+    * parallel across refreshers in production.
+    */
+  def reshard(newShards: Int): ShardedVectorServing = {
+    val all = refreshers.map(_.currentTable).reduce(_ unionByName _)
+    new ShardedVectorServing(all, idCol, vecCol, newShards, maxLocalItems)
+  }
+
   /** Point lookup: probe every shard (id placement is a write-side
     * concern; a read probing nShards in-memory snapshots is cheaper
     * than keeping a driver-side hash in sync with Spark's).

@@ -30,6 +30,24 @@ object AnnServe {
       .withColumn("score", cosine(col(vecCol), col("qv")))
       .select(col("qid"), col(idCol), col("score"))
 
+  /** INDEX-probed variant (the production serve shape): each query
+    * micro-batch runs one IvfIndex.searchBatch probe against the
+    * persisted cell-partitioned layout — per-batch scan cost is
+    * |distinct probed cells| of the index, not |batch| × |corpus|,
+    * so micro-batch latency stays near-flat as the corpus grows
+    * (nprobe/nlist of the data, both scaling ~√n). Wire it through
+    * `writeStream.foreachBatch { (b, _) => sink(scoreBatchIvf(b, …)) }`:
+    * foreachBatch is exactly "stream micro-batch = query batch", and
+    * index refresh is pointing `idx` at the next published layout.
+    * Output mirrors searchBatch: (qid, id, score, rk) — already
+    * top-k, no downstream ranking needed (StreamingSpec pins
+    * equivalence with the brute stream-static join at full probe
+    * width).
+    */
+  def scoreBatchIvf(batch: DataFrame, qidCol: String, qvecCol: String,
+      idx: graft.ann.IvfIndex, nprobe: Int, k: Int): DataFrame =
+    idx.searchBatch(batch, qidCol, qvecCol, nprobe, k)
+
   /** Bucket-pruned variant: both sides bucketed by the same LSH
     * planes; the stream-static join carries the bucket equality so
     * each query scores only its bucket of the corpus.

@@ -300,4 +300,60 @@ class ServingSpec extends SparkSpecBase {
     assert(sharded.getItem(victim).isEmpty)
     assert(sharded.size == single.serving.size)
   }
+
+  test("ShardedVectorServing.reshard: n→m drain+swap keeps query identity " +
+      "before, during and after the transition") {
+    assume(haveData)
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "embeddings")
+    val old = new graft.serve.ShardedVectorServing(base, "vec_id", "embedding", 3)
+    val q0 = queryVec
+    def asTuples(xs: Seq[(org.apache.spark.sql.Row, Double)]) =
+      xs.map { case (r, s) => (r.getAs[Long]("vec_id"), s) }
+    val before = asTuples(old.queryItems(q0, 10))
+    assert(before.size == 10)
+
+    // DURING: a reader hammers the OLD router while the new tier
+    // builds — the transition must never tear or change results
+    val readerFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try while (!stopReader.get())
+        assert(asTuples(old.queryItems(q0, 10)) == before)
+      catch { case t: Throwable => readerFailure.set(t) }
+    })
+    reader.start()
+    val grown = old.reshard(5) // BUILD (old keeps serving)
+    stopReader.set(true)
+    reader.join()
+    assert(readerFailure.get() == null,
+      s"reader failed during reshard: ${readerFailure.get()}")
+
+    // AFTER the swap: identical reads, every row on exactly one of the
+    // 5 shards, all shards populated (murmur3 spread at this size)
+    assert(grown.nShards == 5)
+    assert(asTuples(grown.queryItems(q0, 10)) == before)
+    assert(grown.size == old.size)
+    assert((0 until 5).forall(i => grown.shard(i).serving.size > 0))
+    assert((0 until 5).map(i => grown.shard(i).serving.size).sum == grown.size)
+    val mf = MetaFilter.parse("""{"label":{"$in":[1,2,3,4]}}""")
+    assert(asTuples(grown.queryItems(q0, 10, Some(mf))) ==
+      asTuples(old.queryItems(q0, 10, Some(mf))))
+
+    // the new tier stays maintainable: CDC lands on the RE-hashed
+    // placement and reads see it
+    val changes = Seq((424242L, "i", q0.map(-_), 2))
+      .toDF("vec_id", "op", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    grown.applyChanges(changes)
+    assert(grown.getItem(424242L).isDefined)
+    assert(grown.size == old.size + 1)
+
+    // shrink path: m < n over the updated tier keeps the updated rows
+    val shrunk = grown.reshard(2)
+    assert(shrunk.nShards == 2 && shrunk.size == grown.size)
+    assert(shrunk.getItem(424242L).isDefined)
+    assert(asTuples(shrunk.queryItems(q0, 10)) ==
+      asTuples(grown.queryItems(q0, 10)))
+  }
 }

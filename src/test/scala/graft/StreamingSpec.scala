@@ -125,6 +125,68 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("streaming IVF serve: foreachBatch probe equals brute top-k at full probe width") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("srvivf").toString
+    val idx = graft.ann.IvfIndex.buildAuto(corpus, "vec_id", "embedding", dir)
+    val nlist = idx.centroids.count().toInt
+    val queryRows = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val stream = MemoryStream[(Long, Array[Float])]
+    stream.addData(queryRows)
+    val q = stream.toDF().toDF("qid", "qv").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // k+1 then drop the query's own corpus row: searchBatch keeps
+        // self (it IS a corpus member), bruteForceTopK excludes it
+        val rows = graft.streaming.AnnServe
+          .scoreBatchIvf(b, "qid", "qv", idx, nprobe = nlist, k = 4)
+          .filter(col("qid") =!= col("vec_id"))
+          .withColumn("_r", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(col("rk"))))
+          .filter(col("_r") <= 3)
+          .select("qid", "vec_id", "score")
+          .as[(Long, Long, Double)].collect()
+        got ++= rows
+        ()
+      }
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val want = graft.ann.Ann.bruteForceTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 3), "vec_id", "embedding", k = 3)
+      .select("qid", "vec_id", "score").as[(Long, Long, Double)].collect().toSet
+    assert(got.toSet == want, s"got=${got.toSet}\nwant=$want")
+  }
+
+  test("IvfServing: warm driver-probed batch is row-identical to IvfIndex.searchBatch") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("srvivf2").toString
+    val idx = graft.ann.IvfIndex.buildAuto(corpus, "vec_id", "embedding", dir)
+    val serving = new graft.serve.IvfServing(idx, nprobe = 3)
+    val reqs = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val warm = serving.searchBatch(reqs, k = 4)
+      .select("qid", "vec_id", "score", "rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val batch = idx.searchBatch(
+        corpus.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", nprobe = 3, k = 4)
+      .select("qid", "vec_id", "score", "rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(warm == batch, s"warm=$warm\nbatch=$batch")
+    assert(warm.nonEmpty)
+  }
+
   test("streaming near-dup gate: fingerprint anti-join drops indexed near-copies") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
