@@ -15,7 +15,19 @@ the code's cost. Both sessions' medians ship in the artifact
 (`sessions`) so the rejection is auditable, and a session whose total
 exceeds 1.3x the best session is flagged in `contended_sessions`.
 
+Round-11 addition — FLOOR PROBES (the dd_embed_cosine lesson: a +77%
+cross-round delta was asserted to be interleave noise without a
+measurement): set GRAFT_SWEEP_PREV=<previous round's artifact.json>
+and every entry whose per-op min moved more than +-30% vs that
+artifact gets a STANDALONE quiet-host probe (a fresh single-entry
+Bench session — no interleave, so cache/contention effects from
+neighboring entries are gone). The artifact then carries a `floors`
+sidecar {entry: {prev, swept, floor}}: if floor is near prev, the
+sweep delta was interleave noise, measured; if floor confirms the
+swept value, the delta is real and needs a code-level explanation.
+
 Usage:
+  [GRAFT_SWEEP_PREV=prev.json] \
   python3 tools/sweep.py <sfDir> <out.json> [sessions=2] [reps=3] [only=...]
 """
 import json
@@ -97,6 +109,28 @@ def main():
     totals = [sum(r["queries"][n] for n in names) for r in runs]
     best = min(totals)
     contended = [i + 1 for i, t in enumerate(totals) if t > 1.3 * best]
+    floors = {}
+    prev_path = os.environ.get("GRAFT_SWEEP_PREV")
+    if prev_path:
+        with open(prev_path) as f:
+            prev_q = json.load(f).get("queries", {})
+        flagged = sorted(
+            n for n in names if n in prev_q and prev_q[n] > 0
+            and not 0.7 <= per_op[n] / prev_q[n] <= 1.3)
+        if len(flagged) > 15:
+            print(f"[sweep] {len(flagged)} entries moved >30% — floor-probing "
+                  "the 15 biggest movers only (a shift that broad is a "
+                  "code/corpus change, not per-entry noise)", file=sys.stderr)
+            flagged = sorted(flagged, key=lambda n: -abs(per_op[n] - prev_q[n]))[:15]
+            flagged = sorted(flagged)
+        for n in flagged:
+            fl = run_session(sf_dir, reps, n, f"floor:{n}")
+            floors[n] = {"prev": prev_q[n], "swept": per_op[n],
+                         "floor": fl["queries"][n]}
+            print(f"[sweep] floor {n}: prev {prev_q[n]:.2f}s, swept "
+                  f"{per_op[n]:.2f}s, standalone floor "
+                  f"{fl['queries'][n]:.2f}s", file=sys.stderr)
+
     artifact = {
         "metric": "total",
         "value": sum(per_op.values()),
@@ -116,6 +150,9 @@ def main():
             for t, r in zip(totals, runs)],
         "contended_sessions": contended,
     }
+    if prev_path:
+        artifact["floors"] = floors
+        artifact["floors_vs"] = prev_path
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(f"[sweep] wrote {out_path}: total {artifact['value']:.1f}s over "
