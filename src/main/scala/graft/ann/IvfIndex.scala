@@ -126,6 +126,44 @@ final class IvfIndex private (
         round(col("score_raw"), 6).as("score"): _*)
   }
 
+  /** INCREMENTAL maintenance: assign a new batch to the EXISTING
+    * centroids and append its rows into the cell layout — the ANN
+    * counterpart of the dedup layer's persisted-artifact upkeep
+    * (Dedup.mergeGroups, incrementalMatches): per-tick cost is one
+    * narrow map over the batch (NearestCentroid kernel, no shuffle
+    * beyond the clustering repartition) plus a clustered append
+    * write touching only the batch's cells. No corpus read, no
+    * rebuild. Row placement is identical to what a full rebuild with
+    * the same centroids would produce (IvfIndexSpec pins search-result
+    * identity), so probes are correct immediately after the append.
+    *
+    * Standing trades, both deliberate: (1) each append adds one file
+    * per touched (cell, slot) — a long-lived index compacts by
+    * periodic re-build (the Delta OPTIMIZE discipline; [[cellStats]]
+    * exposes file counts for the decision); (2) centroids do NOT move
+    * — as the corpus drifts, cells unbalance, and [[cellStats]]'s
+    * population spread is the re-cluster trigger. Both jobs are
+    * ingest-side maintenance, never query-side cost.
+    */
+  def append(batch: DataFrame, filesPerCell: Int = 1): Unit = {
+    require(filesPerCell > 0, "filesPerCell must be positive")
+    Ann.ivfAssign(batch, idCol, vecCol,
+        centroids.select(col("cell"), col("cv")), "cell", "cv")
+      .withColumn("slot", pmod(hash(col(idCol)), lit(filesPerCell)))
+      .repartition(col("cell"), col("slot"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell", "slot")
+      .parquet(s"$path/cells")
+  }
+
+  /** Per-cell population — the maintenance dashboard: population
+    * spread says when the frozen centroids stopped fitting the data
+    * (re-cluster), row counts per cell say when cells outgrow their
+    * file budget (compact / raise filesPerCell).
+    */
+  def cellStats: DataFrame =
+    cells.groupBy(col("cell")).agg(count(lit(1)).as("n_rows"))
+
   /** Probe with a driver-known cell list — compiles to static
     * partition pruning (PartitionFilters in the scan).
     */

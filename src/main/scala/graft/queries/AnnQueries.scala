@@ -110,6 +110,38 @@ object AnnQueries {
         .orderBy(desc("score"), col("vec_id"))
     }),
 
+    // INCREMENTALLY-MAINTAINED layout (IvfIndex.append): the index is
+    // built on 90% of the corpus, then the remaining batch
+    // (vec_id % 10 = 7) is assigned to the SAME frozen centroids and
+    // appended into the cell directories — one narrow batch map + a
+    // clustered append, no rebuild, no corpus read (the continuous-
+    // ingestion shape for ANN, mirroring dd_incremental /
+    // Dedup.mergeGroups on the dedup side). Assignment depends only
+    // on the centroids, so the final layout holds exactly the rows a
+    // full build would — the probe is row-identical to
+    // ann_ivf_persisted and the oracle is shared verbatim.
+    "ann_ivf_append" -> ((s, dir) => {
+      val idxPath = persistedArtifact("ivfapp", dir) { p =>
+        val emb = t(s, dir, "embeddings")
+        val m = math.max(1L, math.floor(math.sqrt(
+          graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+            emb, "embedding", None).n.toDouble)).toLong)
+        val cent = emb.filter(pmod(col("vec_id"), lit(m)) === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val idx = graft.ann.IvfIndex.build(
+          emb.filter(pmod(col("vec_id"), lit(10)) =!= 7),
+          "vec_id", "embedding", cent, "cid", "cv", p)
+        idx.append(emb.filter(pmod(col("vec_id"), lit(10)) === 7))
+      }
+      graft.ann.IvfIndex.load(s, idxPath, "vec_id", "embedding")
+        .search(
+          t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+            .select(col("embedding").as("qv")),
+          "qv", nprobe = 3, k = 10)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("score"))
+        .orderBy(desc("score"), col("vec_id"))
+    }),
+
     // BATCHED probe against the SAME persisted layout
     // (IvfIndex.searchBatch): 8 query vectors in one plan — per-query
     // probe cells ranked in one bounded window, then the cells frame
@@ -1023,6 +1055,9 @@ object AnnQueries {
     // only in WHERE the cells live (loaded partitioned parquet vs the
     // in-plan assignment), which SQL cannot observe
     "ann_ivf_persisted" -> IvfOracleSql,
+    // append assigns against the same frozen centroids, so the
+    // maintained layout holds exactly the full build's rows
+    "ann_ivf_append" -> IvfOracleSql,
 
     // the IVF assign CTEs with a PER-QUERY probe ranking (row_number
     // over cells per qid) and per-query top-k — the batched twin of

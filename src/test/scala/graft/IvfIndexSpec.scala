@@ -125,6 +125,44 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("append: batch lands on the frozen centroids, probes identical to a full rebuild") {
+    import spark.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val adir = Files.createTempDirectory("ivfapp").toString
+    val aidx = IvfIndex.build(
+      emb.filter(col("vec_id") % 10 =!= 7),
+      "vec_id", "embedding", cents, "cid", "cv", adir)
+    val before = aidx.cells.count()
+    aidx.append(emb.filter(col("vec_id") % 10 === 7))
+
+    // coverage: every corpus row exactly once after the append
+    assert(aidx.cells.count() == emb.count() && before < emb.count())
+    assert(aidx.cells.select("vec_id").distinct().count() == emb.count())
+    assert(aidx.cellStats.agg(org.apache.spark.sql.functions.sum("n_rows"))
+      .head().getLong(0) == emb.count())
+
+    // search identity with the one-shot full build over the same
+    // centroids — placement depends only on the centroids
+    val q = emb.filter(col("vec_id") === 1L).select(col("embedding").as("qv"))
+    val got = aidx.search(q, "qv", nprobe = 2, k = 5)
+      .select($"vec_id", $"cell".cast("long"), $"score")
+      .as[(Long, Long, Double)].collect().toSeq
+    val want = idx.search(q, "qv", nprobe = 2, k = 5)
+      .select($"vec_id", $"cell".cast("long"), $"score")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == want)
+
+    // file accounting: one append adds at most one file per touched
+    // (cell, slot) — the compaction trade the scaladoc names
+    val cellDirs = new java.io.File(s"$adir/cells").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    for (cd <- cellDirs; sd <- cd.listFiles() if sd.getName.startsWith("slot="))
+      assert(sd.listFiles().count(_.getName.endsWith(".parquet")) <= 2,
+        s"$sd: more files than build+1 append can produce")
+  }
+
   test("auto filesPerCell sizes from mean cell population") {
     import spark.implicits._
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
-"""Run the three BenchStream modes (serve / classifier / cdc) across
-the given corpus dirs and assemble one BENCH_STREAM artifact, stamped
-with the git SHA (same trustworthiness contract as tools/sweep.py).
+"""Run the four BenchStream modes (serve / ivf / classifier / cdc)
+across the given corpus dirs and assemble one BENCH_STREAM artifact,
+stamped with the git SHA (same trustworthiness contract as
+tools/sweep.py).
 
 Usage: python3 tools/stream_sweep.py <out.json> <sfDir> [<sfDir> ...]
 """
@@ -36,7 +37,8 @@ def run_one(sf_dir, mode):
 
 def main():
     out_path, dirs = sys.argv[1], sys.argv[2:]
-    runs = [run_one(d, m) for d in dirs for m in ("serve", "classifier", "cdc")]
+    runs = [run_one(d, m)
+            for d in dirs for m in ("serve", "ivf", "classifier", "cdc")]
     artifact = {"git_sha": git_sha(), "runs": runs}
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
