@@ -102,8 +102,11 @@ object Dedup {
     */
   def ngramJaccardFromArtifacts(sigs0: DataFrame, shingles: DataFrame,
       idCol: String, blockCol: String, threshold: Double,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      barrierInputs: Boolean = true): DataFrame = {
     val nHashes = NgramJaccardHashes
+    def pin(df: DataFrame): DataFrame =
+      if (barrierInputs) graft.Barrier.checkpoint(df) else df
     // PLAN BARRIER (the CurationPipeline signal-frame pattern): the
     // signature frame is consumed by FIVE plan branches below (banding
     // → bucket sizes, banding → kept-left, kept-right, and the sigA /
@@ -117,7 +120,11 @@ object Dedup {
     // is the persisted signature table between dedup phases — which is
     // exactly what the artifact path feeds in; the barrier then pins
     // one local copy instead of 5 parquet re-reads.)
-    val sigs = graft.Barrier.checkpoint(sigs0)
+    // barrierInputs=false for FILE-BACKED inputs (the persisted twins):
+    // a parquet stage table IS the materialized frame — re-scanning the
+    // narrow file per plan branch is what the barrier's local copy
+    // simulates, minus the copy cost
+    val sigs = pin(sigs0)
     val cand = candidatesFromSignatures(sigs, idCol, nHashes = nHashes,
       nBands = 8, maxBucketSize = maxBucketSize)
     // Signature-estimate prefilter: matching-slot fraction is an
@@ -150,7 +157,7 @@ object Dedup {
     // string hash table. The oracle replays the identical hashes, so
     // jaccard values agree bit-for-bit across engines (a 2^-60
     // collision would shrink both engines' sets identically).
-    val sh = graft.Barrier.checkpoint(shingles)
+    val sh = pin(shingles)
     val iCnt = {
       import org.apache.spark.sql.graftshim.ColumnBridge
       ColumnBridge.column(graft.functions.expr.SortedIntersectCount(

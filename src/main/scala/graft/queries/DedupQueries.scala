@@ -126,7 +126,8 @@ object DedupQueries {
           "doc_id", "text", "lang", n = 3, p)
       }
       Dedup.ngramJaccardFromArtifacts(sigs, shingles,
-          "doc_id", "lang", threshold = 0.5)
+          "doc_id", "lang", threshold = 0.5,
+          barrierInputs = false) // file-backed: branch re-scans beat a local copy
         .orderBy(col("ida"), col("idb"))
     }),
 
@@ -154,7 +155,7 @@ object DedupQueries {
           .write.mode("overwrite").parquet(p)
       }
       Dedup.candidatesFromSignatures(
-          graft.Barrier.checkpoint(sigs),
+          sigs, // file-backed: branch re-scans of the narrow table beat a local copy
           "doc_id", nHashes = 16, nBands = MinHashNB,
           maxBucketSize = graft.dedup.Dedup.DefaultMaxBucketSize)
         .orderBy(col("ida"), col("idb"))
