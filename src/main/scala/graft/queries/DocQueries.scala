@@ -79,10 +79,11 @@ object DocQueries {
     "d_query_documents_filtered" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), normText(col("text")).as("t"))
+      // metadata rides through the explode — one scan, no self-join
+      // (the scoredChunkFrame shape with the filter columns carried)
       val chunks = docs
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("lang"), col("source"), col("t"),
           explode(sequence(lit(0), ceil(length(col("t")) / 200.0).cast("int") - 1)).as("i"))
-        .join(docs, "doc_id")
         .select(col("doc_id"), col("lang"), col("source"), col("i"),
           col("t").substr(col("i") * 200 + 1, lit(200)).as("chunk"))
         .withColumn("score_raw", (portableHash(col("chunk")) % 1000000).cast("double") / 1000000.0)
@@ -157,12 +158,14 @@ object DocQueries {
     * whole query shape.
     */
   private[graft] def scoredChunkFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val docs = t(s, dir, "documents")
+    // the text rides THROUGH the explode (generators keep sibling
+    // columns) — one corpus scan, zero shuffles; the earlier
+    // explode-then-self-join formulation paid a doc_id exchange plus a
+    // second scan to re-attach the text it had just projected away
+    t(s, dir, "documents")
       .select(col("doc_id"), normText(col("text")).as("t"))
-    docs
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), ceil(length(col("t")) / 200.0).cast("int") - 1)).as("i"))
-      .join(docs, "doc_id")
       .select(col("doc_id"), col("i"), col("t").substr(col("i") * 200 + 1, lit(200)).as("chunk"))
       .withColumn("score_raw", (portableHash(col("chunk")) % 1000000).cast("double") / 1000000.0)
   }
