@@ -950,9 +950,15 @@ object Dedup {
     val newSizes = allRows.join(broadcast(affected), col("_ng") === col("_ag"))
       .groupBy(col("_ng")).agg(count(lit(1)).as("_nsz"))
       .select(col("_ng").as("_sg"), col("_nsz"))
+    // the final lit(1L): a NEW node whose every pair collapsed to a
+    // self-loop (degenerate (a,a) input — candidate generators never
+    // emit it, but connectedGroups would make it a singleton) is a
+    // member row outside any remap component: no recount (_nsz) and
+    // no stored size (_gsz) — its group is itself, size 1, matching
+    // the full recompute exactly (GroupsMaintenanceSpec covers it)
     allRows.join(broadcast(newSizes), col("_ng") === col("_sg"), "left")
       .select(col("_id").as(idCol), col("_ng").as("group_id"),
-        coalesce(col("_nsz"), col("_gsz")).as("group_size"))
+        coalesce(col("_nsz"), col("_gsz"), lit(1L)).as("group_size"))
   }
 
   def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,

@@ -62,6 +62,12 @@ class GroupsMaintenanceSpec extends SparkSpecBase {
     assertMergeEqualsFull(Seq((1L, 2L)), Seq((40L, 2L)))
   }
 
+  test("degenerate self-pair in the batch: node becomes a singleton, like the full closure") {
+    assertMergeEqualsFull(Seq((1L, 2L)), Seq((30L, 30L)))
+    // and mixed with a real edge on the same tick
+    assertMergeEqualsFull(Seq((1L, 2L)), Seq((30L, 30L), (31L, 1L)))
+  }
+
   test("property: merge ≡ full recompute on random graph splits") {
     val rnd = new scala.util.Random(911L)
     for (trial <- 0 until 6) {
