@@ -38,20 +38,20 @@ object Tables {
     * files, so DATA changes are always visible — only the file LIST
     * and schema snapshot are pinned (same contract as a catalog
     * table; use [[invalidate]] after rewriting a table's file set).
-    * Keyed weakly by session so test suites that cycle sessions don't
-    * leak.
+    * Keyed by session; a cached DataFrame strongly references its
+    * session, so WEAK keying could never collect an entry (the
+    * value→key path pins it — round-11 advice). Entries for STOPPED
+    * sessions are purged on access instead, which is the actual
+    * suites-cycling-sessions leak case.
     */
   private val handleCache =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  private def sessionCache(spark: SparkSession) = handleCache.synchronized {
-    var m = handleCache.get(spark)
-    if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-      handleCache.put(spark, m)
-    }
-    m
+  private def sessionCache(spark: SparkSession) = {
+    handleCache.keySet.removeIf(k => k.sparkContext.isStopped)
+    handleCache.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
   }
 
   /** Caches derived from table contents (e.g. VectorQueries' memoized
@@ -67,7 +67,7 @@ object Tables {
     * cache. Call after rewriting a corpus dir's files in place.
     */
   def invalidate(): Unit = {
-    handleCache.synchronized { handleCache.clear() }
+    handleCache.clear()
     invalidateHooks.forEach(h => h())
   }
 

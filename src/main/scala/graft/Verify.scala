@@ -26,13 +26,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> String.valueOf(e.getMessage)
       }
       // free each query's plan-barrier pins so a 52-query sweep in one
       // JVM doesn't accumulate executor storage (Barrier scaladoc)
@@ -60,5 +62,14 @@ object Verify {
       if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
     Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
+    // FAIL-LOUD completeness gate (round-11 verdict #1): a query that
+    // threw was previously a stderr line only, so a driver run could
+    // ship an (n-1)-entry artifact under an "all green" assumption —
+    // the emitted set must equal the selected key set or the run
+    // itself fails (after the oracle json + every healthy dump are on
+    // disk, so a partial artifact still exists for diagnosis).
+    require(failed.isEmpty,
+      s"Verify: ${failed.size}/${selected.size} queries FAILED — " +
+        failed.map { case (n, m) => s"$n (${m.take(200)})" }.mkString("; "))
   }
 }

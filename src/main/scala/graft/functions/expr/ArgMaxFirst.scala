@@ -34,10 +34,10 @@ case class ArgMaxFirst(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    ArgMaxFirst.eval(input.asInstanceOf[ArrayData])
+    ArgMaxFirst.argMax(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.expr.ArgMaxFirst.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.ArgMaxFirst.argMax($c)")
 
   override protected def withNewChildInternal(newChild: Expression): ArgMaxFirst =
     copy(child = newChild)
@@ -48,7 +48,7 @@ object ArgMaxFirst {
   /** Static entry for both interpreted eval and generated code.
     * Null elements are skipped (a value must be PRESENT to win).
     */
-  def eval(arr: ArrayData): Int = {
+  def argMax(arr: ArrayData): Int = {
     val n = arr.numElements()
     var bestIdx = -1
     var best = Int.MinValue

@@ -35,12 +35,12 @@ case class DropSpanTokens(left: Expression, right: Expression, span: Int)
     }
 
   override def nullSafeEval(tokens: Any, starts: Any): Any =
-    DropSpanTokens.eval(tokens.asInstanceOf[ArrayData],
+    DropSpanTokens.dropTokens(tokens.asInstanceOf[ArrayData],
       starts.asInstanceOf[ArrayData], span)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (t, s) => s"graft.functions.expr.DropSpanTokens.eval($t, $s, $span)")
+      (t, s) => s"graft.functions.expr.DropSpanTokens.dropTokens($t, $s, $span)")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DropSpanTokens =
@@ -50,7 +50,7 @@ case class DropSpanTokens(left: Expression, right: Expression, span: Int)
 object DropSpanTokens {
 
   /** Static entry for both interpreted eval and generated code. */
-  def eval(tokens: ArrayData, starts: ArrayData, span: Int): GenericArrayData = {
+  def dropTokens(tokens: ArrayData, starts: ArrayData, span: Int): GenericArrayData = {
     val n = tokens.numElements()
     val m = starts.numElements()
     val st = new Array[Int](m)

@@ -40,10 +40,10 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.eval(input.asInstanceOf[ArrayData], n)
+    ShingleHashes.hashes(input.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.expr.ShingleHashes.eval($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.ShingleHashes.hashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -52,7 +52,7 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHashes {
 
   /** Static entry for both interpreted eval and generated code. */
-  def eval(tokens: ArrayData, n: Int): GenericArrayData = {
+  def hashes(tokens: ArrayData, n: Int): GenericArrayData = {
     val len = tokens.numElements()
     val m = math.max(len - (n - 1), 1)
     val hs = new Array[Long](m)
@@ -158,10 +158,10 @@ case class RawShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    RawShingleHashes.eval(input.asInstanceOf[ArrayData], n)
+    RawShingleHashes.hashes(input.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.expr.RawShingleHashes.eval($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.RawShingleHashes.hashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): RawShingleHashes =
     copy(child = newChild)
@@ -170,7 +170,7 @@ case class RawShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 object RawShingleHashes {
 
   /** Static entry for both interpreted eval and generated code. */
-  def eval(tokens: ArrayData, n: Int): GenericArrayData = {
+  def hashes(tokens: ArrayData, n: Int): GenericArrayData = {
     val len = tokens.numElements()
     val m = math.max(len - (n - 1), 1)
     val out = new Array[AnyRef](m)

@@ -132,10 +132,15 @@ object HistogramSketch {
           // lo=-0.0 / hi=0.0 (equals=false, SQL ===true) and would
           // divide by zero here; SQL null===null is null (not
           // degenerate), so nulls fall through to the arithmetic
-          // branch exactly as the join path does
-          val degenerate = r.get(1) != null && r.get(2) != null &&
-            r.get(1).asInstanceOf[Number].doubleValue() ==
-              r.get(2).asInstanceOf[Number].doubleValue()
+          // branch exactly as the join path does. NaN needs its own
+          // clause: primitive == is false for NaN==NaN while SQL ===
+          // treats NaN=NaN as true (an all-NaN group is degenerate on
+          // the join path, so it must be here too — round-11 advice)
+          val degenerate = r.get(1) != null && r.get(2) != null && {
+            val lo = r.get(1).asInstanceOf[Number].doubleValue()
+            val hi = r.get(2).asInstanceOf[Number].doubleValue()
+            lo == hi || (lo.isNaN && hi.isNaN)
+          }
           val b =
             if (degenerate) lit(0L)
             else least(

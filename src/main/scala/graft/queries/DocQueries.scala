@@ -175,7 +175,9 @@ object DocQueries {
     * numeric order on the packed key — valid for docs under 2²⁰
     * chunks (~200 MB of text at 200-char slices) and doc ids under
     * 2⁴³. Both bounds hold with orders of magnitude to spare at
-    * 100 TB-corpus scale.
+    * 100 TB-corpus scale — and are ENFORCED in-plan (raise_error in
+    * queryDocsTop), so an out-of-range doc fails loudly instead of
+    * silently reordering the heap.
     */
   private val ChunkPackBits = 20
 
@@ -196,10 +198,26 @@ object DocQueries {
     * the order the exploded 50-row frame summed in before — and
     * round6(sum/size) is bit-for-bit avg's divide.
     */
-  private def queryDocsTop(chunks: org.apache.spark.sql.DataFrame) = {
+  private[graft] def queryDocsTop(chunks: org.apache.spark.sql.DataFrame) = {
     import graft.functions.VectorFunctions.topK
-    val packed = col("doc_id").cast("long") * lit(1L << ChunkPackBits) +
+    // overflow guard (round-11 verdict #6): the packing bounds above
+    // were asserted only in prose — a >2²⁰-chunk doc (or a doc_id ≥
+    // 2⁴³) would silently corrupt packed ordering and return wrong
+    // top-10 docs. In-plan raise_error (the simHash/maxBlockSize
+    // pattern) costs two codegen'd comparisons per row and fails
+    // loudly instead.
+    val packedRaw = col("doc_id").cast("long") * lit(1L << ChunkPackBits) +
       col("i").cast("long")
+    val packed = when(
+      col("i") >= lit(1L << ChunkPackBits) ||
+        col("doc_id").cast("long") >= lit(1L << (63 - ChunkPackBits)) ||
+        col("doc_id") < 0 || col("i") < 0,
+      raise_error(concat(
+        lit(s"queryDocsTop: (doc_id, chunk) outside the $ChunkPackBits-bit "),
+        lit("packing bounds — doc_id="), col("doc_id").cast("string"),
+        lit(" i="), col("i").cast("string"),
+        lit(" (split the doc or widen ChunkPackBits)"))).cast("long"))
+      .otherwise(packedRaw)
     def docOf(x: org.apache.spark.sql.Column) =
       shiftright(x.getField("id"), ChunkPackBits)
     val byDoc = transform(

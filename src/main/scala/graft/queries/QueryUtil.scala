@@ -44,9 +44,18 @@ object QueryUtil {
       p
     })
 
+  /** Keyed by session, values are DataFrames: a DataFrame strongly
+    * references its SparkSession, so WEAK keying is self-defeating
+    * here (the value→key path pins every entry — round-11 advice).
+    * Instead the map is strong and entries for STOPPED sessions are
+    * purged on access (the actual leak case: suites cycling
+    * sessions), and [[graft.Tables.invalidate]] clears it wholesale.
+    */
   private val artifactHandles =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  graft.Tables.onInvalidate(() => artifactHandles.clear())
 
   /** [[persistedArtifact]] plus a session-scoped DataFrame handle —
     * the Tables.load discipline applied to artifact reads: a bare
@@ -55,20 +64,17 @@ object QueryUtil {
     * per run at sf0.1, measured via BenchProbe on
     * d_query_documents_persisted), which for a standing artifact is
     * paid once per session instead. Same staleness contract as
-    * Tables.load (weak per-session keying; artifacts are immutable
-    * within a JVM by persistedArtifact's pid-keyed path).
+    * Tables.load: handles drop on Tables.invalidate (registered
+    * hook); artifacts are immutable within a JVM by
+    * persistedArtifact's pid-keyed path.
     */
   def persistedTable(s: SparkSession, kind: String, corpusDir: String)(
       build: String => Unit): DataFrame = {
-    val m = artifactHandles.synchronized {
-      var c = artifactHandles.get(s)
-      if (c == null) {
-        c = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        artifactHandles.put(s, c)
-      }
-      c
-    }
-    m.computeIfAbsent(s"$kind|$corpusDir",
-      _ => s.read.parquet(persistedArtifact(kind, corpusDir)(build)))
+    artifactHandles.keySet.removeIf(k => k.sparkContext.isStopped)
+    artifactHandles
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(s"$kind|$corpusDir",
+        _ => s.read.parquet(persistedArtifact(kind, corpusDir)(build)))
   }
 }

@@ -66,6 +66,25 @@ class HistogramSketchSpec extends SparkSpecBase {
     assert(out == 0.0, s"degenerate -0.0/0.0 range returned $out")
   }
 
+  test("all-NaN group: inline path agrees with the join path (NaN=NaN is degenerate)") {
+    import spark.implicits._
+    // primitive == is false for NaN==NaN, so before the round-11 fix
+    // the inline path took the arithmetic branch while the join
+    // path's SQL === took the degenerate one; both must agree —
+    // degenerate, yielding NaN quantiles without error
+    val rows = Seq(("g", "x", Double.NaN), ("g", "x", Double.NaN),
+      ("ok", "x", 1.0), ("ok", "x", 3.0))
+    val inline = HistogramSketch.quantiles(
+        rows.toDF("g", "g2", "v"), Seq("g"), col("v"), Seq("p50" -> 0.5))
+      .select($"g", $"p50").collect().map(_.toString).sorted.toSeq
+    // composite group key forces the join path over the same groups
+    val joined = HistogramSketch.quantiles(
+        rows.toDF("g", "g2", "v"), Seq("g", "g2"), col("v"), Seq("p50" -> 0.5))
+      .select($"g", $"p50").collect().map(_.toString).sorted.toSeq
+    assert(inline == joined)
+    assert(inline.exists(_.contains("NaN")))
+  }
+
   test("partition invariance: identical bits at any parallelism") {
     val a = sketch(1).orderBy("g").collect().toSeq
     val b = sketch(17).orderBy("g").collect().toSeq
