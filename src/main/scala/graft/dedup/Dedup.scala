@@ -452,6 +452,26 @@ object Dedup {
     val fp = graft.Barrier.checkpoint(
       simHash(docs, idCol, textCol, keepCols = Seq(blockCol), portable)
         .select(col(idCol), col(blockCol), col("simhash")))
+    simHashPairsFromFingerprints(fp, idCol, blockCol, maxHamming)
+  }
+
+  /** The pair-join half of [[simHashPairs]] over a PREBUILT
+    * (id, block, simhash) fingerprint frame — the persisted-artifact
+    * shape (dd_simhash_persisted): fingerprints are a per-doc
+    * projection computed once at ingest (one long per doc), so the
+    * per-run cost is the 4×16-bit chunk pigeonhole join alone and the
+    * corpus text is never read. No barrier here: callers either pass
+    * an already-barriered in-query frame (simHashPairs) or a
+    * file-backed stage table, where branch re-scans of the narrow
+    * parquet beat paying a localCheckpoint copy (the round-11
+    * dd_ngram_jaccard_persisted lesson).
+    */
+  def simHashPairsFromFingerprints(fp: DataFrame, idCol: String,
+      blockCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simHashPairsFromFingerprints: maxHamming=$maxHamming — the " +
+        "4×16-bit chunk blocking guarantees a shared chunk only for " +
+        "hamming <= 3")
     val chunked = fp.select(col(idCol), col(blockCol), col("simhash"),
       posexplode(expr(
         "transform(sequence(0,3), c -> shiftright(simhash, c*16) & 65535L)"))
@@ -563,6 +583,40 @@ object Dedup {
     val wins = graft.Tables.fanOut(docs)
       .select(col(idCol), explode(raw).as("h"))
       .transform(graft.Barrier.checkpoint)
+    duplicateSpansFromWindows(wins, idCol)
+  }
+
+  /** Build the positional window-hash stage table — (id, p, h): one
+    * row per `span`-token window with its start position and 60-bit
+    * portable hash. This is the per-doc ingest projection both span
+    * entries re-derived per run (dd_spans / dd_spans_rewrite at
+    * 9.6/13.1 s per 100× run — round-11 verdict #7): window hashes
+    * are a pure function of the doc text, so they belong in a
+    * once-per-corpus-version artifact like every other signature
+    * table. One narrow kernel pass, zero shuffles, text projected
+    * away before the write.
+    */
+  def buildSpanWindowTable(docs: DataFrame, idCol: String,
+      textCol: String, span: Int, path: String): Unit = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val raw = ColumnBridge.column(graft.functions.expr.RawShingleHashes(
+      ColumnBridge.expression(wsTokens(normText(col(textCol)))), span))
+    graft.Tables.fanOut(docs)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(raw).as(Seq("p", "h")))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The aggregation half of [[duplicateSpans]] over a prebuilt
+    * positional window frame (id, h) or (id, p, h) — the
+    * persisted-artifact shape (dd_spans_persisted): per-run cost is
+    * the hash-keyed dup aggregate + two per-doc counts over the
+    * narrow artifact, corpus text never read. NOT barriered here:
+    * in-query callers pass an already-barriered frame; file-backed
+    * artifacts re-scan cheaper than they copy (round-11 lesson).
+    */
+  def duplicateSpansFromWindows(wins0: DataFrame, idCol: String): DataFrame = {
+    val wins = wins0.select(col(idCol), col("h"))
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= 2)
@@ -622,6 +676,22 @@ object Dedup {
     val wins = base
       .select(col(idCol), posexplode(raw).as(Seq("p", "h")))
       .transform(graft.Barrier.checkpoint)
+    removeDuplicateSpansFromWindows(docs, idCol, textCol, wins, span)
+  }
+
+  /** The rewrite half of [[removeDuplicateSpans]] over a prebuilt
+    * positional window frame (id, p, h) — the persisted-artifact
+    * shape (dd_spans_rewrite_persisted): dup detection and the
+    * covered-starts aggregation read the narrow artifact; the ONE
+    * remaining corpus text scan is the rewrite projection itself,
+    * which is irreducible (the output contains rewritten text). NOT
+    * barriered here (see [[duplicateSpansFromWindows]]).
+    */
+  def removeDuplicateSpansFromWindows(docs: DataFrame, idCol: String,
+      textCol: String, wins: DataFrame, span: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val toks = wsTokens(normText(col(textCol)))
+    val base = graft.Tables.fanOut(docs).filter(col(textCol).isNotNull)
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= 2)

@@ -110,7 +110,8 @@ object Multimodal {
     * the join shuffles (chunk_i, chunk_v) keys with the 3-column
     * signature rows only — payloads never move.
     */
-  def phashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  def phashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
+      barrierInput: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"phashPairs: maxHamming=$maxHamming — 4×16-bit chunk blocking " +
         "guarantees a shared chunk only for hamming <= 3")
@@ -121,9 +122,12 @@ object Multimodal {
     // (id, content_key, phash) projection — payload bytes are gone
     // before the copy. Batch-only by construction (a hamming
     // self-join has no streaming form; the streaming gate uses
-    // contentSignatures directly).
-    val matSigs = graft.Barrier.checkpoint(
-      sigs.select(col(idCol), col("content_key"), col("phash")))
+    // contentSignatures directly). `barrierInput = false` is for
+    // FILE-BACKED signature artifacts (mm_dedup_persisted), where
+    // branch re-scans of the narrow parquet beat paying a
+    // localCheckpoint copy (the round-11 persisted-twin lesson).
+    val proj = sigs.select(col(idCol), col("content_key"), col("phash"))
+    val matSigs = if (barrierInput) graft.Barrier.checkpoint(proj) else proj
     val chunked = matSigs.select(col(idCol), col("content_key"), col("phash"),
       posexplode(expr(
         "transform(sequence(0,3), c -> shiftright(phash, c*16) & 65535L)"))

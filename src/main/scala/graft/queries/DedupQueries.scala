@@ -198,6 +198,25 @@ object DedupQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
+    // the PERSISTED-fingerprint twin of dd_simhash (round-11 verdict
+    // #2 — the largest 100× entry without one): the SimHash64 corpus
+    // pass (tokenize + hash every token) runs ONCE at ingest and
+    // persists as a (doc_id, lang, simhash) parquet artifact — one
+    // long per doc; the per-run cost is the 4×16-bit chunk pigeonhole
+    // join alone, text never read. Fingerprints are a deterministic
+    // per-doc projection → row-identical, shared oracle.
+    "dd_simhash_persisted" -> ((s, dir) => {
+      val fp = persistedTable(s, "shfp64", dir) { p =>
+        Dedup.simHash(t(s, dir, "documents"), "doc_id", "text",
+            keepCols = Seq("lang"), portable = true)
+          .select(col("doc_id"), col("lang"), col("simhash"))
+          .write.mode("overwrite").parquet(p)
+      }
+      Dedup.simHashPairsFromFingerprints(fp, "doc_id",
+          blockCol = "lang", maxHamming = 3)
+        .orderBy(col("ida"), col("idb"))
+    }),
+
     // blocked by (label × LSH bucket): label-only blocks grow linearly
     // with the corpus and the pair join goes quadratic (42s at a 10×
     // scale-up). The plane count comes from AnnTuner's bucket-geometry
@@ -287,6 +306,27 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the PERSISTED-window twin of dd_spans (round-11 verdict #7):
+    // the positional window-hash projection persists once per corpus
+    // version (Dedup.buildSpanWindowTable — shared with the rewrite
+    // twin below); the per-run cost is the dup aggregate + per-doc
+    // counts over the narrow (id, p, h) artifact, corpus text never
+    // read. Window hashes are a per-doc projection → row-identical,
+    // shared oracle.
+    "dd_spans_persisted" -> ((s, dir) =>
+      Dedup.duplicateSpansFromWindows(spanWindowTable(s, dir), "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // span removal over the SAME persisted window artifact: dup
+    // detection + covered-starts aggregation read the artifact; the
+    // one remaining corpus scan is the rewrite projection itself
+    // (irreducible — the output carries rewritten text). Row-identical
+    // to dd_spans_rewrite, shared oracle.
+    "dd_spans_rewrite_persisted" -> ((s, dir) =>
+      Dedup.removeDuplicateSpansFromWindows(t(s, dir, "documents"),
+          "doc_id", "text", spanWindowTable(s, dir), span = SpanTokens)
+        .orderBy(col("doc_id"))),
+
     // SemDeDup (Dedup.semanticPairs): deterministic Lloyd k-means over
     // the embedding space (√n seed rule — cluster count grows with the
     // corpus, the ann_ivf lesson), then cosine pairs WITHIN clusters
@@ -302,14 +342,18 @@ object DedupQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
-    // the PERSISTED-centroids twin: the k-means fit runs ONCE at
-    // ingest and its centroids persist as a parquet model artifact
-    // (the SemDeDup paper's clustering is a training job, not a
-    // query); the query path loads centroids and runs only
-    // assign + within-cluster pairs. Row-identical to dd_semantic
-    // (deterministic fit), so the oracle is shared verbatim.
+    // the PERSISTED-ASSIGNMENT twin: BOTH halves of the ingest-time
+    // training job — the k-means fit AND the corpus cluster
+    // assignment — persist as one (vec_id, embedding, cell) parquet
+    // artifact (round-11 verdict #3: centroids alone still re-ran a
+    // full NearestCentroid pass over every embedding per query; the
+    // assignment is a property of the corpus version exactly like the
+    // dd_groups closure, so it belongs in the artifact). The query is
+    // the within-cluster pair join alone. Deterministic fit + per-row
+    // assignment → row-identical to dd_semantic, oracle shared
+    // verbatim.
     "dd_semantic_persisted" -> ((s, dir) => {
-      val cPath = persistedArtifact("semcents", dir) { p =>
+      val assigned = persistedTable(s, "semassign", dir) { p =>
         val emb = t(s, dir, "embeddings")
         val m = math.max(1L, math.floor(math.sqrt(emb.count().toDouble)).toLong)
         val seeds = emb.filter(pmod(col("vec_id"), lit(m)) === 0)
@@ -317,12 +361,14 @@ object DedupQueries {
         val base = graft.Tables.fanOut(emb)
           .select(col("vec_id"), col("embedding"))
           .transform(graft.Barrier.checkpoint)
-        graft.ann.KMeans.lloyd(base, "vec_id", "embedding", seeds, SemDedupIters)
+        val cents = graft.ann.KMeans.lloyd(base, "vec_id", "embedding",
+          seeds, SemDedupIters)
+        graft.ann.KMeans.assign(base, "vec_id", "embedding", cents)
           .write.mode("overwrite").parquet(p)
       }
-      Dedup.semanticPairsWithCentroids(t(s, dir, "embeddings"),
-          "vec_id", "embedding", s.read.parquet(cPath),
-          threshold = SemDedupThreshold, maxBlockSize = 4096)
+      Dedup.embeddingPairs(assigned, "vec_id", "embedding",
+          blockCol = "cell", threshold = SemDedupThreshold,
+          maxBlockSize = 4096)
         .orderBy(col("ida"), col("idb"))
     }),
 
@@ -362,6 +408,17 @@ object DedupQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }))
+
+  /** Session-cached handle on the ingest-time positional window-hash
+    * artifact (Dedup.buildSpanWindowTable), shared by
+    * dd_spans_persisted and dd_spans_rewrite_persisted.
+    */
+  private def spanWindowTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    persistedTable(s, "spanwin", dir) { p =>
+      Dedup.buildSpanWindowTable(t(s, dir, "documents"), "doc_id", "text",
+        span = SpanTokens, p)
+    }
 
   /** Session-cached handle on the ingest-time group-assignment
     * artifact (Dedup.buildGroupsTable), shared by dd_groups_persisted
@@ -774,6 +831,14 @@ object DedupQueries {
       // filter-then-read ≡ read-then-filter, so the artifact-fed
       // chains reproduce their in-query parents row for row
       ("dd_minhash_persisted" -> baseOracles("dd_minhash")) +
+      // simhash fingerprints are a deterministic per-doc projection,
+      // persisted then reloaded — same pigeonhole join, same rows
+      ("dd_simhash_persisted" -> baseOracles("dd_simhash")) +
+      // the positional window-hash frame is a per-doc projection,
+      // persisted then reloaded — same dup aggregate / rewrite, same
+      // rows
+      ("dd_spans_persisted" -> baseOracles("dd_spans")) +
+      ("dd_spans_rewrite_persisted" -> baseOracles("dd_spans_rewrite")) +
       ("dd_ngram_jaccard_persisted" -> baseOracles("dd_ngram_jaccard")) +
       // identical semantics to dd_pipeline (signatures are a per-doc
       // projection: filter-then-read ≡ read-then-filter) — the entry

@@ -39,6 +39,26 @@ object MultimodalQueries {
         .orderBy(col("ida"), col("idb"))
     }),
 
+    // the PERSISTED-signature twin of mm_dedup (round-11 verdict #3):
+    // payload decode + byte-shingle fingerprinting runs ONCE at
+    // ingest and persists as a (doc_id, content_key, phash) parquet
+    // artifact — payload bytes are read exactly once per corpus
+    // version; the per-run cost is the exact-hash group + pigeonhole
+    // join over the narrow artifact. Signatures are a deterministic
+    // per-row projection → row-identical, shared oracle. No barrier
+    // on the file-backed artifact (branch re-scans beat a copy).
+    "mm_dedup_persisted" -> ((s, dir) => {
+      val sigs = persistedTable(s, "mmsig", dir) { p =>
+        Multimodal.contentSignatures(
+            Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"),
+            "doc_id")
+          .write.mode("overwrite").parquet(p)
+      }
+      Multimodal.phashPairs(sigs, "doc_id", maxHamming = 3,
+          barrierInput = false)
+        .orderBy(col("ida"), col("idb"))
+    }),
+
     // payload integrity gate — the validate-before-ingest step every
     // media pipeline runs (truncated downloads, bitrot, mislabeled
     // sizes): recompute length + checksum FROM THE BYTES and compare
@@ -99,7 +119,7 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     }))
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "mm_binary_features" ->
       """SELECT doc_id,
         |  len(text)::BIGINT AS n_bytes,
@@ -196,4 +216,12 @@ object MultimodalQueries {
         |  CAST(m.n_bytes AS BIGINT) AS n_bytes
         |FROM media m LEFT JOIN paired p USING (doc_id)
         |ORDER BY doc_id""".stripMargin)
+
+  /** mm_dedup_persisted is row-identical to mm_dedup by construction
+    * (the same deterministic signature projection, persisted then
+    * reloaded), so its oracle is shared verbatim.
+    */
+  val oracles: Map[String, String] =
+    baseOracles + ("mm_dedup_persisted" -> baseOracles("mm_dedup"))
+
 }

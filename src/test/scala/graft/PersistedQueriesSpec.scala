@@ -31,6 +31,31 @@ class PersistedQueriesSpec extends SparkSpecBase {
     assert(rows("d_query_documents_persisted") == rows("d_query_documents"))
   }
 
+  test("dd_simhash_persisted returns exactly dd_simhash's rows") {
+    assume(haveData)
+    assert(rows("dd_simhash_persisted") == rows("dd_simhash"))
+  }
+
+  test("mm_dedup_persisted returns exactly mm_dedup's rows") {
+    assume(haveData)
+    assert(rows("mm_dedup_persisted") == rows("mm_dedup"))
+  }
+
+  test("dd_semantic_persisted returns exactly dd_semantic's rows") {
+    assume(haveData)
+    assert(rows("dd_semantic_persisted") == rows("dd_semantic"))
+  }
+
+  test("dd_spans_persisted returns exactly dd_spans' rows") {
+    assume(haveData)
+    assert(rows("dd_spans_persisted") == rows("dd_spans"))
+  }
+
+  test("dd_spans_rewrite_persisted returns exactly dd_spans_rewrite's rows") {
+    assume(haveData)
+    assert(rows("dd_spans_rewrite_persisted") == rows("dd_spans_rewrite"))
+  }
+
   test("persisted artifacts are built once per JVM and reused") {
     assume(haveData)
     var builds = 0
