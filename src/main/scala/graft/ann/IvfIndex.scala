@@ -29,6 +29,21 @@ final class IvfIndex private (
 
   def cells: DataFrame = spark.read.parquet(s"$path/cells")
 
+  /** The slot count this layout was built with, from the tiny meta
+    * parquet `build` writes next to the centroids. [[append]] defaults
+    * to it, so appends preserve the build's write parallelism and
+    * file-size bounds instead of funneling every cell into slot 0
+    * (round-11 advice). Pre-meta layouts fall back to the observed
+    * max slot + 1 (a partition-column-only aggregate), then 1.
+    */
+  def filesPerCell: Int =
+    try spark.read.parquet(s"$path/meta")
+      .select(col("files_per_cell")).head().getInt(0)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      try cells.agg(max(col("slot"))).head().getInt(0) + 1
+      catch { case _: Throwable => 1 }
+    }
+
   /** Exact top-k within the `nprobe` cells nearest to the query —
     * query arrives as a one-row DataFrame (col qv), everything stays
     * declarative.
@@ -137,23 +152,97 @@ final class IvfIndex private (
     * the same centroids would produce (IvfIndexSpec pins search-result
     * identity), so probes are correct immediately after the append.
     *
-    * Standing trades, both deliberate: (1) each append adds one file
-    * per touched (cell, slot) — a long-lived index compacts by
-    * periodic re-build (the Delta OPTIMIZE discipline; [[cellStats]]
-    * exposes file counts for the decision); (2) centroids do NOT move
-    * — as the corpus drifts, cells unbalance, and [[cellStats]]'s
-    * population spread is the re-cluster trigger. Both jobs are
-    * ingest-side maintenance, never query-side cost.
+    * Standing trades, both deliberate and both with their maintenance
+    * job implemented: (1) each append adds one file per touched
+    * (cell, slot) — [[compact]] rewrites a flagged cell back to one
+    * file per slot (the Delta OPTIMIZE discipline; [[cellStats]]
+    * exposes the counts for the decision); (2) centroids do NOT move
+    * — as the corpus drifts, cells unbalance, and [[recluster]]
+    * refits + rebuilds when [[populationSpread]] trips its threshold.
+    * Both jobs are ingest-side maintenance, never query-side cost.
     */
-  def append(batch: DataFrame, filesPerCell: Int = 1): Unit = {
-    require(filesPerCell > 0, "filesPerCell must be positive")
+  def append(batch: DataFrame, filesPerCell: Int = 0): Unit = {
+    // default (0) = the slot count the layout was BUILT with, from the
+    // persisted meta — an explicit override remains for callers that
+    // deliberately re-shard a hot batch
+    val fpc = if (filesPerCell > 0) filesPerCell else this.filesPerCell
+    require(fpc > 0, "filesPerCell must be positive")
     Ann.ivfAssign(batch, idCol, vecCol,
         centroids.select(col("cell"), col("cv")), "cell", "cv")
-      .withColumn("slot", pmod(hash(col(idCol)), lit(filesPerCell)))
+      .withColumn("slot", pmod(hash(col(idCol)), lit(fpc)))
       .repartition(col("cell"), col("slot"))
       .write.mode(SaveMode.Append)
       .partitionBy("cell", "slot")
       .parquet(s"$path/cells")
+  }
+
+  /** COMPACTION (the Delta OPTIMIZE discipline named as a standing
+    * trade in [[append]]'s scaladoc, now implemented): rewrite one
+    * cell's accumulated append files back into the slot layout — one
+    * file per (cell, slot) afterwards. The cell's rows are bounded
+    * (~filesPerCell × targetRowsPerFile), so the eager materialization
+    * that lets Spark overwrite a path it just read (localCheckpoint)
+    * is bounded too — this is a per-cell maintenance job, never a
+    * corpus action; run it for the cells [[cellStats]] flags. Slot
+    * assignment is recomputed with the build's formula, so placement
+    * (and therefore every search path) is identical before and after
+    * (IvfMaintenanceSpec pins search identity).
+    */
+  def compact(cellId: Long): Unit = {
+    val fpc = filesPerCell
+    // membership is already recorded in the layout — compaction moves
+    // FILES, never rows, so no re-assignment pass; slot is recomputed
+    // with the build's formula (same value for rows placed by build,
+    // the canonical value for rows a legacy append funneled to slot 0)
+    val local = cells.filter(col("cell") === cellId)
+      .drop("cell", "slot")
+      .withColumn("cell", lit(cellId))
+      .withColumn("slot", pmod(hash(col(idCol)), lit(fpc)))
+      .localCheckpoint() // cut lineage: the write replaces the files this read
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try local
+      .repartition(col("cell"), col("slot"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell", "slot")
+      .parquet(s"$path/cells")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** max/mean cell population — the re-cluster trigger named in
+    * [[cellStats]]'s scaladoc: frozen centroids drift as the corpus
+    * grows, cells unbalance, and probe cost follows the biggest cell.
+    * 1.0 = perfectly balanced.
+    */
+  def populationSpread: Double = {
+    val r = cellStats.agg(max(col("n_rows")).cast("double").as("_mx"),
+      avg(col("n_rows")).as("_mean")).head()
+    r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** RE-CLUSTERING (the other standing trade): when
+    * [[populationSpread]] exceeds `threshold`, refit centroids on the
+    * CURRENT corpus (seeded MLlib k-means, √n nlist rule — cell count
+    * tracks the grown corpus) and rebuild the layout at `newPath`,
+    * returning the new index; below the threshold, return `this`
+    * unchanged. A full corpus scan + layout rewrite by design — this
+    * is the ingest-side maintenance job appends amortize against, and
+    * writing to a NEW versioned path (never in place) keeps readers of
+    * the old layout correct mid-rebuild; callers swap paths when the
+    * build lands (the serving tier re-pins via IvfServing.refresh).
+    */
+  def recluster(threshold: Double, newPath: String,
+      seed: Long = 42L): IvfIndex = {
+    require(threshold >= 1.0, s"recluster: threshold=$threshold must be >= 1")
+    if (populationSpread <= threshold) this
+    else {
+      val corpus = cells.drop("cell", "slot")
+      val nlist = AnnTuner.ivfNlist(corpus.count())
+      IvfIndex.buildWithKMeans(corpus, idCol, vecCol, nlist, newPath, seed)
+    }
   }
 
   /** Per-cell population — the maintenance dashboard: population
@@ -222,6 +311,10 @@ object IvfIndex {
       .partitionBy("cell", "slot")
       .parquet(s"$path/cells")
     cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    // persist the resolved slot count so append/compact reuse the
+    // build's layout geometry instead of a caller-remembered constant
+    spark.range(1).select(lit(fpc).as("files_per_cell"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     new IvfIndex(spark, path, idCol, vecCol)
   }
 

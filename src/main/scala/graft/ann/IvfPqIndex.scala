@@ -141,6 +141,10 @@ object IvfPqIndex {
     books.zipWithIndex.foreach { case (b, s) =>
       b.write.mode(SaveMode.Overwrite).parquet(s"$path/book$s")
     }
+    // same layout-geometry meta as IvfIndex.build — uniform across
+    // the index family, ready for a future PQ append path
+    spark.range(1).select(lit(fpc).as("files_per_cell"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     new IvfPqIndex(spark, path, idCol, vecCol, books.size)
   }
 

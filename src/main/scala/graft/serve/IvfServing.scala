@@ -40,16 +40,35 @@ final class IvfServing(val idx: IvfIndex, val nprobe: Int,
     * removes the I/O floor. Pass cacheCells=false for a cold,
     * disk-resident server (then partition pruning is what bounds I/O).
     */
-  private val cellsFrame: DataFrame =
+  @volatile private var cellsFrame: DataFrame =
     if (cacheCells) idx.cells.cache() else idx.cells
 
-  private val cents: Array[(Long, Array[Double])] = {
+  private def loadCents(): Array[(Long, Array[Double])] = {
     val rows = idx.centroids
       .select(col("cell").cast("long"), col("cv").cast("array<double>"))
       .collect()
     require(rows.nonEmpty && rows.length <= 65536,
       s"IvfServing: ${rows.length} centroids (the nlist rule bounds this at 65536)")
     rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+  }
+
+  @volatile private var cents: Array[(Long, Array[Double])] = loadCents()
+
+  /** Re-pin the layout after ingest-side maintenance
+    * (IvfIndex.append / compact / a path-swap recluster): the pinned
+    * cells frame snapshots the file LIST at construction, so rows
+    * appended afterwards are invisible to the warm loop until this is
+    * called — the serving counterpart of RefreshingVectorServing's
+    * applyChanges, driven by the maintenance schedule instead of a
+    * changelog. Drops the old in-memory copy, re-lists the layout,
+    * and re-reads centroids; concurrent searchBatch calls keep the
+    * snapshot they started with (volatile swap, never torn).
+    */
+  def refresh(): Unit = synchronized {
+    val old = cellsFrame
+    cellsFrame = if (cacheCells) idx.cells.cache() else idx.cells
+    cents = loadCents()
+    if (cacheCells) old.unpersist()
   }
 
   /** nlist of the pinned index. */
