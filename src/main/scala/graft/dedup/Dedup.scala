@@ -472,20 +472,55 @@ object Dedup {
       s"simHashPairsFromFingerprints: maxHamming=$maxHamming — the " +
         "4×16-bit chunk blocking guarantees a shared chunk only for " +
         "hamming <= 3")
-    val chunked = fp.select(col(idCol), col(blockCol), col("simhash"),
+    // FINGERPRINT-GROUP COLLAPSE (round 12): identical fingerprints —
+    // exact copies and boilerplate, the dominant duplicate class in a
+    // real corpus — previously entered the chunk join as individual
+    // rows, so a d-copy set cost d²/2 joined-and-shuffled rows PLUS a
+    // distinct over them (~17 s of the 100× entry was exactly this).
+    // Collapsing to one row per distinct (block, simhash) first makes
+    // the join run over distinct fingerprints only; the d²/2
+    // within-group pairs (hamming 0 by construction) are GENERATED
+    // from each group's member array — a flatMap in the final stage,
+    // no shuffle, no distinct. array_distinct keeps the old plan's
+    // duplicate-id semantics (distinct emitted each pair once).
+    val groups = fp.groupBy(col(blockCol), col("simhash"))
+      .agg(sort_array(array_distinct(collect_list(col(idCol)))).as("_ids"))
+    // within-group: all i < j pairs of the sorted member array
+    val within = groups
+      .filter(size(col("_ids")) >= 2)
+      .select(col("_ids"), posexplode(col("_ids")).as(Seq("_i", "ida")))
+      .select(col("ida"),
+        explode(slice(col("_ids"), col("_i") + lit(2),
+          size(col("_ids")) - col("_i") - lit(1))).as("idb"))
+      .withColumn("hamming", lit(0L))
+    // between-group: the pigeonhole chunk join over DISTINCT
+    // fingerprints; member arrays ride through the join and a
+    // first-per-pair aggregate replaces the old row-level distinct
+    // (a group pair can match on up to 4 chunks), then expand to doc
+    // pairs as two generators — again no pair-level shuffle.
+    val chunked = groups.select(col(blockCol), col("simhash"), col("_ids"),
       posexplode(expr(
         "transform(sequence(0,3), c -> shiftright(simhash, c*16) & 65535L)"))
         .as(Seq("chunk_i", "chunk_v")))
     val l = chunked.select(col(blockCol), col("chunk_i"), col("chunk_v"),
-      col(idCol).as("ida"), col("simhash").as("sh_a"))
+      col("simhash").as("sh_a"), col("_ids").as("_ids_a"))
     val r = chunked.select(col(blockCol).as("blk_r"), col("chunk_i").as("ci_r"),
-      col("chunk_v").as("cv_r"), col(idCol).as("idb"), col("simhash").as("sh_b"))
-    l.join(r, col("chunk_i") === col("ci_r") && col("chunk_v") === col("cv_r") &&
-        col(blockCol) === col("blk_r") && col("ida") < col("idb"))
+      col("chunk_v").as("cv_r"), col("simhash").as("sh_b"), col("_ids").as("_ids_b"))
+    val between = l.join(r,
+        col("chunk_i") === col("ci_r") && col("chunk_v") === col("cv_r") &&
+        col(blockCol) === col("blk_r") && col("sh_a") < col("sh_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("ida"), col("idb"), col("hamming"))
-      .distinct()
+      .filter(col("hamming") > 0 && col("hamming") <= maxHamming)
+      .groupBy(col(blockCol), col("sh_a"), col("sh_b"))
+      .agg(first(col("_ids_a")).as("_ids_a"), first(col("_ids_b")).as("_ids_b"),
+        first(col("hamming")).as("hamming"))
+      .select(col("hamming"), explode(col("_ids_a")).as("_a"), col("_ids_b"))
+      .select(col("hamming"), col("_a"), explode(col("_ids_b")).as("_b"))
+      .filter(col("_a") =!= col("_b")) // same id under two fingerprints
+      .select(least(col("_a"), col("_b")).as("ida"),
+        greatest(col("_a"), col("_b")).as("idb"), col("hamming"))
+    within.select(col("ida"), col("idb"), col("hamming"))
+      .unionByName(between)
   }
 
   /** Embedding-cosine near-dup pairs above a threshold, blocked by a
