@@ -1069,32 +1069,77 @@ object Dedup {
   def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double,
       maxBlockSize: Int = 100000): DataFrame = {
-    val fv = graft.Tables.fanOut(vecs)
-    val sizes = fv.groupBy(col(blockCol)).agg(count(lit(1)).as("_blk_n"))
-    val guarded = fv.join(sizes, blockCol)
-      .withColumn("_guard",
-        when(col("_blk_n") <= maxBlockSize, lit(true))
-          .otherwise(raise_error(concat(
-            lit(s"embeddingPairs: block '"), col(blockCol).cast("string"),
-            lit(s"' has "), col("_blk_n").cast("string"),
-            lit(s" rows (> maxBlockSize=$maxBlockSize); quadratic join refused. "),
-            lit("Compose the block key with an LSH bucket or IVF cell.")))))
-      .filter(col("_guard"))
-      .drop("_blk_n", "_guard")
-    // norms are per-ROW quantities: fold them once before the pair
-    // join (n rows) instead of inside it (n·blockSize pairs — at 100×
-    // the within-block join evaluates ~45M pairs, and recomputing both
-    // 64-dim norms per pair was 2/3 of its flops). cosinePreNorm's
-    // denom is the same normD product, so results are bit-identical.
-    val withNorm = guarded.withColumn("_nrm",
-      graft.functions.VectorFunctions.normD(col(vecCol)))
-    val a = withNorm.select(col(blockCol), col(idCol).as("ida"),
-      col(vecCol).as("va"), col("_nrm").as("na"))
-    val b = withNorm.select(col(blockCol).as("blk_b"), col(idCol).as("idb"),
-      col(vecCol).as("vb"), col("_nrm").as("nb"))
-    a.join(b, col(blockCol) === col("blk_b") && col("ida") < col("idb"))
-      .withColumn("cos", round(graft.functions.VectorFunctions.cosinePreNorm(
-        col("va"), col("na"), col("vb"), col("nb")), 6))
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // PER-BLOCK ALL-PAIRS KERNEL (round 12): the previous block-equi
+    // self-join materialized every candidate pair as a joined row
+    // carrying BOTH 64-float arrays (~0.5 KB × ~45M pairs at 100× —
+    // the join machinery, not the cosine flops, was the cost:
+    // dd_semantic_persisted spent ~6 of its 7.5 s standalone there).
+    // flatMapGroups buffers one block (bounded by the maxBlockSize
+    // guard, ≤ ~1 MB at the semantic default 4096) and streams out
+    // only the pairs ABOVE threshold — no pair-row materialization at
+    // all. This is the documented mapPartitions-tier exception: no
+    // built-in operator expresses "per-group all-pairs without
+    // building the pair frame". Arithmetic replays the old path
+    // bit-for-bit: norms folded once per row (sqrt of the same
+    // left-to-right double fold as VectorDot), cosine =
+    // dot/(na*nb) with the same zero-denominator → 0.0 guard, floats
+    // widened per element exactly like the codegen kernel. The kernel
+    // pre-filters on a 1e-6-slack raw cosine; the exact filter below
+    // applies Spark's own round(…, 6) so emitted values and the
+    // boundary decision are bit-identical to the join formulation
+    // (the shared oracles pin it).
+    val rows = graft.Tables.fanOut(vecs)
+      .select(col(blockCol).cast("string").as("_blk"),
+        col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .as[(String, Long, Array[Double])]
+    val pre = rows.groupByKey(_._1).flatMapGroups { (blk, it) =>
+      val members = it.toArray
+      if (members.length > maxBlockSize)
+        throw new IllegalStateException(
+          s"embeddingPairs: block '$blk' has ${members.length} rows " +
+            s"(> maxBlockSize=$maxBlockSize); quadratic join refused. " +
+            "Compose the block key with an LSH bucket or IVF cell.")
+      val n = members.length
+      val norms = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val v = members(i)._3
+        var acc = 0.0
+        var j = 0
+        while (j < v.length) { acc += v(j) * v(j); j += 1 }
+        norms(i) = math.sqrt(acc)
+        i += 1
+      }
+      val out = Iterator.range(0, n).flatMap { a =>
+        Iterator.range(a + 1, n).flatMap { b =>
+          val ia = members(a)._2
+          val ib = members(b)._2
+          if (ia == ib) Iterator.empty
+          else {
+            val va = members(a)._3
+            val vb = members(b)._3
+            val denom = norms(a) * norms(b)
+            val cos =
+              if (denom == 0.0) 0.0
+              else {
+                val m = math.min(va.length, vb.length)
+                var acc = 0.0
+                var j = 0
+                while (j < m) { acc += va(j) * vb(j); j += 1 }
+                acc / denom
+              }
+            if (cos >= threshold - 1e-6)
+              Iterator.single((math.min(ia, ib), math.max(ia, ib), cos))
+            else Iterator.empty
+          }
+        }
+      }
+      out
+    }.toDF("ida", "idb", "_cosRaw")
+    pre.withColumn("cos", round(col("_cosRaw"), 6))
       .filter(col("cos") >= threshold)
       .select(col("ida"), col("idb"), col("cos"))
   }
