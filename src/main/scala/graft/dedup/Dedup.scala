@@ -107,46 +107,21 @@ object Dedup {
     val nHashes = NgramJaccardHashes
     def pin(df: DataFrame): DataFrame =
       if (barrierInputs) graft.Barrier.checkpoint(df) else df
-    // PLAN BARRIER (the CurationPipeline signal-frame pattern): the
-    // signature frame is consumed by FIVE plan branches below (banding
-    // → bucket sizes, banding → kept-left, kept-right, and the sigA /
-    // sigB sides of the estimate prefilter), and Spark re-derives a
-    // DataFrame subtree per branch — without the barrier the physical
-    // plan scanned the documents parquet 16× per query (zero
-    // ReusedExchange; judge-verified). Eagerly materializing the
-    // text-free (id + 32 longs) frame makes every branch read one
-    // local copy: at 100 TB that is 1 corpus read + 15 tiny signature
-    // reads instead of 16 corpus reads. (On a long-lived cluster this
-    // is the persisted signature table between dedup phases — which is
-    // exactly what the artifact path feeds in; the barrier then pins
-    // one local copy instead of 5 parquet re-reads.)
-    // barrierInputs=false for FILE-BACKED inputs (the persisted twins):
-    // a parquet stage table IS the materialized frame — re-scanning the
-    // narrow file per plan branch is what the barrier's local copy
-    // simulates, minus the copy cost
-    val sigs = pin(sigs0)
-    val cand = candidatesFromSignatures(sigs, idCol, nHashes = nHashes,
-      nBands = 8, maxBucketSize = maxBucketSize)
-    // Signature-estimate prefilter: matching-slot fraction is an
-    // unbiased jaccard estimate already paid for — comparing 32 longs
-    // per pair kills the random-collision candidates BEFORE the
-    // expensive shingle-array join (at a 100× fixed-vocab corpus the
-    // candidates were ~30× super-linear and the array verify was the
-    // whole query cost). The 0.25 slack keeps borderline true pairs:
+    // Signature-estimate prefilter, fused into the bucket walk
+    // (candidatesWithEstimate): matching-slot fraction is an unbiased
+    // jaccard estimate already paid for — comparing 32 longs per pair
+    // kills the random-collision candidates BEFORE the expensive
+    // shingle-array join. The 0.25 slack keeps borderline true pairs:
     // P(est < threshold−0.25 | jaccard = threshold) ≈ 0.5% at 32
     // hashes. Both engines compute the identical estimate, so the
-    // recall trade is deterministic, not drift.
+    // recall trade is deterministic, not drift. The signature frame
+    // is consumed exactly ONCE now (the round-12 fused kernel), so
+    // the old 5-branch plan barrier on it is gone — pin() remains
+    // only for the twice-consumed shingle frame below.
     val estSlack = 0.25
-    val sigA = sigs.select(col(idCol).as("ida") +:
-      (0 until nHashes).map(i => col(s"h$i").as(s"ha$i")): _*)
-    val sigB = sigs.select(col(idCol).as("idb") +:
-      (0 until nHashes).map(i => col(s"h$i").as(s"hb$i")): _*)
-    val est = (0 until nHashes)
-      .map(i => when(col(s"ha$i") === col(s"hb$i"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / nHashes
-    val estOk = cand.join(sigA, "ida").join(sigB, "idb")
-      .filter(est >= threshold - estSlack)
-      .select(col("ida"), col("idb"))
+    val estOk = candidatesWithEstimate(sigs0, idCol, nHashes = nHashes,
+      nBands = 8, maxBucketSize = maxBucketSize,
+      minEst = threshold - estSlack)
     // Same barrier for the shingle frame: the verify join consumes it
     // twice (sa / sb) — one tokenize+shingle pass materialized, not
     // two corpus scans. The SET representation is sorted 60-bit
@@ -317,21 +292,81 @@ object Dedup {
     * docs sharing any surviving band bucket are candidates.
     */
   def candidatesFromSignatures(sigs: DataFrame, idCol: String,
-      nHashes: Int, nBands: Int, maxBucketSize: Int): DataFrame = {
+      nHashes: Int, nBands: Int, maxBucketSize: Int): DataFrame =
+    // the estimate-fused bucket kernel with the estimate OFF
+    // (minEst <= 0 skips the slot compare and ships no signature
+    // payload): same pair set as the old explode → size-join →
+    // self-join → distinct chain, without ever materializing the raw
+    // collision pairs (a d-copy duplicate set put d²/2 rows per band
+    // into the pair-level distinct)
+    candidatesWithEstimate(sigs, idCol, nHashes, nBands, maxBucketSize,
+      minEst = 0.0)
+
+  /** [[candidatesFromSignatures]] with the signature-estimate
+    * prefilter FUSED into the bucket walk (round 12): the join
+    * formulation materialized every raw band collision as a pair row
+    * (duplicate-heavy corpora put d²/2 rows per band into a
+    * pair-level distinct), then re-attached both 32-slot signatures
+    * with two wide joins just to compute the matching-slot estimate.
+    * Here each (band, bucket) is buffered once — bounded by the SAME
+    * maxBucketSize drop rule (an over-cap bucket contributes no
+    * pairs, exactly the old HAVING) — and pairs stream out already
+    * estimate-filtered, so only estimate-passing pairs ever reach a
+    * shuffle (the distinct). The estimate is the identical double
+    * (matches / nHashes ≥ minEst), so the emitted pair set is
+    * bit-for-bit the old chain's and the shared oracles pin it.
+    * This is the embeddingPairs mapGroups-tier exception: no
+    * built-in expresses "per-bucket all-pairs + filter without
+    * building the pair frame".
+    */
+  def candidatesWithEstimate(sigs: DataFrame, idCol: String,
+      nHashes: Int, nBands: Int, maxBucketSize: Int,
+      minEst: Double): DataFrame = {
     require(nBands > 0 && nHashes % nBands == 0,
       s"nBands ($nBands) must divide nHashes ($nHashes)")
-    val banded = bandExplode(sigs, idCol, nHashes, nBands)
-    val sizes = banded.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") <= maxBucketSize)
-      .select(col("band"), col("bkey"))
-    val kept = banded.join(sizes, Seq("band", "bkey"))
-    val l = kept.select(col("band"), col("bkey"), col(idCol).as("ida"))
-    val r = kept.select(col("band").as("band_r"), col("bkey").as("bkey_r"), col(idCol).as("idb"))
-    l.join(r, col("band") === col("band_r") && col("bkey") === col("bkey_r") &&
-        col("ida") < col("idb"))
-      .select(col("ida"), col("idb"))
-      .distinct()
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = nHashes / nBands
+    val bandKeys = (0 until nBands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(s => col(s"h$s").cast("string"))
+      md5(concat_ws(",", slots: _*))
+    }
+    val needEst = minEst > 0.0
+    val banded = sigs.select(
+        col(idCol).cast("long").as("_id"),
+        (if (needEst) array((0 until nHashes).map(i => col(s"h$i")): _*)
+         else array().cast("array<bigint>")).as("_hs"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+      .select(concat_ws("|", col("band").cast("string"), col("bkey")).as("_bucket"),
+        col("_id"), col("_hs"))
+      .as[(String, Long, Array[Long])]
+    banded.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val m = it.toArray
+      if (m.length > maxBucketSize) Iterator.empty // dropped bucket (old HAVING)
+      else Iterator.range(0, m.length).flatMap { a =>
+        Iterator.range(a + 1, m.length).flatMap { b =>
+          val ia = m(a)._2
+          val ib = m(b)._2
+          if (ia == ib) Iterator.empty
+          else if (!needEst)
+            Iterator.single((math.min(ia, ib), math.max(ia, ib)))
+          else {
+            val ha = m(a)._3
+            val hb = m(b)._3
+            var matches = 0
+            var s = 0
+            while (s < nHashes) {
+              if (ha(s) == hb(s)) matches += 1
+              s += 1
+            }
+            if (matches.toDouble / nHashes >= minEst)
+              Iterator.single((math.min(ia, ib), math.max(ia, ib)))
+            else Iterator.empty
+          }
+        }
+      }
+    }.toDF("ida", "idb").distinct()
   }
 
   /** MinHash + LSH candidate pairs (signatures + banding in one call —
