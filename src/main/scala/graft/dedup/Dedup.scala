@@ -677,20 +677,41 @@ object Dedup {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Ingest builder for the CROSS-DOC duplicated-hash set: window
+    * hashes occurring in ≥ 2 distinct documents, derived from the
+    * persisted window table ([[buildSpanWindowTable]]) — an
+    * artifact-to-artifact ingest chain. The dup set is a property of
+    * the corpus version exactly like the window hashes themselves, so
+    * the standing pipeline's per-run cost drops the corpus-wide
+    * countDistinct shuffle: runs keep only the per-doc counts (spans)
+    * or the covered-position join (rewrite).
+    */
+  def buildSpanDupHashTable(wins: DataFrame, idCol: String,
+      path: String): Unit =
+    wins.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select(col("h"))
+      .write.mode("overwrite").parquet(path)
+
   /** The aggregation half of [[duplicateSpans]] over a prebuilt
     * positional window frame (id, h) or (id, p, h) — the
     * persisted-artifact shape (dd_spans_persisted): per-run cost is
     * the hash-keyed dup aggregate + two per-doc counts over the
-    * narrow artifact, corpus text never read. NOT barriered here:
-    * in-query callers pass an already-barriered frame; file-backed
-    * artifacts re-scan cheaper than they copy (round-11 lesson).
+    * narrow artifact, corpus text never read. Pass `dupHashes` (the
+    * [[buildSpanDupHashTable]] artifact) to amortize the cross-doc
+    * aggregate to ingest as well — the run is then the two per-doc
+    * counts alone. NOT barriered here: in-query callers pass an
+    * already-barriered frame; file-backed artifacts re-scan cheaper
+    * than they copy (round-11 lesson).
     */
-  def duplicateSpansFromWindows(wins0: DataFrame, idCol: String): DataFrame = {
+  def duplicateSpansFromWindows(wins0: DataFrame, idCol: String,
+      dupHashes: Option[DataFrame] = None): DataFrame = {
     val wins = wins0.select(col(idCol), col("h"))
-    val dup = wins.groupBy(col("h"))
+    val dup = dupHashes.getOrElse(wins.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= 2)
-      .select(col("h"))
+      .select(col("h")))
     val totals = wins.groupBy(col(idCol)).agg(count(lit(1)).as("n_windows"))
     val dups = wins.join(dup, "h")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
@@ -758,14 +779,15 @@ object Dedup {
     * barriered here (see [[duplicateSpansFromWindows]]).
     */
   def removeDuplicateSpansFromWindows(docs: DataFrame, idCol: String,
-      textCol: String, wins: DataFrame, span: Int): DataFrame = {
+      textCol: String, wins: DataFrame, span: Int,
+      dupHashes: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val toks = wsTokens(normText(col(textCol)))
     val base = graft.Tables.fanOut(docs).filter(col(textCol).isNotNull)
-    val dup = wins.groupBy(col("h"))
+    val dup = dupHashes.getOrElse(wins.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= 2)
-      .select(col("h"))
+      .select(col("h")))
     // covered window starts, one row per (doc, start) — barriered so
     // the broadcast-vs-shuffle row count does not recompute the join
     val covered = wins.join(dup, "h").select(col(idCol), col("p"))

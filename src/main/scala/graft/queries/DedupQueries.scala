@@ -314,7 +314,8 @@ object DedupQueries {
     // read. Window hashes are a per-doc projection → row-identical,
     // shared oracle.
     "dd_spans_persisted" -> ((s, dir) =>
-      Dedup.duplicateSpansFromWindows(spanWindowTable(s, dir), "doc_id")
+      Dedup.duplicateSpansFromWindows(spanWindowTable(s, dir), "doc_id",
+          dupHashes = Some(spanDupTable(s, dir)))
         .orderBy(col("doc_id"))),
 
     // span removal over the SAME persisted window artifact: dup
@@ -324,7 +325,8 @@ object DedupQueries {
     // to dd_spans_rewrite, shared oracle.
     "dd_spans_rewrite_persisted" -> ((s, dir) =>
       Dedup.removeDuplicateSpansFromWindows(t(s, dir, "documents"),
-          "doc_id", "text", spanWindowTable(s, dir), span = SpanTokens)
+          "doc_id", "text", spanWindowTable(s, dir), span = SpanTokens,
+          dupHashes = Some(spanDupTable(s, dir)))
         .orderBy(col("doc_id"))),
 
     // SemDeDup (Dedup.semanticPairs): deterministic Lloyd k-means over
@@ -418,6 +420,16 @@ object DedupQueries {
     persistedTable(s, "spanwin", dir) { p =>
       Dedup.buildSpanWindowTable(t(s, dir, "documents"), "doc_id", "text",
         span = SpanTokens, p)
+    }
+
+  /** Ingest-derived cross-doc duplicated-hash artifact
+    * (Dedup.buildSpanDupHashTable over the window table) — the second
+    * stage of the span ingest chain, shared by both span twins.
+    */
+  private def spanDupTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    persistedTable(s, "spandup", dir) { p =>
+      Dedup.buildSpanDupHashTable(spanWindowTable(s, dir), "doc_id", p)
     }
 
   /** Session-cached handle on the ingest-time group-assignment

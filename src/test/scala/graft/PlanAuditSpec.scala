@@ -40,6 +40,13 @@ class PlanAuditSpec extends SparkSpecBase {
       // corpus-sized; see dd_groups) — the survivorship join/window
       // it adds on top broadcasts/partitions on group_id
       "dd_survivors_quality",
+      // window table ⋈ persisted dup-hash artifact: BOTH sides are
+      // corpus-growing (O(corpus tokens) window rows; the dup-hash
+      // set grows with the duplicated fraction — on a boilerplate-
+      // heavy corpus it is itself corpus-scale), so broadcast would
+      // be wrong at 100 TB; the equi-join on the 60-bit hash is the
+      // honest big-big shape
+      "dd_spans_persisted",
       "mm_join", "q_merge", "ta_contaminate")
 
   private val Kernels = Seq("vector_dot", "vector_l2sq", "word_shingles",
