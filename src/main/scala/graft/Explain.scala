@@ -21,6 +21,15 @@ object Explain {
     names.foreach { n =>
       println(s"\n======== $n ========")
       try {
+        // STEADY-STATE audit: construct once to warm (once-per-JVM
+        // persisted artifacts build here — ingest work, not query
+        // cost), drop its barrier pins, then audit a SECOND
+        // construction. Without this, an entry's first-build barrier
+        // count depended on whether another query in the same JVM had
+        // already built the shared artifact (the PlanAuditSpec
+        // full-suite-order flake, round 12).
+        SparkEntry.queries(n)(spark, sfDir)
+        Barrier.release(spark)
         val df = SparkEntry.queries(n)(spark, sfDir)
         // plan barriers (Barrier.checkpoint) already RAN while the
         // query was constructed — the final explain shows them only as

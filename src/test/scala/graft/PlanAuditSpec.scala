@@ -121,6 +121,11 @@ class PlanAuditSpec extends SparkSpecBase {
       val mismatches = scala.collection.mutable.ArrayBuffer.empty[String]
       SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
         Barrier.release(spark)
+        // steady-state: warm construction builds once-per-JVM
+        // artifacts, then the audited second construction counts only
+        // per-query barriers (mirrors graft.Explain)
+        SparkEntry.queries(name)(spark, SfDir)
+        Barrier.release(spark)
         val df = SparkEntry.queries(name)(spark, SfDir)
         val barriers = Barrier.pinnedCount(spark)
         val body = df.queryExecution.explainString(
