@@ -128,74 +128,22 @@ object Multimodal {
     // localCheckpoint copy (the round-11 persisted-twin lesson).
     val proj = sigs.select(col(idCol), col("content_key"), col("phash"))
     val matSigs = if (barrierInput) graft.Barrier.checkpoint(proj) else proj
-    // FINGERPRINT-GROUP COLLAPSE (round 12, the
-    // Dedup.simHashPairsFromFingerprints move on the media tier):
-    // exact copies share a phash, so a d-copy payload set cost d²/2
-    // joined-and-shuffled rows plus a pair-level distinct; collapsing
-    // first runs the pigeonhole join over distinct fingerprints only,
-    // and within-group pairs (hamming 0) are generated from member
-    // arrays with no shuffle. Grouping is TWO-LEVEL — (phash,
-    // content_key) sub-groups inside each phash group — because
-    // exact_dup is then structural (same sub-group ⇒ 1, same phash
-    // different sub-group ⇒ 0, different phash ⇒ 0: identical bytes
-    // imply identical phash), so member arrays stay pure id longs and
-    // no 32-char md5 string ever rides into pair space.
-    // array_distinct keeps the old plan's duplicate-row semantics.
-    val subGroups = matSigs.groupBy(col("phash"), col("content_key"))
-      .agg(sort_array(array_distinct(collect_list(col(idCol)))).as("_ids"))
-    val groups = subGroups.groupBy(col("phash"))
-      .agg(sort_array(collect_list(struct(
-        col("content_key").as("_ck"), col("_ids").as("_ids")))).as("_subs"))
-    // exact pairs: within one (phash, content_key) sub-group
-    val exact = subGroups
-      .filter(size(col("_ids")) >= 2)
-      .select(col("_ids"), posexplode(col("_ids")).as(Seq("_i", "ida")))
-      .select(col("ida"),
-        explode(slice(col("_ids"), col("_i") + lit(2),
-          size(col("_ids")) - col("_i") - lit(1))).as("idb"))
-      .filter(col("ida") =!= col("idb"))
-      .select(col("ida"), col("idb"), lit(0L).as("hamming"),
-        lit(1L).as("exact_dup"))
-    // hamming-0 non-exact pairs: across sub-groups of one phash
-    val withinPhash = groups
-      .filter(size(col("_subs")) >= 2)
-      .select(col("_subs"), posexplode(col("_subs")).as(Seq("_i", "_sa")))
-      .select(col("_sa"),
-        explode(slice(col("_subs"), col("_i") + lit(2),
-          size(col("_subs")) - col("_i") - lit(1))).as("_sb"))
-      .select(explode(col("_sa._ids")).as("_a"), col("_sb"))
-      .select(col("_a"), explode(col("_sb._ids")).as("_b"))
-      .filter(col("_a") =!= col("_b"))
-      .select(least(col("_a"), col("_b")).as("ida"),
-        greatest(col("_a"), col("_b")).as("idb"),
-        lit(0L).as("hamming"), lit(0L).as("exact_dup"))
-    // between distinct phashes: pigeonhole chunk join over one row per
-    // phash, member ids flattened across sub-groups
-    val flat = groups.select(col("phash"),
-      flatten(expr("transform(_subs, s -> s._ids)")).as("_ids"))
-    val chunked = flat.select(col("phash"), col("_ids"),
+    val chunked = matSigs.select(col(idCol), col("content_key"), col("phash"),
       posexplode(expr(
         "transform(sequence(0,3), c -> shiftright(phash, c*16) & 65535L)"))
         .as(Seq("chunk_i", "chunk_v")))
     val l = chunked.select(col("chunk_i"), col("chunk_v"),
-      col("phash").as("ph_a"), col("_ids").as("_ids_a"))
+      col(idCol).as("ida"), col("phash").as("ph_a"), col("content_key").as("ck_a"))
     val r = chunked.select(col("chunk_i").as("ci_r"), col("chunk_v").as("cv_r"),
-      col("phash").as("ph_b"), col("_ids").as("_ids_b"))
-    val between = l.join(r,
-        col("chunk_i") === col("ci_r") && col("chunk_v") === col("cv_r") &&
-        col("ph_a") < col("ph_b"))
+      col(idCol).as("idb"), col("phash").as("ph_b"), col("content_key").as("ck_b"))
+    l.join(r, col("chunk_i") === col("ci_r") && col("chunk_v") === col("cv_r") &&
+        col("ida") < col("idb"))
       .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
-      .filter(col("hamming") > 0 && col("hamming") <= maxHamming)
-      .groupBy(col("ph_a"), col("ph_b"))
-      .agg(first(col("_ids_a")).as("_ids_a"), first(col("_ids_b")).as("_ids_b"),
-        first(col("hamming")).as("hamming"))
-      .select(col("hamming"), explode(col("_ids_a")).as("_a"), col("_ids_b"))
-      .select(col("hamming"), col("_a"), explode(col("_ids_b")).as("_b"))
-      .filter(col("_a") =!= col("_b")) // same id under two fingerprints
-      .select(least(col("_a"), col("_b")).as("ida"),
-        greatest(col("_a"), col("_b")).as("idb"),
-        col("hamming"), lit(0L).as("exact_dup"))
-    exact.unionByName(withinPhash).unionByName(between)
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("exact_dup",
+        when(col("ck_a") === col("ck_b"), 1L).otherwise(0L))
+      .select(col("ida"), col("idb"), col("hamming"), col("exact_dup"))
+      .distinct()
   }
 
   /** Strided frame sampling: every `stride` bytes take a `frameLen`
