@@ -193,23 +193,46 @@ final class IvfIndex private (
     // membership is already recorded in the layout — compaction moves
     // FILES, never rows, so no re-assignment pass; slot is recomputed
     // with the build's formula (same value for rows placed by build,
-    // the canonical value for rows a legacy append funneled to slot 0)
-    val local = cells.filter(col("cell") === cellId)
+    // the canonical value for rows a legacy append funneled to slot 0).
+    //
+    // The rewrite is staged at a TEMP path and swapped in as one
+    // directory rename, NOT written over the live layout with dynamic
+    // partition overwrite: dynamic overwrite only replaces (cell,
+    // slot) partitions that receive rows, so a pre-existing slot
+    // partition whose recomputed content is empty — e.g. rows an
+    // append() with an explicit filesPerCell override larger than the
+    // build's placed in slots >= the build's fpc — would survive
+    // alongside the rewritten copies and silently DUPLICATE those
+    // rows (round-12 advice). Deleting the whole cell=<id> directory
+    // and renaming the staged one in replaces every historical slot,
+    // whatever fpc wrote it, and needs no session-global
+    // partitionOverwriteMode flip (which raced with concurrent
+    // writers in the same session).
+    val tmp = s"$path/.compact-tmp-cell-$cellId"
+    cells.filter(col("cell") === cellId)
       .drop("cell", "slot")
       .withColumn("cell", lit(cellId))
       .withColumn("slot", pmod(hash(col(idCol)), lit(fpc)))
-      .localCheckpoint() // cut lineage: the write replaces the files this read
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try local
       .repartition(col("cell"), col("slot"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell", "slot")
-      .parquet(s"$path/cells")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      .parquet(tmp)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$path/cells/cell=$cellId")
+    val staged = new Path(s"$tmp/cell=$cellId")
+    try {
+      fs.delete(live, true)
+      // staged is absent iff the live cell had zero rows (the read
+      // above saw nothing) — then the delete alone is the compaction
+      if (fs.exists(staged)) require(fs.rename(staged, live),
+        s"compact: rename $staged -> $live failed; staged rewrite left at $tmp")
+    } finally {
+      if (!fs.exists(staged)) fs.delete(new Path(tmp), true)
     }
+    // the swap bypassed the datasource layer, so drop any cached file
+    // listing / relation for the layout path
+    spark.catalog.refreshByPath(s"$path/cells")
   }
 
   /** max/mean cell population — the re-cluster trigger named in

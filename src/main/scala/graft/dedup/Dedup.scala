@@ -319,11 +319,35 @@ object Dedup {
     * built-in expresses "per-bucket all-pairs + filter without
     * building the pair frame".
     */
+  /** The bucket/block kernels ([[candidatesWithEstimate]],
+    * [[embeddingPairs]]) decode ids into a non-nullable tuple Long —
+    * a plan-level `cast("long")` would turn a non-numeric string id
+    * into null and surface as an opaque encoder error at runtime, and
+    * even a numeric string would silently change the output ida/idb
+    * type from the input's to long (round-12 advice). Fail at
+    * construction with the actual type instead: these kernels require
+    * integral ids (the public contract; every graft table uses long
+    * ids). Callers with string ids should map them through a stable
+    * integral key (e.g. [[portableHash64]]) first.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, fn: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$fn: id column '$idCol' has type ${other.simpleString} — the " +
+          "pair kernels require an integral id (output ida/idb are long). " +
+          "Map string ids through a stable integral key first " +
+          "(e.g. Dedup.portableHash64).")
+    }
+  }
+
   def candidatesWithEstimate(sigs: DataFrame, idCol: String,
       nHashes: Int, nBands: Int, maxBucketSize: Int,
       minEst: Double): DataFrame = {
     require(nBands > 0 && nHashes % nBands == 0,
       s"nBands ($nBands) must divide nHashes ($nHashes)")
+    requireIntegralId(sigs, idCol, "candidatesWithEstimate")
     val spark = sigs.sparkSession
     import spark.implicits._
     val rowsPerBand = nHashes / nBands
@@ -500,6 +524,13 @@ object Dedup {
     * file-backed stage table, where branch re-scans of the narrow
     * parquet beat paying a localCheckpoint copy (the round-11
     * dd_ngram_jaccard_persisted lesson).
+    *
+    * CONTRACT: `fp` must hold one fingerprint row per (block, id);
+    * null block/simhash rows are dropped (join-parity). On input with
+    * an id under two different fingerprints in one block, the between
+    * path can emit a duplicate (ida, idb, hamming) row — see the
+    * trailing-union comment for why that is documented rather than
+    * re-normalized per run.
     */
   def simHashPairsFromFingerprints(fp: DataFrame, idCol: String,
       blockCol: String, maxHamming: Int): DataFrame = {
@@ -518,7 +549,17 @@ object Dedup {
     // from each group's member array — a flatMap in the final stage,
     // no shuffle, no distinct. array_distinct keeps the old plan's
     // duplicate-id semantics (distinct emitted each pair once).
-    val groups = fp.groupBy(col(blockCol), col("simhash"))
+    //
+    // NULL parity with the join formulation the collapse replaced
+    // (round-12 advice): the old chunk join never paired null-block
+    // rows (null === null is not true) and a null simhash produced
+    // null chunks that joined nothing — but groupBy groups null keys
+    // together, so an unfiltered within-group path would emit
+    // hamming-0 pairs for null-block or null-fingerprint rows. Filter
+    // them up front so the pair set stays the join's.
+    val groups = fp
+      .filter(col(blockCol).isNotNull && col("simhash").isNotNull)
+      .groupBy(col(blockCol), col("simhash"))
       .agg(sort_array(array_distinct(collect_list(col(idCol)))).as("_ids"))
     // within-group: all i < j pairs of the sorted member array
     val within = groups
@@ -554,6 +595,18 @@ object Dedup {
       .filter(col("_a") =!= col("_b")) // same id under two fingerprints
       .select(least(col("_a"), col("_b")).as("ida"),
         greatest(col("_a"), col("_b")).as("idb"), col("hamming"))
+    // INPUT CONTRACT (round-12 advice): fp must hold ONE fingerprint
+    // row per (block, id) — what simHashPairs and the ingest artifact
+    // produce by construction. If an id appears under two DIFFERENT
+    // fingerprints in the same block (dirty duplicate-id input), the
+    // between path emits the same (ida, idb, hamming) row once per
+    // matching group pair where the old join chain's pair-level
+    // distinct collapsed them. A trailing .distinct() would restore
+    // that parity but costs a shuffle over ALL survivor pairs — A/B'd
+    // at 2× the whole entry at 100× (13.1 s vs 6.9 s: replica-set
+    // corpora emit d²/2 within-pairs per set, and the distinct hashes
+    // every one) — so the contract is documented and spec-pinned
+    // (SimHashSpec) instead of re-normalized per run.
     within.select(col("ida"), col("idb"), col("hamming"))
       .unionByName(between)
   }
@@ -1126,6 +1179,7 @@ object Dedup {
   def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double,
       maxBlockSize: Int = 100000): DataFrame = {
+    requireIntegralId(vecs, idCol, "embeddingPairs")
     val spark = vecs.sparkSession
     import spark.implicits._
     // PER-BLOCK ALL-PAIRS KERNEL (round 12): the previous block-equi
@@ -1147,7 +1201,16 @@ object Dedup {
     // applies Spark's own round(…, 6) so emitted values and the
     // boundary decision are bit-identical to the join formulation
     // (the shared oracles pin it).
+    // NULL parity with the join formulation this kernel replaced
+    // (round-12 advice): the old block-equi self-join never paired
+    // null-block rows (null === null is not true) and null-propagating
+    // SQL arithmetic dropped null vectors/ids; groupByKey would group
+    // null keys TOGETHER and a null vector would NPE in the norm loop.
+    // Filter them up front so the kernel's pair set stays bit-for-bit
+    // the join's.
     val rows = graft.Tables.fanOut(vecs)
+      .filter(col(blockCol).isNotNull && col(idCol).isNotNull &&
+        col(vecCol).isNotNull)
       .select(col(blockCol).cast("string").as("_blk"),
         col(idCol).cast("long").as("_id"),
         col(vecCol).cast("array<double>").as("_v"))

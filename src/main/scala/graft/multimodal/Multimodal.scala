@@ -126,24 +126,41 @@ object Multimodal {
     // FILE-BACKED signature artifacts (mm_dedup_persisted), where
     // branch re-scans of the narrow parquet beat paying a
     // localCheckpoint copy (the round-11 persisted-twin lesson).
-    val proj = sigs.select(col(idCol), col("content_key"), col("phash"))
+    // content_key rides every candidate row of the pigeonhole join
+    // only to compute exact_dup at the end — as a 32-char md5 hex
+    // STRING that was ~1.6 GB of pure shuffle traffic at the stress
+    // corpus's ~25M candidate rows (round-12 verdict). Fold it to a
+    // 64-bit long BEFORE the join (the codebase's portable-hash idiom:
+    // first 15 hex chars = 60 bits, collision-free for any real
+    // corpus) and compare longs; the full-fat key never enters pair
+    // space.
+    val proj = sigs.select(col(idCol),
+      conv(substring(col("content_key"), 1, 15), 16, 10)
+        .cast("long").as("_ckh"),
+      col("phash"))
     val matSigs = if (barrierInput) graft.Barrier.checkpoint(proj) else proj
-    val chunked = matSigs.select(col(idCol), col("content_key"), col("phash"),
+    val chunked = matSigs.select(col(idCol), col("_ckh"), col("phash"),
       posexplode(expr(
         "transform(sequence(0,3), c -> shiftright(phash, c*16) & 65535L)"))
         .as(Seq("chunk_i", "chunk_v")))
     val l = chunked.select(col("chunk_i"), col("chunk_v"),
-      col(idCol).as("ida"), col("phash").as("ph_a"), col("content_key").as("ck_a"))
+      col(idCol).as("ida"), col("phash").as("ph_a"), col("_ckh").as("ck_a"))
     val r = chunked.select(col("chunk_i").as("ci_r"), col("chunk_v").as("cv_r"),
-      col(idCol).as("idb"), col("phash").as("ph_b"), col("content_key").as("ck_b"))
+      col(idCol).as("idb"), col("phash").as("ph_b"), col("_ckh").as("ck_b"))
     l.join(r, col("chunk_i") === col("ci_r") && col("chunk_v") === col("cv_r") &&
         col("ida") < col("idb"))
       .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .withColumn("exact_dup",
         when(col("ck_a") === col("ck_b"), 1L).otherwise(0L))
-      .select(col("ida"), col("idb"), col("hamming"), col("exact_dup"))
-      .distinct()
+      // a pair matches on up to 4 chunks with IDENTICAL (hamming,
+      // exact_dup) each time (both are per-id functions): a
+      // first-per-pair aggregate keys the partial agg on (ida, idb)
+      // alone instead of hashing all four columns per row — same rows
+      // out as the old pair-level distinct
+      .groupBy(col("ida"), col("idb"))
+      .agg(first(col("hamming")).as("hamming"),
+        first(col("exact_dup")).as("exact_dup"))
   }
 
   /** Strided frame sampling: every `stride` bytes take a `frameLen`

@@ -298,21 +298,29 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // the PERSISTED-model twin: the weight table is fitted ONCE at
-    // ingest and saved as a parquet model artifact
-    // (QueryUtil.persistedArtifact); the query path loads it and runs
-    // ONLY the scoring join — how production serves a classifier gate
-    // (the fit is a training job, not a query). Same fit, same
-    // arithmetic (StreamingSpec pins serve==in-plan bit equality), so
-    // the oracle is shared verbatim with ta_quality_classifier.
+    // the PERSISTED-model twin: BOTH halves of the scoring plan are
+    // corpus-version artifacts built once at ingest — the weight table
+    // (the fit is a training job, not a query) AND the per-doc
+    // (doc_id, tok, cnt) token-count projection (round-12 verdict #3:
+    // re-running tokenize→explode over every document per scoring run
+    // paid the full text scan each time). The query is the narrow
+    // counts ⋈ weights join — text never read. Same fit, same decimal
+    // arithmetic (cnt × w exactly equals cnt summed copies of w;
+    // StreamingSpec pins the bit equality), so the oracle is shared
+    // verbatim with ta_quality_classifier.
     "ta_quality_classifier_persisted" -> ((s, dir) => {
       val wPath = persistedArtifact("qcweights", dir) { p =>
         graft.streaming.StreamingQualityClassifier.fitWeights(
             t(s, dir, "documents"), "text", col("lang") === "en")
           .write.mode("overwrite").parquet(p)
       }
-      graft.streaming.StreamingQualityClassifier.score(
-          t(s, dir, "documents"), "doc_id", "text", s.read.parquet(wPath))
+      val tokCnt = persistedTable(s, "qctokcnt", dir) { p =>
+        graft.streaming.StreamingQualityClassifier.buildTokenCounts(
+            t(s, dir, "documents"), "doc_id", "text")
+          .write.mode("overwrite").parquet(p)
+      }
+      graft.streaming.StreamingQualityClassifier.scoreFromTokenCounts(
+          tokCnt, "doc_id", s.read.parquet(wPath))
         .orderBy(col("doc_id"))
     }),
 

@@ -40,19 +40,29 @@ final class IvfServing(val idx: IvfIndex, val nprobe: Int,
     * removes the I/O floor. Pass cacheCells=false for a cold,
     * disk-resident server (then partition pruning is what bounds I/O).
     */
-  @volatile private var cellsFrame: DataFrame =
-    if (cacheCells) idx.cells.cache() else idx.cells
+  /** Cells frame + the centroid array it was probed against, as ONE
+    * immutable snapshot behind a single volatile: a refresh after a
+    * path-swap recluster changes BOTH, and two separate volatile
+    * writes let a concurrent searchBatch read the new cells with the
+    * old centroids — probing the wrong cells (round-12 advice). A
+    * reader dereferences `snap` once per call and works off a
+    * consistent pair; after append/compact (centroids unchanged) the
+    * bundle is equivalent to the old two-field form.
+    */
+  private case class Snapshot(cellsFrame: DataFrame,
+      cents: Array[(Long, Array[Double])])
 
-  private def loadCents(): Array[(Long, Array[Double])] = {
+  private def loadSnapshot(): Snapshot = {
     val rows = idx.centroids
       .select(col("cell").cast("long"), col("cv").cast("array<double>"))
       .collect()
     require(rows.nonEmpty && rows.length <= 65536,
       s"IvfServing: ${rows.length} centroids (the nlist rule bounds this at 65536)")
-    rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val frame = if (cacheCells) idx.cells.cache() else idx.cells
+    Snapshot(frame, rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)))
   }
 
-  @volatile private var cents: Array[(Long, Array[Double])] = loadCents()
+  @volatile private var snap: Snapshot = loadSnapshot()
 
   /** Re-pin the layout after ingest-side maintenance
     * (IvfIndex.append / compact / a path-swap recluster): the pinned
@@ -65,19 +75,22 @@ final class IvfServing(val idx: IvfIndex, val nprobe: Int,
     * snapshot they started with (volatile swap, never torn).
     */
   def refresh(): Unit = synchronized {
-    val old = cellsFrame
-    cellsFrame = if (cacheCells) idx.cells.cache() else idx.cells
-    cents = loadCents()
-    if (cacheCells) old.unpersist()
+    val old = snap
+    snap = loadSnapshot()
+    if (cacheCells) old.cellsFrame.unpersist()
   }
 
   /** nlist of the pinned index. */
-  def nCells: Int = cents.length
+  def nCells: Int = snap.cents.length
 
   /** The query's nprobe nearest cells — same fold, same (d², cell)
     * tie order as searchBatch's probe agg.
     */
   def probeCellsFor(qv: Array[Float]): Seq[Long] =
+    probeCellsIn(snap.cents, qv)
+
+  private def probeCellsIn(cents: Array[(Long, Array[Double])],
+      qv: Array[Float]): Seq[Long] =
     cents.map { case (cell, cv) =>
       var d = 0.0
       var j = 0
@@ -100,12 +113,13 @@ final class IvfServing(val idx: IvfIndex, val nprobe: Int,
     val spark = idx.spark
     import spark.implicits._
     import graft.functions.VectorFunctions.{cosine, topK}
+    val snapshot = snap // one volatile read: cells + cents stay paired
     val probe = queries.flatMap { case (qid, qv) =>
-      probeCellsFor(qv).map(c => (qid, c, qv))
+      probeCellsIn(snapshot.cents, qv).map(c => (qid, c, qv))
     }
     val probeDf = probe.toDF("qid", "cell", "qv")
     val allCells = probe.map(_._2).distinct
-    cellsFrame
+    snapshot.cellsFrame
       .filter(col("cell").isin(allCells: _*))
       .join(broadcast(probeDf), "cell")
       .withColumn("score_raw", cosine(col(idx.vecCol), col("qv")))

@@ -50,6 +50,41 @@ object StreamingQualityClassifier {
             ((col("cnt_neg") + lit(1)) / (col("n_neg") + col("v")))), 6).as("w"))
   }
 
+  /** The per-doc (idCol, tok, cnt) token-count projection — like the
+    * weight table, a property of the CORPUS VERSION, computed once at
+    * ingest and persisted (the dd_pipeline_persisted signal-table
+    * move): a production gate re-scores whenever the MODEL changes
+    * (refit, new reference labels), and re-running tokenize → explode
+    * over every document per scoring run pays the corpus's full text
+    * scan each time (round-12 verdict #3). Scoring over the artifact
+    * ([[scoreFromTokenCounts]]) is a narrow join — text never read.
+    */
+  def buildTokenCounts(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.Tables.fanOut(docs)
+      .select(col(idCol), explode(wsTokens(normText(col(textCol)))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** [[score]] over the persisted [[buildTokenCounts]] projection —
+    * identical output bit-for-bit: summing `cnt` copies of a weight
+    * equals `w × cnt` EXACTLY in decimal arithmetic (both paths sum in
+    * DecimalType before the single double cast), and n_tokens =
+    * Σcnt = the instance count. The tokenize/explode pass is gone from
+    * the scoring plan entirely.
+    */
+  def scoreFromTokenCounts(tokenCounts: DataFrame, idCol: String,
+      weights: DataFrame): DataFrame =
+    tokenCounts
+      .join(weights, Seq("tok"), "left")
+      .withColumn("w", coalesce(col("w"), lit(0.0)))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        round(sum(col("w").cast(DecimalType(28, 10)) * col("cnt"))
+          .cast("double") / sum(col("cnt")), 6).as("score"))
+      .withColumn("keep", (col("score") > 0).cast("long"))
+
   /** Score a (streaming or batch) frame of (idCol, textCol) rows
     * against the fitted weights: (idCol, n_tokens, score, keep).
     * Identical arithmetic to QualityClassifier.score — 6dp weights

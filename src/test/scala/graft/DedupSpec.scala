@@ -254,4 +254,63 @@ class DedupSpec extends SparkSpecBase {
       .select("ida", "idb").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L))) // 1~2 similar; 3 orthogonal; 4 other block
   }
+
+  test("null block/vector rows never pair (join parity, round-12 advice)") {
+    import spark.implicits._
+    // the groupByKey kernels would group null keys TOGETHER (and NPE
+    // on a null vector) where the join formulations they replaced
+    // dropped them — both are filtered to the join's semantics
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, null, Seq(1.0f, 0.0f)),
+        Row(2L, null, Seq(1.0f, 0.0f)),
+        Row(3L, 0, null),
+        Row(4L, 0, Seq(1.0f, 0.0f)),
+        Row(5L, 0, Seq(1.0f, 0.0f))),
+      vecSchema)
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", "label", 0.9)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((4L, 5L)),
+      s"null-block (1,2) or null-vector (3) rows paired: $pairs")
+
+    val fpSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("simhash", LongType)))
+    val fp = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, null, 42L),
+        Row(2L, null, 42L),
+        Row(3L, "en", null),
+        Row(4L, "en", 42L),
+        Row(5L, "en", 42L)),
+      fpSchema)
+    val shPairs = Dedup.simHashPairsFromFingerprints(fp, "doc_id", "lang", 3)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(shPairs == Set((4L, 5L)),
+      s"null-block or null-fingerprint rows paired: $shPairs")
+  }
+
+  test("pair kernels fail loudly on a non-integral id column") {
+    import spark.implicits._
+    // the kernels decode ids into Long — a plan-level cast would turn
+    // a string id into an opaque runtime encoder error and silently
+    // retype ida/idb; the contract check names the problem instead
+    val vecs = Seq(("a", 0, Array(1.0f, 0.0f)), ("b", 0, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairs(vecs, "vec_id", "embedding", "label", 0.9)
+    }
+    assert(ex.getMessage.contains("integral id"), ex.getMessage)
+    val sigs = Seq(("a", 1L, 2L), ("b", 1L, 2L)).toDF("doc_id", "h0", "h1")
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.candidatesWithEstimate(sigs, "doc_id",
+        nHashes = 2, nBands = 1, maxBucketSize = 10, minEst = 0.0)
+    }
+    assert(ex2.getMessage.contains("integral id"), ex2.getMessage)
+  }
 }

@@ -77,6 +77,38 @@ class IvfMaintenanceSpec extends SparkSpecBase {
     assert(idx.search(q, "qv", nprobe = 3, k = 10).collect().toSeq == before)
   }
 
+  test("compact replaces HISTORICAL slots too — no duplicate rows after " +
+      "an append with a larger filesPerCell override (round-12 advice)") {
+    val dir = Files.createTempDirectory("ivfm_compact_hist").toString
+    val idx = buildAt(dir, filesPerCell = 2)
+    // the scaladoc-invited use: re-shard a hot batch across MORE slots
+    // than the build's geometry — rows land in slots >= 2, which a
+    // dynamic-partition-overwrite compact would have left in place
+    // (recomputed content for those slots is empty → partitions
+    // untouched → rows duplicated alongside their rewritten copies)
+    idx.append(emb.filter(col("vec_id") % 10 === 7), filesPerCell = 8)
+    val total = idx.cells.count()
+    assert(idx.cells.filter(col("slot") >= 2).count() > 0,
+      "override batch produced no high-slot rows — test setup broken")
+    val q = emb.filter(col("vec_id") === 1L).select(col("embedding").as("qv"))
+    val before = idx.search(q, "qv", nprobe = 3, k = 10).collect().toSeq
+    val touched = idx.cells.select(col("cell")).distinct()
+      .as[Long].collect().sorted
+    touched.foreach(idx.compact)
+    // every historical slot directory was swapped out: row count is
+    // UNCHANGED (the old overwrite mode duplicated high-slot rows),
+    // every row sits in the build-formula slot, and search is identical
+    assert(idx.cells.count() == total,
+      s"compact changed the row count: $total -> ${idx.cells.count()}")
+    assert(idx.cells.filter(col("slot") >= 2).count() == 0,
+      "high-slot rows survived compaction")
+    assert(idx.cells
+      .filter(col("slot") =!= pmod(hash(col("vec_id")), lit(2))).count() == 0)
+    assert(idx.search(q, "qv", nprobe = 3, k = 10).collect().toSeq == before)
+    // one distinct id per row — the duplicate symptom directly
+    assert(idx.cells.select("vec_id").distinct().count() == total)
+  }
+
   test("recluster: no-op under the threshold, refit + rebuild above it") {
     val dir = Files.createTempDirectory("ivfm_recl").toString
     val idx = buildAt(dir, filesPerCell = 1)
