@@ -138,6 +138,23 @@ object Bench {
       .mkString("{", ",", "}")
     val baseline = baselineBlock(sfDir, results.toMap)
     val serve = serveBlock(spark, sfDir)
+    // TRANSPARENCY tier (round-12 verdict #6): entries that recompute
+    // ingest-time artifacts inside the query — kept, measured, and
+    // oracled for auditability, but a standing pipeline runs their
+    // persisted/index-probed twin. The tier is derived, not curated:
+    // an entry whose <name>_persisted twin is registered (plus
+    // knn_join, whose production twin is knn_join_ivf). The headline
+    // `value` stays the FULL total (honesty); `production_total` is
+    // the sum over the production surface only.
+    val transparency = SparkEntry.queries.keySet
+      .filter(n => SparkEntry.queries.contains(s"${n}_persisted")) ++
+      (if (SparkEntry.queries.contains("knn_join_ivf")) Set("knn_join") else Set.empty)
+    val prodTotal = results
+      .filter { case (n, v) => !transparency(n) && v.isFinite }
+      .map(_._2).sum
+    val transparencyJson =
+      s""","production_total":$prodTotal,"transparency_entries":${
+        transparency.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     // Full-precision artifact (per-sweep spread, baseline + serve blocks):
     // the driver captures only the LAST 2000 chars of stdout, so the old
     // single all-in-one line (~3.5k chars at 88 entries) arrived
@@ -150,13 +167,13 @@ object Bench {
       s"\"" + name + s"""":{"min":${jnum(lo)},"max":${jnum(hi)}}"""
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"git_sha":"$gitSha","n_entries":${names.size},"queries":$qs,"sweep_spread":$spread,"errors":$errs,"sf":"$sfDir"$baseline$serve}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"git_sha":"$gitSha","n_entries":${names.size},"queries":$qs,"sweep_spread":$spread,"errors":$errs,"sf":"$sfDir"$transparencyJson$baseline$serve}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed ($detailPath): ${e.getMessage}") }
-    println(compactLine(results, total, reps, sfDir, failures.toMap, baseline))
+    println(compactLine(results, total, prodTotal, reps, sfDir, failures.toMap, baseline))
     spark.stop()
   }
 
@@ -191,7 +208,7 @@ object Bench {
     * must never truncate (full precision lives in BENCH_DETAIL.json).
     */
   private def compactLine(results: Seq[(String, Double)], total: Double,
-      reps: Int, sfDir: String, failures: Map[String, Int],
+      prodTotal: Double, reps: Int, sfDir: String, failures: Map[String, Int],
       baselineJson: String): String = {
     val sfName = new java.io.File(sfDir).getName
     val errs =
@@ -207,7 +224,7 @@ object Bench {
     }.mkString("{", ",", "}")
     def line(dp: Int, withQ: Boolean) = {
       val qs = if (withQ) s""","queries":${qmap(dp)}""" else ""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","reps":$reps,"sf":"$sfName","git_sha":"$gitSha","n_entries":${results.size}$qs$errs$bvb,"detail":"BENCH_DETAIL.json"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","production_total":$prodTotal%.2f,"reps":$reps,"sf":"$sfName","git_sha":"$gitSha","n_entries":${results.size}$qs$errs$bvb,"detail":"BENCH_DETAIL.json"}"""
     }
     Seq(line(2, withQ = true), line(1, withQ = true), line(2, withQ = false))
       .find(_.length <= 1880).getOrElse(line(2, withQ = false))

@@ -276,6 +276,74 @@ final class IvfIndex private (
   def cellStats: DataFrame =
     cells.groupBy(col("cell")).agg(count(lit(1)).as("n_rows"))
 
+  /** CORPUS-AS-QUERIES probe table: every layout row with the `np`
+    * cells nearest its OWN vector — the ingest-side half of the
+    * knn_join production path ([[knnJoinSelf]]). Like the layout, the
+    * probe list is a property of the corpus version (it depends only
+    * on the rows and this layout's centroids), so a standing pipeline
+    * persists it once per ingest instead of re-bucketing the corpus
+    * per run (the LSH knn_join re-derives planes + buckets every
+    * call — fine as a one-shot, wasteful as a pipeline stage).
+    *
+    * Shape at 100 TB: the probe list is a NARROW MAP over the corpus
+    * (graft.functions.expr.NearestCentroids — one codegen'd centroid
+    * scan per row, no n×nlist crossJoin, no shuffle) followed by the
+    * explode to exactly n×np rows. `keepCols` rides the block/filter
+    * columns (e.g. label) into the artifact so the per-run join needs
+    * no third table.
+    */
+  def selfProbeTable(np: Int, keepCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val rows = centroids
+      .select(col("cell").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty && rows.length <= 65536,
+      s"selfProbeTable: ${rows.length} centroids (nlist rule bounds this at 65536)")
+    val sorted = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val kernel = ColumnBridge.column(graft.functions.expr.NearestCentroids(
+      ColumnBridge.expression(col(vecCol)), sorted.map(_._1), sorted.map(_._2), np))
+    cells
+      .select(col(idCol).as("qid") +: col(vecCol).as("qv") +:
+        keepCols.map(c => col(c).as(s"q_$c")) :+ kernel.as("_probes"): _*)
+      .select(col("qid") +: col("qv") +: keepCols.map(c => col(s"q_$c")) :+
+        explode(col("_probes")).as("cell"): _*)
+  }
+
+  /** Corpus×corpus k-nearest-neighbors against this layout — the
+    * PRODUCTION knn_join: `probes` is a (persisted) [[selfProbeTable]]
+    * frame, candidates are the layout rows sharing a probed cell (and
+    * every `blockCols` value), scores are exact cosines, top-k per
+    * query via the bounded-heap TopKAgg. Output mirrors
+    * Ann.knnJoinLsh: (qid, id, score, rk).
+    *
+    * Scale shape: both sides are corpus-sized, so the candidate join
+    * is a deliberate big-big SortMergeJoin on (cell, blockCols) — the
+    * only shuffle, and the per-key groups are bounded by cell
+    * population (√n under the nlist rule) intersected with the block.
+    * Candidates per query = np × |cell ∩ block|; the exact cosines
+    * feed TopKAgg directly (map-side partial heaps — ≤ k rows per
+    * (query × partition) reach the final shuffle), the round-12
+    * lesson that a partial-agg consumer makes the join itself
+    * optimal.
+    */
+  def knnJoinSelf(probes: DataFrame, blockCols: Seq[String], k: Int): DataFrame = {
+    val blockCond = blockCols
+      .map(c => col(c) === col(s"q_$c"))
+      .foldLeft(col("cell") === col("_pcell"))(_ && _)
+    val p = probes.select(
+      col("qid") +: col("qv") +: col("cell").as("_pcell") +:
+        blockCols.map(c => col(s"q_$c")): _*)
+    cells
+      .join(p, blockCond && col(idCol) =!= col("qid"))
+      .withColumn("score_raw", cosine(col(vecCol), col("qv")))
+      .groupBy(col("qid"))
+      .agg(topK(col("score_raw"), col(idCol), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), col("_t.id").as(idCol),
+        round(col("_t.score"), 6).as("score"),
+        (col("_pos") + 1).cast("long").as("rk"))
+  }
+
   /** Probe with a driver-known cell list — compiles to static
     * partition pruning (PartitionFilters in the scan).
     */

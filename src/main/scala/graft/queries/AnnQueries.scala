@@ -40,6 +40,25 @@ object AnnQueries {
        |WHERE rn = 1
        |ORDER BY ${sqlCos("CAST(embedding AS DOUBLE[])", "qv")} DESC, vec_id LIMIT 10""".stripMargin
 
+  /** The shared persisted IVF layout (√n seed-row centroids — the
+    * ann_ivf geometry): built once per JVM per corpus, probed by
+    * ann_ivf_persisted AND knn_join_ivf — one index serving both the
+    * point-query and the corpus-join workload, exactly how a
+    * production pipeline amortizes the build.
+    */
+  private def ivfLayoutPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    persistedArtifact("ivf", dir) { p =>
+      val emb = t(s, dir, "embeddings")
+      val m = math.max(1L, math.floor(math.sqrt(
+        graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+          emb, "embedding", None).n.toDouble)).toLong)
+      val cent = emb.filter(pmod(col("vec_id"), lit(m)) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      graft.ann.IvfIndex.build(emb, "vec_id", "embedding", cent, "cid", "cv", p)
+      ()
+    }
+
   val defs: Map[String, Q] = Map(
     "ann_brute_batch" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -91,16 +110,7 @@ object AnnQueries {
     // the oracle) are identical; what THIS entry checks is that the
     // save → load → partition-pruned-probe path preserves them.
     "ann_ivf_persisted" -> ((s, dir) => {
-      val idxPath = persistedArtifact("ivf", dir) { p =>
-        val emb = t(s, dir, "embeddings")
-        val m = math.max(1L, math.floor(math.sqrt(
-          graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
-            emb, "embedding", None).n.toDouble)).toLong)
-        val cent = emb.filter(pmod(col("vec_id"), lit(m)) === 0)
-          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        graft.ann.IvfIndex.build(emb, "vec_id", "embedding", cent, "cid", "cv", p)
-      }
-      graft.ann.IvfIndex.load(s, idxPath, "vec_id", "embedding")
+      graft.ann.IvfIndex.load(s, ivfLayoutPath(s, dir), "vec_id", "embedding")
         .search(
           t(s, dir, "embeddings").filter(col("vec_id") === 0L)
             .select(col("embedding").as("qv")),
@@ -477,6 +487,33 @@ object AnnQueries {
       Ann.knnJoinLshTuned(t(s, dir, "embeddings"), "vec_id", "embedding",
           blockCol = "label", k = 3, targetCandidates = 64,
           statsKey = Some(s"$dir|embeddings"))
+        .orderBy(col("vec_id"), col("rk"))
+    }),
+
+    // The INDEX-PROBED production twin of knn_join (round-12 verdict
+    // #1): a standing pipeline runs corpus×corpus kNN against the
+    // persisted IVF layout instead of re-bucketing the corpus per run.
+    // Ingest side: the SAME layout artifact ann_ivf_persisted probes
+    // (√n seed-row centroids) plus a persisted self-probe table —
+    // each vector's nprobe nearest cells via the NearestCentroids
+    // narrow map (no n×nlist crossJoin; the probe list is a property
+    // of the corpus version like every other ingest artifact). Per
+    // run: one big-big SortMergeJoin of probes against the layout on
+    // (cell, label) feeding exact cosines straight into the
+    // bounded-heap TopKAgg. Semantics are its OWN oracle below (IVF-
+    // probed label-blocked kNN replayed in SQL — assignment, probe
+    // ranking, tie orders, all bit-pinned); knn_join stays the
+    // recall-measured one-shot parent.
+    "knn_join_ivf" -> ((s, dir) => {
+      val idx = graft.ann.IvfIndex.load(s, ivfLayoutPath(s, dir),
+        "vec_id", "embedding")
+      val probes = persistedTable(s, "ivfknnprobe", dir) { p =>
+        idx.selfProbeTable(np = 3, keepCols = Seq("label"))
+          .write.mode("overwrite").parquet(p)
+      }
+      idx.knnJoinSelf(probes, Seq("label"), k = 3)
+        .select(col("qid").as("vec_id"), col("vec_id").as("nbr_id"),
+          col("score"), col("rk"))
         .orderBy(col("vec_id"), col("rk"))
     }))
 
@@ -1142,6 +1179,33 @@ object AnnQueries {
          |    ${sqlCos("a.v", "b.v")} AS score_raw
          |  FROM probes a JOIN bucketed b
          |    ON b.bucket = a.pb AND b.label = a.label AND b.vec_id <> a.vec_id)
+         |SELECT vec_id, nbr_id, round(score_raw, 6) AS score,
+         |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY score_raw DESC, nbr_id) AS BIGINT) AS rk
+         |FROM scored QUALIFY rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+
+    // IVF-probed label-blocked kNN replayed in SQL: the ann_ivf
+    // assignment CTE (√n seed-row centroids, (distance, cell) tie
+    // order) extended per-vector — rn = 1 is the member cell (the
+    // layout), rn <= 3 the probe list (NearestCentroids' ordering) —
+    // then candidates share a probed cell and the label, exact
+    // cosines, top-3 by (score desc, nbr_id) exactly as TopKAgg.
+    "knn_join_ivf" ->
+      s"""WITH m AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(count(*))) AS BIGINT)) AS m FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+         |         FROM embeddings, m WHERE vec_id % m = 0),
+         |assign AS (
+         |  SELECT vec_id, label, v, cell,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY list_distance(v, cv), cell) AS rn
+         |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), cent),
+         |members AS (SELECT vec_id, label, v, cell FROM assign WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, label AS qlab, v AS qv, cell
+         |           FROM assign WHERE rn <= 3),
+         |scored AS (
+         |  SELECT p.qid AS vec_id, c.vec_id AS nbr_id,
+         |    ${sqlCos("c.v", "p.qv")} AS score_raw
+         |  FROM probes p JOIN members c
+         |    ON c.cell = p.cell AND c.label = p.qlab AND c.vec_id <> p.qid)
          |SELECT vec_id, nbr_id, round(score_raw, 6) AS score,
          |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY score_raw DESC, nbr_id) AS BIGINT) AS rk
          |FROM scored QUALIFY rk <= 3 ORDER BY vec_id, rk""".stripMargin)
