@@ -302,10 +302,17 @@ final class IvfIndex private (
     val sorted = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     val kernel = ColumnBridge.column(graft.functions.expr.NearestCentroids(
       ColumnBridge.expression(col(vecCol)), sorted.map(_._1), sorted.map(_._2), np))
+    // qn is the L2 norm, persisted so the per-run join scores with
+    // cosinePreNorm — plain cosine recomputes BOTH self-dots per
+    // candidate pair, 3× the pair flops (the v_topk_prenorm lesson;
+    // sqrt(dotD(v,v)) here is the same fold, so scores stay
+    // bit-identical)
     cells
       .select(col(idCol).as("qid") +: col(vecCol).as("qv") +:
+        normD(col(vecCol)).as("qn") +:
         keepCols.map(c => col(c).as(s"q_$c")) :+ kernel.as("_probes"): _*)
-      .select(col("qid") +: col("qv") +: keepCols.map(c => col(s"q_$c")) :+
+      .select(col("qid") +: col("qv") +: col("qn") +:
+        keepCols.map(c => col(s"q_$c")) :+
         explode(col("_probes")).as("cell"): _*)
   }
 
@@ -331,11 +338,16 @@ final class IvfIndex private (
       .map(c => col(c) === col(s"q_$c"))
       .foldLeft(col("cell") === col("_pcell"))(_ && _)
     val p = probes.select(
-      col("qid") +: col("qv") +: col("cell").as("_pcell") +:
+      col("qid") +: col("qv") +: col("qn") +: col("cell").as("_pcell") +:
         blockCols.map(c => col(s"q_$c")): _*)
+    // member norms once per corpus row BEFORE the join (narrow map);
+    // the probe side's came persisted — per pair the score is then
+    // one dot + one multiply instead of three dots
     cells
+      .withColumn("_nb", normD(col(vecCol)))
       .join(p, blockCond && col(idCol) =!= col("qid"))
-      .withColumn("score_raw", cosine(col(vecCol), col("qv")))
+      .withColumn("score_raw",
+        cosinePreNorm(col(vecCol), col("_nb"), col("qv"), col("qn")))
       .groupBy(col("qid"))
       .agg(topK(col("score_raw"), col(idCol), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("_pos", "_t")))
