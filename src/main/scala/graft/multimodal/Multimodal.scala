@@ -139,25 +139,58 @@ object Multimodal {
         .cast("long").as("_ckh"),
       col("phash"))
     val matSigs = if (barrierInput) graft.Barrier.checkpoint(proj) else proj
+    // TWO-LEVEL pigeonhole (round 13): the single-level (chunk_i,
+    // chunk_v) candidate join is output-bound — byte-shingle simhash
+    // bits are low-entropy on real text, so a few popular 16-bit
+    // chunk values collide across unrelated docs (the 100× stress
+    // corpus measured ~1.7G candidate pairs, 82% from the top 100
+    // buckets, max bucket ~15k → ~115M pairs in one SMJ task).
+    // Recurse the pigeonhole once: hamming ≤ 3 over 64 bits means
+    // SOME 16-bit chunk i matches exactly AND the remaining 48 bits
+    // still carry ≤ 3 errors, so SOME 12-bit sub-chunk j of them
+    // matches exactly too. Candidates therefore only need to agree on
+    // the packed (i, j, chunk_v, subchunk_v) key — 28 key bits
+    // instead of 16 — which collapsed the measured candidate volume
+    // 13.5× (123M pairs, max bucket 2.3k) for a 4× wider explode
+    // (16 keys/row, one packed long each). The OUTPUT set is defined
+    // by `hamming <= maxHamming` alone and the recursion never drops
+    // a qualifying pair (pigeonhole at both levels), so results —
+    // and the oracle — are unchanged.
+    val chunkKeys = array((0 until 16).map { x =>
+      val i = x & 3
+      val j = x >> 2
+      val v16 = shiftright(col("phash"), i * 16).bitwiseAND(lit(65535L))
+      // the 48-bit remainder = phash with chunk i excised (low bits
+      // kept in place, high bits shifted down); i = 3 has no high part
+      // (a 64-bit shift would be a JVM no-op, not zero)
+      val low =
+        if (i == 0) lit(0L)
+        else col("phash").bitwiseAND(lit((1L << (16 * i)) - 1L))
+      val rem =
+        if (i == 3) low
+        else low.bitwiseOR(
+          shiftleft(shiftrightunsigned(col("phash"), 16 * (i + 1)), 16 * i))
+      val v12 = shiftright(rem, j * 12).bitwiseAND(lit(4095L))
+      lit((i | (j << 2)).toLong)
+        .bitwiseOR(shiftleft(v16, 4))
+        .bitwiseOR(shiftleft(v12, 20))
+    }: _*)
     val chunked = matSigs.select(col(idCol), col("_ckh"), col("phash"),
-      posexplode(expr(
-        "transform(sequence(0,3), c -> shiftright(phash, c*16) & 65535L)"))
-        .as(Seq("chunk_i", "chunk_v")))
-    val l = chunked.select(col("chunk_i"), col("chunk_v"),
+      explode(chunkKeys).as("chunk_key"))
+    val l = chunked.select(col("chunk_key"),
       col(idCol).as("ida"), col("phash").as("ph_a"), col("_ckh").as("ck_a"))
-    val r = chunked.select(col("chunk_i").as("ci_r"), col("chunk_v").as("cv_r"),
+    val r = chunked.select(col("chunk_key").as("ck_r"),
       col(idCol).as("idb"), col("phash").as("ph_b"), col("_ckh").as("ck_b"))
-    l.join(r, col("chunk_i") === col("ci_r") && col("chunk_v") === col("cv_r") &&
-        col("ida") < col("idb"))
+    l.join(r, col("chunk_key") === col("ck_r") && col("ida") < col("idb"))
       .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .withColumn("exact_dup",
         when(col("ck_a") === col("ck_b"), 1L).otherwise(0L))
-      // a pair matches on up to 4 chunks with IDENTICAL (hamming,
-      // exact_dup) each time (both are per-id functions): a
+      // a pair matches on up to 16 (i, j) key combos with IDENTICAL
+      // (hamming, exact_dup) each time (both are per-id functions): a
       // first-per-pair aggregate keys the partial agg on (ida, idb)
       // alone instead of hashing all four columns per row — same rows
-      // out as the old pair-level distinct
+      // out as a pair-level distinct
       .groupBy(col("ida"), col("idb"))
       .agg(first(col("hamming")).as("hamming"),
         first(col("exact_dup")).as("exact_dup"))
