@@ -515,6 +515,45 @@ object AnnQueries {
         .select(col("qid").as("vec_id"), col("vec_id").as("nbr_id"),
           col("score"), col("rk"))
         .orderBy(col("vec_id"), col("rk"))
+    }),
+
+    // recall@3 of the IVF-probed knn join against the EXACT
+    // label-blocked kNN ground truth for a fixed query subset
+    // (vec_id < 8, self excluded both sides) — the quality dial for
+    // the (nlist, nprobe) coarse geometry on the corpus-join
+    // workload, the role ann_ivf_pq_recall plays for the point-query
+    // index. Measures 8/24 on the synthetic near-uniform sphere —
+    // the coarse layer's documented worst case (ann_ivf_pq_coarse:
+    // nothing clusters, so nprobe/nlist of the space holds
+    // nprobe/nlist of the neighbors); real clustered embeddings sit
+    // far above it, and the dial is nprobe. The truth side is 8
+    // queries × their label's corpus share (bounded-heap TopKAgg,
+    // never a corpus×corpus brute). Oracle nests the knn_join_ivf
+    // oracle verbatim plus the exact CTE.
+    "knn_join_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      import graft.functions.VectorFunctions.{cosine, topK}
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlab"))
+      val truth = emb.join(broadcast(qs),
+          col("label") === col("qlab") && col("vec_id") =!= col("qid"))
+        .withColumn("_s", cosine(col("embedding"), col("qv")))
+        .groupBy(col("qid"))
+        .agg(topK(col("_s"), col("vec_id"), 3).as("top"))
+        .select(col("qid"), explode(col("top.id")).as("nbr_id"))
+      val idx = graft.ann.IvfIndex.load(s, ivfLayoutPath(s, dir),
+        "vec_id", "embedding")
+      val probes = persistedTable(s, "ivfknnprobe", dir) { p =>
+        idx.selfProbeTable(np = 3, keepCols = Seq("label"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val got = idx.knnJoinSelf(probes.filter(col("qid") < 8),
+          Seq("label"), k = 3)
+        .select(col("qid"), col("vec_id").as("nbr_id"))
+      truth.join(broadcast(got), Seq("qid", "nbr_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("n_hits"), round(col("n_hits") / 24.0, 6).as("recall"))
     }))
 
   private lazy val LshOracleSql: String =
@@ -1208,5 +1247,41 @@ object AnnQueries {
          |    ON c.cell = p.cell AND c.label = p.qlab AND c.vec_id <> p.qid)
          |SELECT vec_id, nbr_id, round(score_raw, 6) AS score,
          |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY score_raw DESC, nbr_id) AS BIGINT) AS rk
-         |FROM scored QUALIFY rk <= 3 ORDER BY vec_id, rk""".stripMargin)
+         |FROM scored QUALIFY rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+
+    // the knn_join_ivf oracle's candidate chain restricted to qid < 8
+    // plus the exact label-blocked truth CTE; hits counted over the
+    // fixed 8 × 3 truth set.
+    "knn_join_ivf_recall" ->
+      s"""WITH m AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(count(*))) AS BIGINT)) AS m FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+         |         FROM embeddings, m WHERE vec_id % m = 0),
+         |assign AS (
+         |  SELECT vec_id, label, v, cell,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY list_distance(v, cv), cell) AS rn
+         |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), cent),
+         |members AS (SELECT vec_id, label, v, cell FROM assign WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, label AS qlab, v AS qv, cell
+         |           FROM assign WHERE rn <= 3 AND vec_id < 8),
+         |ivf AS (
+         |  SELECT qid, nbr_id FROM (
+         |    SELECT p.qid, c.vec_id AS nbr_id,
+         |      row_number() OVER (PARTITION BY p.qid
+         |        ORDER BY ${sqlCos("c.v", "p.qv")} DESC, c.vec_id) AS rk
+         |    FROM probes p JOIN members c
+         |      ON c.cell = p.cell AND c.label = p.qlab AND c.vec_id <> p.qid)
+         |  WHERE rk <= 3),
+         |q8 AS (SELECT vec_id AS qid, label AS qlab, CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id < 8),
+         |truth AS (
+         |  SELECT qid, nbr_id FROM (
+         |    SELECT q8.qid, e.vec_id AS nbr_id,
+         |      row_number() OVER (PARTITION BY q8.qid
+         |        ORDER BY ${sqlCos("CAST(e.embedding AS DOUBLE[])", "q8.qv")} DESC, e.vec_id) AS rk
+         |    FROM embeddings e JOIN q8
+         |      ON e.label = q8.qlab AND e.vec_id <> q8.qid)
+         |  WHERE rk <= 3)
+         |SELECT count(*)::BIGINT AS n_hits, round(count(*) / 24.0, 6) AS recall
+         |FROM truth SEMI JOIN ivf USING (qid, nbr_id)""".stripMargin)
 }
