@@ -53,6 +53,49 @@ class MultimodalSpec extends SparkSpecBase {
       s"unrelated doc paired: ${pairs.keySet}")
   }
 
+  test("phashPairs two-level pigeonhole completeness: every hamming <= 3 " +
+      "error placement is found, hamming 4 is not") {
+    import spark.implicits._
+    // adversarial placements for the recursed (16-bit chunk +
+    // 12-bit sub-chunk) candidate key: errors spread across 3
+    // DISTINCT top chunks (only one exact chunk left), errors placed
+    // to straddle 12-bit sub-chunk boundaries, errors packed into one
+    // chunk, and a hamming-4 pair that must NOT appear
+    val base = 0x123456789abcdef0L
+    val rows = Seq(
+      (10L, "k10", base),
+      // 3 errors in 3 distinct chunks (bits 0, 17, 34)
+      (11L, "k11", base ^ ((1L << 0) | (1L << 17) | (1L << 34))),
+      // 3 errors inside ONE chunk (bits 48, 55, 63 — top chunk)
+      (12L, "k12", base ^ ((1L << 48) | (1L << 55) | (1L << 63))),
+      // errors at 12-bit sub-chunk boundaries of every remainder
+      // layout (bits 11, 12, 23)
+      (13L, "k13", base ^ ((1L << 11) | (1L << 12) | (1L << 23))),
+      // hamming 4 from base (bits 1, 18, 35, 52) — excluded
+      (14L, "k14", base ^ ((1L << 1) | (1L << 18) | (1L << 35) | (1L << 52))))
+      .toDF("doc_id", "content_key", "phash")
+    val got = Multimodal.phashPairs(rows, "doc_id", maxHamming = 3)
+      .select("ida", "idb", "hamming")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(got.get((10L, 11L)).contains(3L), s"3-distinct-chunk spread: $got")
+    assert(got.get((10L, 12L)).contains(3L), s"one-chunk pack: $got")
+    assert(got.get((10L, 13L)).contains(3L), s"sub-chunk boundary: $got")
+    assert(!got.contains((10L, 14L)), s"hamming-4 pair leaked: $got")
+    // cross pairs among the variants are found iff their mutual
+    // hamming <= 3 — verify against the direct distance
+    val ph = Map(10L -> base,
+      11L -> (base ^ ((1L << 0) | (1L << 17) | (1L << 34))),
+      12L -> (base ^ ((1L << 48) | (1L << 55) | (1L << 63))),
+      13L -> (base ^ ((1L << 11) | (1L << 12) | (1L << 23))),
+      14L -> (base ^ ((1L << 1) | (1L << 18) | (1L << 35) | (1L << 52))))
+    for (a <- ph.keys; b <- ph.keys if a < b) {
+      val h = java.lang.Long.bitCount(ph(a) ^ ph(b)).toLong
+      assert(got.get((a, b)) == (if (h <= 3) Some(h) else None),
+        s"pair ($a,$b) hamming $h: got ${got.get((a, b))}")
+    }
+  }
+
   test("streaming media gate: near-copies dropped, novel payloads pass, batch-equivalent") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
