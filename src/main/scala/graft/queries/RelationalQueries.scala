@@ -428,6 +428,33 @@ object RelationalQueries {
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_errors"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // the PERSISTED twin of q_range: the session table is a property
+    // of the corpus version (exactly a dedup closure / signature
+    // table — derived once per ingest from the full event log, reused
+    // by every downstream range/as-of query), so the per-run plan is
+    // the binned range join + count alone; the sessionize
+    // window-shuffle over the whole log never re-runs. The error-event
+    // side keeps its scan (that is the query's own predicate —
+    // PushedFilters prunes it to the event_type rows). Rows identical
+    // by construction (same sessionize, parquet round-trip) — oracle
+    // shared verbatim with q_range.
+    "q_range_persisted" -> ((s, dir) => {
+      val sessions = persistedTable(s, "sessions", dir) { p =>
+        graft.streaming.Sessionize.batch(t(s, dir, "events"), gapMinutes = 30)
+          .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+            col("session_start"), col("session_end"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val errors = t(s, dir, "events")
+        .filter(col("event_type") === "error").select(col("ts"))
+      graft.operators.TemporalJoins
+        .rangeJoinBinned(errors, "ts", sessions, "session_start", "session_end",
+          binSeconds = 300L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_errors"))
+        .orderBy(col("user_id"), col("session_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -733,17 +760,28 @@ object RelationalQueries {
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
 
-    "q_range" ->
-      s"""WITH $SqlSessionCtes,
-         |sess AS (
-         |  SELECT user_id, session_id::BIGINT AS session_id,
-         |    min(ts) AS session_start, max(ts) AS session_end
-         |  FROM s GROUP BY user_id, s.session_id),
-         |err AS (SELECT ts::TIMESTAMP AS ts FROM events WHERE event_type = 'error')
-         |SELECT sess.user_id, sess.session_id, count(*) AS n_errors
-         |FROM sess JOIN err
-         |  ON err.ts BETWEEN sess.session_start AND sess.session_end
-         |GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)
+    "q_range" -> RangeJoinOracleSql,
+
+    // identical semantics to q_range (same sessionize — the session
+    // table round-trips through parquet unchanged); the entry pins the
+    // persisted-sessions + join-only path to the same rows
+    "q_range_persisted" -> RangeJoinOracleSql)
+
+  /** Shared by q_range and its persisted twin (same session
+    * derivation and join — the twin only changes where the session
+    * table is read from).
+    */
+  private lazy val RangeJoinOracleSql: String =
+    s"""WITH $SqlSessionCtes,
+       |sess AS (
+       |  SELECT user_id, session_id::BIGINT AS session_id,
+       |    min(ts) AS session_start, max(ts) AS session_end
+       |  FROM s GROUP BY user_id, s.session_id),
+       |err AS (SELECT ts::TIMESTAMP AS ts FROM events WHERE event_type = 'error')
+       |SELECT sess.user_id, sess.session_id, count(*) AS n_errors
+       |FROM sess JOIN err
+       |  ON err.ts BETWEEN sess.session_start AND sess.session_end
+       |GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
 
   /** Shared 30-min-gap session CTE chain (ends with CTE `s`);
     * a def — it is referenced during `oracles` initialization.

@@ -49,6 +49,36 @@ object TextQueries {
       |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
       |  FROM documents)""".stripMargin
 
+  /** Shared by ta_unigram_lm and its persisted twin (same model, same
+    * NLL arithmetic — the twin only changes where postings and the
+    * frequency table are read from).
+    */
+  private lazy val UnigramLmOracleSql: String =
+    s"""$sqlNorm,
+       |tokens AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+       |freq AS (SELECT tok, count(*) AS cnt FROM tokens GROUP BY 1),
+       |tot AS (SELECT sum(cnt)::DOUBLE AS n_total FROM freq),
+       |scored AS (
+       |  SELECT doc_id, round(-ln(cnt / n_total), 6) AS nll
+       |  FROM tokens JOIN freq USING (tok), tot)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  round(CAST(sum(CAST(nll AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_nll,
+       |  max(nll) AS max_nll
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The per-doc (doc_id, tok, cnt) token-count projection — ONE
+    * corpus-version ingest artifact serving both quality gates (the
+    * classifier twin's scoring join and the unigram-LM twin's
+    * postings side).
+    */
+  private def tokenCountsTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    persistedTable(s, "qctokcnt", dir) { p =>
+      graft.streaming.StreamingQualityClassifier.buildTokenCounts(
+          t(s, dir, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(p)
+    }
+
   val defs: Map[String, Q] = Map(
     "ta_langid" -> ((s, dir) => {
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
@@ -285,6 +315,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the PERSISTED twin of ta_unigram_lm: scoring reads the SAME
+    // per-doc (doc_id, tok, cnt) ingest projection the classifier
+    // gate uses (one corpus-version artifact, two quality gates) plus
+    // a persisted unigram-frequency model derived artifact-to-
+    // artifact (UnigramLm.buildFreq) — per run the text is never
+    // read, the plan is counts ⋈ vocabulary. Bit-identical decimal
+    // arithmetic (UnigramLmSpec pins it), so the oracle is shared
+    // verbatim with ta_unigram_lm.
+    "ta_unigram_lm_persisted" -> ((s, dir) => {
+      val tokCnt = tokenCountsTable(s, dir)
+      val freqPath = persistedArtifact("ulmfreq", dir) { p =>
+        graft.text.UnigramLm.buildFreq(tokCnt)
+          .write.mode("overwrite").parquet(p)
+      }
+      graft.text.UnigramLm.scoreFromTokenCounts(
+          tokCnt, "doc_id", s.read.parquet(freqPath))
+        .orderBy(col("doc_id"))
+    }),
+
     // model-based quality filter (graft.text.QualityClassifier — the
     // fastText/DCLM classifier-gate analogue): Naive-Bayes token
     // log-odds fitted IN-PLAN against the reference-corpus seed
@@ -314,13 +363,8 @@ object TextQueries {
             t(s, dir, "documents"), "text", col("lang") === "en")
           .write.mode("overwrite").parquet(p)
       }
-      val tokCnt = persistedTable(s, "qctokcnt", dir) { p =>
-        graft.streaming.StreamingQualityClassifier.buildTokenCounts(
-            t(s, dir, "documents"), "doc_id", "text")
-          .write.mode("overwrite").parquet(p)
-      }
       graft.streaming.StreamingQualityClassifier.scoreFromTokenCounts(
-          tokCnt, "doc_id", s.read.parquet(wPath))
+          tokenCountsTable(s, dir), "doc_id", s.read.parquet(wPath))
         .orderBy(col("doc_id"))
     }),
 
@@ -800,18 +844,13 @@ object TextQueries {
          |  flags, flags = 0 AS keep
          |FROM flagged ORDER BY doc_id""".stripMargin,
 
-    "ta_unigram_lm" ->
-      s"""$sqlNorm,
-         |tokens AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
-         |freq AS (SELECT tok, count(*) AS cnt FROM tokens GROUP BY 1),
-         |tot AS (SELECT sum(cnt)::DOUBLE AS n_total FROM freq),
-         |scored AS (
-         |  SELECT doc_id, round(-ln(cnt / n_total), 6) AS nll
-         |  FROM tokens JOIN freq USING (tok), tot)
-         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-         |  round(CAST(sum(CAST(nll AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_nll,
-         |  max(nll) AS max_nll
-         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ta_unigram_lm" -> UnigramLmOracleSql,
+
+    // identical semantics to ta_unigram_lm (Σ-collapsed postings —
+    // cnt copies of a DECIMAL NLL sum exactly to nll × cnt); the
+    // entry pins the persisted projection + model path to the same
+    // rows
+    "ta_unigram_lm_persisted" -> UnigramLmOracleSql,
 
     // bit-for-bit replay of QualityClassifier.score: same add-one
     // smoothing, same division order, ln rounded to 6dp BEFORE the

@@ -49,4 +49,40 @@ object UnigramLm {
           count(lit(1)), 6).as("avg_nll"),
         max(col("nll")).as("max_nll"))
   }
+
+  /** The unigram MODEL from a persisted (idCol, tok, cnt) token-count
+    * projection (StreamingQualityClassifier.buildTokenCounts — the
+    * SAME ingest artifact the classifier gate scores from): corpus
+    * token frequency = Σ cnt per token, identical to counting
+    * postings. Artifact-to-artifact, vocabulary-sized output — the
+    * buildSpanDupHashTable move.
+    */
+  def buildFreq(tokenCounts: DataFrame): DataFrame =
+    tokenCounts.groupBy(col("tok")).agg(sum(col("cnt")).as("cnt"))
+
+  /** [[score]] over the persisted token-count projection and a
+    * persisted [[buildFreq]] model — the text is never read. Output
+    * is bit-identical: summing `cnt` copies of a DECIMAL(28,10) NLL
+    * equals nll × cnt exactly, n_tokens = Σ cnt = the posting count,
+    * and max_nll ranges over the same distinct-token NLL set
+    * (multiplicity can't change a max). The scoring plan is one
+    * narrow artifact ⋈ vocabulary join — the same shuffle-join shape
+    * as [[score]]'s (a web-scale vocabulary does not broadcast), but
+    * over Σ-collapsed rows instead of raw postings.
+    */
+  def scoreFromTokenCounts(tokenCounts: DataFrame, idCol: String,
+      freq: DataFrame): DataFrame = {
+    val total = freq.agg(sum(col("cnt")).cast("double").as("n_total"))
+    tokenCounts.withColumnRenamed("cnt", "_doc_cnt")
+      .join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("nll",
+        round(-log(col("cnt").cast("double") / col("n_total")), 6))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_doc_cnt")).as("n_tokens"),
+        round(sum(col("nll").cast(DecimalType(28, 10)) * col("_doc_cnt"))
+          .cast("double") / sum(col("_doc_cnt")), 6).as("avg_nll"),
+        max(col("nll")).as("max_nll"))
+  }
 }

@@ -160,6 +160,27 @@ class TextSignalsSpec extends SparkSpecBase {
     Barrier.release(spark)
   }
 
+  test("unigram LM: scoreFromTokenCounts over the persisted projection " +
+      "equals score bit-for-bit (counts-collapsed decimal path)") {
+    import spark.implicits._
+    import graft.streaming.StreamingQualityClassifier
+    // real corpus: wide vocab, repeated tokens (cnt > 1 exercises the
+    // nll × cnt decimal multiply), rare tokens for max_nll
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val viaText = UnigramLm.score(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "avg_nll", "max_nll")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val tokCnt = StreamingQualityClassifier.buildTokenCounts(docs, "doc_id", "text")
+    val freq = UnigramLm.buildFreq(tokCnt)
+    val viaCounts = UnigramLm.scoreFromTokenCounts(tokCnt, "doc_id", freq)
+      .select("doc_id", "n_tokens", "avg_nll", "max_nll")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(viaCounts == viaText)
+    assert(tokCnt.filter(col("cnt") > 1).count() > 0,
+      "no repeated tokens — the nll × cnt decimal path untested")
+    Barrier.release(spark)
+  }
+
   test("unigram LM: rare-token documents score higher") {
     import spark.implicits._
     val common = Seq.fill(20)("alpha beta gamma").zipWithIndex
