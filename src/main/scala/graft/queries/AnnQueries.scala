@@ -249,7 +249,8 @@ object AnnQueries {
       val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding",
           qs, "vec_id", "embedding", k = 9)
         .select(col("vec_id"))
-      val pq = pqTopK(s, dir).filter(col("vec_id") =!= 0L).select(col("vec_id"))
+      val pq = pqPersistedTopK(s, dir)
+        .filter(col("vec_id") =!= 0L).select(col("vec_id"))
       brute.join(broadcast(pq), Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(col("n_hits"), round(col("n_hits") / 9.0, 6).as("recall"))
@@ -270,15 +271,19 @@ object AnnQueries {
     // for (nlist, nprobe) × (nSub, K, candidates) on the PRODUCTION
     // index shape: unlike ann_pq_recall it also charges the coarse
     // layer's misses (a true neighbor in an unprobed cell can never
-    // be recalled, whatever the code budget). Oracle nests the
-    // ann_ivf_pq oracle verbatim plus its own brute CTE.
+    // be recalled, whatever the code budget). Candidate side probes
+    // the PERSISTED layout (a production eval job measures the served
+    // index; the shared oracle pins it row-identical to the chain).
+    // Oracle nests the ann_ivf_pq oracle verbatim plus its own brute
+    // CTE.
     "ann_ivf_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") === 0L)
       val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding",
           qs, "vec_id", "embedding", k = 9)
         .select(col("vec_id"))
-      val ivfpq = ivfPqTopK(s, dir).filter(col("vec_id") =!= 0L).select(col("vec_id"))
+      val ivfpq = ivfPqPersistedTopK(s, dir)
+        .filter(col("vec_id") =!= 0L).select(col("vec_id"))
       brute.join(broadcast(ivfpq), Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(col("n_hits"), round(col("n_hits") / 9.0, 6).as("recall"))
@@ -331,31 +336,7 @@ object AnnQueries {
     // and probe geometry as ann_ivf_pq, so results (and the oracle)
     // are identical; what THIS entry checks is that save → load →
     // pruned-probe preserves them.
-    "ann_ivf_pq_persisted" -> ((s, dir) => {
-      val idxPath = persistedArtifact("ivfpq", dir) { p =>
-        val emb = t(s, dir, "embeddings")
-        val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
-          emb, "embedding", None).n
-        val mIvf = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
-        val cent = emb.filter(pmod(col("vec_id"), lit(mIvf)) === 0)
-          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        // residual-fit books (FAISS IVFPQ) — same frame build encodes
-        val withRes = graft.ann.IvfPqIndex.residualFrame(
-          emb, "vec_id", "embedding", cent, "cid", "cv")
-        val books = graft.ann.Pq.fit(withRes, "vec_id", "_res",
-            dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
-        graft.ann.IvfPqIndex.build(emb, "vec_id", "embedding",
-          cent, "cid", "cv", books, Dim, p)
-      }
-      val idx = graft.ann.IvfPqIndex.load(s, idxPath, "vec_id", "embedding", PqSub)
-      val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray
-      val probed = idx.probeCells(qv, nprobe = IvfPqProbe)
-      idx.searchCells(probed, qv, k = 10, candidates = PqRerank)
-        // partition-column type inference reads cell back as int
-        .withColumn("cell", col("cell").cast("long"))
-    }),
+    "ann_ivf_pq_persisted" -> ((s, dir) => ivfPqPersistedTopK(s, dir)),
 
     // The PERSISTED flat-PQ path — the production shape for the plain
     // ann_pq entry, closing the loop ann_ivf_pq_persisted closed for
@@ -369,21 +350,7 @@ object AnnQueries {
     // geometry as ann_pq, so results (and the oracle) are identical;
     // what THIS entry checks is that save → load → code-only-scan
     // preserves them.
-    "ann_pq_persisted" -> ((s, dir) => {
-      val idxPath = persistedArtifact("pq", dir) { p =>
-        val emb = t(s, dir, "embeddings")
-        val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
-          emb, "embedding", None).n
-        val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
-            dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
-        graft.ann.PqIndex.build(emb, "vec_id", "embedding", books, Dim, p)
-      }
-      val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray
-      graft.ann.PqIndex.load(s, idxPath, "vec_id", "embedding", PqSub)
-        .search(qv, k = 10, candidates = PqRerank)
-    }),
+    "ann_pq_persisted" -> ((s, dir) => pqPersistedTopK(s, dir)),
 
     // SQ8 scalar quantization (graft.ann.Sq) — the first rung of the
     // compression ladder: per-dimension min/max grid (ONE partial-agg
@@ -403,7 +370,8 @@ object AnnQueries {
       val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding",
           qs, "vec_id", "embedding", k = 9)
         .select(col("vec_id"))
-      val sq = sqTopK(s, dir).filter(col("vec_id") =!= 0L).select(col("vec_id"))
+      val sq = sqPersistedTopK(s, dir)
+        .filter(col("vec_id") =!= 0L).select(col("vec_id"))
       brute.join(broadcast(sq), Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(col("n_hits"), round(col("n_hits") / 9.0, 6).as("recall"))
@@ -417,17 +385,7 @@ object AnnQueries {
     // ann_sq, so results (and the oracle) are identical; what THIS
     // entry checks is that save → load → code-only-scan preserves
     // them.
-    "ann_sq_persisted" -> ((s, dir) => {
-      val idxPath = persistedArtifact("sq8", dir) { p =>
-        graft.ann.SqIndex.build(t(s, dir, "embeddings"),
-          "vec_id", "embedding", Dim, p)
-      }
-      val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray
-      graft.ann.SqIndex.load(s, idxPath, "vec_id", "embedding")
-        .search(qv, k = 10, candidates = SqRerank)
-    }),
+    "ann_sq_persisted" -> ((s, dir) => sqPersistedTopK(s, dir)),
 
     // 1-bit binary quantization (graft.ann.Bq) — the BOTTOM rung of
     // the compression ladder (64 dims → 8 bytes, 32× less candidate
@@ -449,7 +407,8 @@ object AnnQueries {
       val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding",
           qs, "vec_id", "embedding", k = 9)
         .select(col("vec_id"))
-      val bq = bqTopK(s, dir).filter(col("vec_id") =!= 0L).select(col("vec_id"))
+      val bq = bqPersistedTopK(s, dir)
+        .filter(col("vec_id") =!= 0L).select(col("vec_id"))
       brute.join(broadcast(bq), Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(col("n_hits"), round(col("n_hits") / 9.0, 6).as("recall"))
@@ -463,17 +422,7 @@ object AnnQueries {
     // and geometry as ann_bq, so results (and the oracle) are
     // identical; what THIS entry checks is that save → load →
     // code-only-scan preserves them.
-    "ann_bq_persisted" -> ((s, dir) => {
-      val idxPath = persistedArtifact("bq1", dir) { p =>
-        graft.ann.BqIndex.build(t(s, dir, "embeddings"),
-          "vec_id", "embedding", Dim, p)
-      }
-      val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray
-      graft.ann.BqIndex.load(s, idxPath, "vec_id", "embedding")
-        .search(qv, k = 10, candidates = BqRerank)
-    }),
+    "ann_bq_persisted" -> ((s, dir) => bqPersistedTopK(s, dir)),
 
     // approximate kNN: (label × LSH bucket) blocking, multi-probe
     // hamming-1 — the exact label-blocked join is quadratic in block
@@ -695,8 +644,9 @@ object AnnQueries {
       : org.apache.spark.sql.DataFrame = ivfPqChain(s, dir)._1
 
   /** The ann_pq plan (fit → encode → ADC top-PqRerank candidates for
-    * vec_id 0 → exact rerank to 10) — shared by the ann_pq entry and
-    * ann_pq_recall's candidate side.
+    * vec_id 0 → exact rerank to 10) — the in-query transparency
+    * chain; the recall entry's candidate side probes the persisted
+    * layout ([[pqPersistedTopK]], row-identical by the shared oracle).
     */
   private def pqTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val emb = t(s, dir, "embeddings")
@@ -719,7 +669,8 @@ object AnnQueries {
 
   /** The ann_sq plan (min/max grid fit → byte-encode → ADC
     * top-SqRerank candidates for vec_id 0 → exact rerank to 10) —
-    * shared by the ann_sq entry and ann_sq_recall's candidate side.
+    * the in-query transparency chain (ann_sq); ann_sq_recall probes
+    * the persisted layout.
     */
   private def sqTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val emb = t(s, dir, "embeddings")
@@ -740,7 +691,8 @@ object AnnQueries {
 
   /** The ann_bq plan (midpoint fit → sign-bit encode → Hamming
     * top-BqRerank candidates for vec_id 0 → exact rerank to 10) —
-    * shared by the ann_bq entry and ann_bq_recall's candidate side.
+    * the in-query transparency chain (ann_bq); ann_bq_recall probes
+    * the persisted layout.
     */
   private def bqTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val emb = t(s, dir, "embeddings")
@@ -751,6 +703,85 @@ object AnnQueries {
       .head().getSeq[Double](0).toArray
     graft.ann.Bq.hammingTopK(enc, "vec_id", "embedding", th, qv,
       k = 10, candidates = BqRerank)
+  }
+
+  /** PERSISTED-layout searches — the candidate sides of the recall
+    * entries (round 13): a production eval job measures recall
+    * against the SERVED index, not a chain re-fitted in the eval
+    * query, and the persisted entries' shared oracles already pin
+    * load-path results row-identical to the in-query chains — so the
+    * recall entries probe the layouts and skip the per-run fit +
+    * encode cost entirely. The in-query parents (ann_pq / ann_sq /
+    * ann_bq / ann_ivf_pq) remain the transparency documentation of
+    * the chains themselves.
+    */
+  private def pqPersistedTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val idxPath = persistedArtifact("pq", dir) { p =>
+      val emb = t(s, dir, "embeddings")
+      val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+        emb, "embedding", None).n
+      val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
+          dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
+      graft.ann.PqIndex.build(emb, "vec_id", "embedding", books, Dim, p)
+      ()
+    }
+    val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    graft.ann.PqIndex.load(s, idxPath, "vec_id", "embedding", PqSub)
+      .search(qv, k = 10, candidates = PqRerank)
+  }
+
+  private def sqPersistedTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val idxPath = persistedArtifact("sq8", dir) { p =>
+      graft.ann.SqIndex.build(t(s, dir, "embeddings"),
+        "vec_id", "embedding", Dim, p)
+      ()
+    }
+    val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    graft.ann.SqIndex.load(s, idxPath, "vec_id", "embedding")
+      .search(qv, k = 10, candidates = SqRerank)
+  }
+
+  private def bqPersistedTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val idxPath = persistedArtifact("bq1", dir) { p =>
+      graft.ann.BqIndex.build(t(s, dir, "embeddings"),
+        "vec_id", "embedding", Dim, p)
+      ()
+    }
+    val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    graft.ann.BqIndex.load(s, idxPath, "vec_id", "embedding")
+      .search(qv, k = 10, candidates = BqRerank)
+  }
+
+  private def ivfPqPersistedTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val idxPath = persistedArtifact("ivfpq", dir) { p =>
+      val emb = t(s, dir, "embeddings")
+      val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+        emb, "embedding", None).n
+      val mIvf = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+      val cent = emb.filter(pmod(col("vec_id"), lit(mIvf)) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val withRes = graft.ann.IvfPqIndex.residualFrame(
+        emb, "vec_id", "embedding", cent, "cid", "cv")
+      val books = graft.ann.Pq.fit(withRes, "vec_id", "_res",
+          dim = Dim, nSub = PqSub, seedMod = math.max(1L, n / PqK), iters = 1)
+      graft.ann.IvfPqIndex.build(emb, "vec_id", "embedding",
+        cent, "cid", "cv", books, Dim, p)
+      ()
+    }
+    val idx = graft.ann.IvfPqIndex.load(s, idxPath, "vec_id", "embedding", PqSub)
+    val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val probed = idx.probeCells(qv, nprobe = IvfPqProbe)
+    idx.searchCells(probed, qv, k = 10, candidates = PqRerank)
+      // partition-column type inference reads cell back as int
+      .withColumn("cell", col("cell").cast("long"))
   }
 
   /** Bit-for-bit replay of Bq.fit + BqEncode + BqHamming: midpoint
