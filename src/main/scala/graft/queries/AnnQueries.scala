@@ -302,22 +302,29 @@ object AnnQueries {
     // one. (Flat PQ at a full scan measures 8/9 — raw-vector ADC
     // loses a neighbor to quantization that residual ADC does not.)
     "ann_ivf_pq_coarse" -> ((s, dir) => {
-      // reuse the chain's barriered residual frame for the coarse
-      // side: its _ivf_cell IS the assignment (same NearestCentroid
-      // kernel), already materialized for the fit/encode passes — a
-      // second corpus × centroids pass would re-pay the dominant cost
-      val (topk, withRes, probed) = ivfPqChain(s, dir)
+      // coarse side from the PERSISTED layout (round 13, the recall-
+      // entry move): the cells frame's partition column IS the
+      // assignment the chain's _ivf_cell carried (same NearestCentroid
+      // kernel at build; the shared ann_ivf_pq oracle pins the layout
+      // row-identical), so the decomposition reads (vec_id, cell) off
+      // the layout instead of re-running fit + assign + encode
+      val idx = ivfPqPersistedIndex(s, dir)
+      val qvArr = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val probed = idx.probeCells(qvArr, nprobe = IvfPqProbe)
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") === 0L)
       val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding",
           qs, "vec_id", "embedding", k = 9)
         .select(col("vec_id"))
-      val coarse = withRes
-        .select(col("vec_id"), col("_ivf_cell").as("cell"))
+      val coarse = idx.cells
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
         .join(broadcast(brute), Seq("vec_id"), "left_semi")
         .filter(col("cell").isin(probed: _*))
         .agg(count(lit(1)).as("coarse_hits"))
-      val ivfpq = topk.filter(col("vec_id") =!= 0L)
+      val ivfpq = idx.searchCells(probed, qvArr, k = 10, candidates = PqRerank)
+        .filter(col("vec_id") =!= 0L)
         .select(col("vec_id"))
       val pqHits = brute.join(broadcast(ivfpq), Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("pq_hits"))
@@ -758,7 +765,8 @@ object AnnQueries {
       .search(qv, k = 10, candidates = BqRerank)
   }
 
-  private def ivfPqPersistedTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def ivfPqPersistedIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.ann.IvfPqIndex = {
     val idxPath = persistedArtifact("ivfpq", dir) { p =>
       val emb = t(s, dir, "embeddings")
       val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
@@ -774,7 +782,11 @@ object AnnQueries {
         cent, "cid", "cv", books, Dim, p)
       ()
     }
-    val idx = graft.ann.IvfPqIndex.load(s, idxPath, "vec_id", "embedding", PqSub)
+    graft.ann.IvfPqIndex.load(s, idxPath, "vec_id", "embedding", PqSub)
+  }
+
+  private def ivfPqPersistedTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val idx = ivfPqPersistedIndex(s, dir)
     val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
