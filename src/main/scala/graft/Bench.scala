@@ -142,13 +142,18 @@ object Bench {
     // ingest-time artifacts inside the query — kept, measured, and
     // oracled for auditability, but a standing pipeline runs their
     // persisted/index-probed twin. The tier is derived, not curated:
-    // an entry whose <name>_persisted twin is registered (plus
-    // knn_join, whose production twin is knn_join_ivf). The headline
-    // `value` stays the FULL total (honesty); `production_total` is
-    // the sum over the production surface only.
+    // an entry whose <name>_persisted twin is registered, plus the
+    // alias map for twins whose names don't follow that convention
+    // (dd_survivors_quality's twin is dd_survivors_persisted;
+    // knn_join's production twin is knn_join_ivf — round-13 verdict
+    // #1 flagged the quality entry landing in the production tier).
+    val twinAliases = Map(
+      "dd_survivors_quality" -> "dd_survivors_persisted",
+      "knn_join" -> "knn_join_ivf")
     val transparency = SparkEntry.queries.keySet
       .filter(n => SparkEntry.queries.contains(s"${n}_persisted")) ++
-      (if (SparkEntry.queries.contains("knn_join_ivf")) Set("knn_join") else Set.empty)
+      twinAliases.collect {
+        case (parent, twin) if SparkEntry.queries.contains(twin) => parent }
     val prodTotal = results
       .filter { case (n, v) => !transparency(n) && v.isFinite }
       .map(_._2).sum

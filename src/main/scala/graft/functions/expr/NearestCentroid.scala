@@ -43,6 +43,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * Distance accumulation is the same sequential left-to-right fold as
   * VectorL2Sq / DuckDB's list_distance, so cell picks are bit-identical
   * across engines (SURVEY.md §5).
+  *
+  * PRECONDITION: finite inputs. A NaN element poisons every distance
+  * accumulation, every `acc < best` test fails, and the result is the
+  * documented fallback `cells(0)` — the same row would also break the
+  * SQL oracle's list_distance ordering, so assignment of non-finite
+  * vectors is undefined behavior by contract; filter them at ingest
+  * (the plural NearestCentroids emits an empty probe list instead,
+  * because its output is PERSISTED into the self-probe artifact).
   */
 case class NearestCentroid(
     child: Expression,
@@ -151,4 +159,24 @@ case class NearestCentroid(
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
+
+  // content equality over the Array fields (reference-compared by the
+  // generated case-class equals) so Catalyst semanticEquals /
+  // subexpression elimination can recognize identical kernels — the
+  // same round-13-advice fix as NearestCentroids.
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroid =>
+      child == o.child && offset == o.offset &&
+        java.util.Arrays.equals(cells, o.cells) &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]],
+          o.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child, Integer.valueOf(offset),
+    Integer.valueOf(java.util.Arrays.hashCode(cells)),
+    Integer.valueOf(java.util.Arrays.deepHashCode(
+      centroids.asInstanceOf[Array[AnyRef]])))
 }

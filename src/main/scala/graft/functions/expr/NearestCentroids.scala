@@ -69,6 +69,27 @@ case class NearestCentroids(
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
     copy(child = newChild)
+
+  // case-class equality on Array fields compares by REFERENCE, so two
+  // semantically identical kernels would never be semanticEquals and
+  // Catalyst's subexpression elimination / canonicalization caching
+  // silently miss (round-13 advice). Content equality restores that;
+  // hashCode must agree.
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroids =>
+      child == o.child && np == o.np &&
+        java.util.Arrays.equals(cells, o.cells) &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]],
+          o.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child, Integer.valueOf(np),
+    Integer.valueOf(java.util.Arrays.hashCode(cells)),
+    Integer.valueOf(java.util.Arrays.deepHashCode(
+      centroids.asInstanceOf[Array[AnyRef]])))
 }
 
 object NearestCentroids {
@@ -131,8 +152,16 @@ object NearestCentroids {
       }
       c += 1
     }
-    // with fewer centroids than np, k already clamps; all k slots are
-    // filled because every unpruned centroid beats +Inf
-    new GenericArrayData(java.util.Arrays.copyOf(bestC, k))
+    // with finite inputs every slot fills (an unpruned centroid beats
+    // +Inf), but a NaN element poisons every accumulation — `acc <
+    // bound` is then false for ALL centroids and the bestC defaults
+    // (cell id 0) would be emitted as a silently WRONG probe list and
+    // persisted into the self-probe artifact (round-13 advice). Emit
+    // only the slots actually filled: a non-finite vector gets an
+    // empty probe list — explode() drops the row, i.e. "unsearchable",
+    // never "probes a bogus cell".
+    var filled = 0
+    while (filled < k && bestD(filled) < Double.PositiveInfinity) filled += 1
+    new GenericArrayData(java.util.Arrays.copyOf(bestC, filled))
   }
 }

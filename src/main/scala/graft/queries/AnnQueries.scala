@@ -15,10 +15,19 @@ object AnnQueries {
 
   private val Dim = 64
 
-  /** DuckDB: cosine between two DOUBLE[] lists. */
+  /** DuckDB: cosine between two DOUBLE[] lists, with the SAME
+    * zero-norm guard the Spark side applies (VectorFunctions.cosine /
+    * cosinePreNorm map a zero-norm side to 0.0 — "no similarity" —
+    * instead of dividing by zero). Without the mirror, a zero-norm
+    * embedding would score NaN here and 0.0 on the Spark side; the
+    * corpus-as-queries entries (knn_join*) exercise every row's norm,
+    * so the guard is load-bearing, not cosmetic (round-13 advice).
+    * Non-zero inputs are bit-identical to the unguarded form.
+    */
   private def sqlCos(a: String, b: String): String =
-    s"""list_dot_product($a, $b) /
-       |(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+    s"""(CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0 THEN 0.0
+       |ELSE list_dot_product($a, $b) /
+       |(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END)""".stripMargin
 
   /** Shared by ann_ivf and ann_ivf_persisted (same centroids, probe
     * geometry, and scoring — the persisted entry only changes where

@@ -70,6 +70,40 @@ class NearestCentroidsSpec extends SparkSpecBase {
     assert(got == Seq(0L, 1L))
   }
 
+  test("a non-finite vector yields an EMPTY probe list, never the " +
+      "uninitialized default cells (round-13 advice)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(Float.NaN, 1.0f)),
+      (1L, Array(0.9f, 0.9f))).toDF("vec_id", "embedding")
+    // cell ids deliberately NOT containing 0, so the old behavior
+    // (np copies of the bestC default 0) would surface as bogus ids
+    val cents = Seq((7L, Array(0.0, 0.0)), (9L, Array(1.0, 1.0)))
+    val got = corpus
+      .select(col("vec_id"), probeCol(col("embedding"), cents, 2).as("p"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(0L) == Seq.empty)      // NaN row: unsearchable, not wrong
+    assert(got(1L) == Seq(9L, 7L))    // finite rows unaffected
+  }
+
+  test("kernel instances with equal array CONTENT are equal (Catalyst " +
+      "semanticEquals / canonicalization — round-13 advice)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val childA = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    def mk(np: Int) = graft.functions.expr.NearestCentroids(
+      childA, Array(1L, 2L), Array(Array(0.0, 1.0), Array(1.0, 0.0)), np)
+    def mk1(off: Int) = graft.functions.expr.NearestCentroid(
+      childA, Array(1L, 2L), Array(Array(0.0, 1.0), Array(1.0, 0.0)), off)
+    assert(mk(3) == mk(3) && mk(3).hashCode == mk(3).hashCode)
+    assert(mk(3).semanticEquals(mk(3)))
+    assert(mk(3) != mk(4))
+    assert(mk(3) != mk(3).copy(cells = Array(1L, 3L)))
+    assert(mk1(0) == mk1(0) && mk1(0).hashCode == mk1(0).hashCode)
+    assert(mk1(0) != mk1(8))
+    assert(mk1(0) != mk1(0).copy(centroids = Array(Array(0.0, 1.0), Array(2.0, 0.0))))
+  }
+
   test("knnJoinSelf over the persisted probe table equals the exact " +
       "IVF-probed label-blocked kNN computed declaratively") {
     import spark.implicits._
