@@ -292,7 +292,38 @@ final class IvfIndex private (
     * columns (e.g. label) into the artifact so the per-run join needs
     * no third table.
     */
-  def selfProbeTable(np: Int, keepCols: Seq[String] = Nil): DataFrame = {
+  def selfProbeTable(np: Int, keepCols: Seq[String] = Nil): DataFrame =
+    probeRows(cells, np, keepCols)
+
+  /** Probe rows for ONE ingest batch — the incremental-maintenance
+    * half of the self-probe artifact (round-13 verdict #5): [[append]]
+    * maintains the cell layout per tick, and this computes the SAME
+    * narrow NearestCentroids map over just the batch's rows so the
+    * tick appends its probe rows into the probe parquet instead of
+    * forcing a full [[selfProbeTable]] rebuild. Placement depends
+    * ONLY on this layout's frozen centroids, so append ≡ rebuild by
+    * construction (SelfProbeMaintenanceSpec property-checks it on
+    * random corpus splits). Per-tick cost: one codegen'd centroid
+    * scan per batch row + a parquet append — no corpus read, no
+    * shuffle.
+    */
+  def selfProbeForBatch(batch: DataFrame, np: Int,
+      keepCols: Seq[String] = Nil): DataFrame =
+    probeRows(batch, np, keepCols)
+
+  /** [[selfProbeForBatch]] + the append write — the probe-artifact
+    * mirror of [[append]]'s layout maintenance, so one batch tick is
+    * `idx.append(batch); idx.appendSelfProbe(batch, probePath, np,
+    * keep)` and both standing artifacts stay consistent with a full
+    * rebuild.
+    */
+  def appendSelfProbe(batch: DataFrame, probePath: String, np: Int,
+      keepCols: Seq[String] = Nil): Unit =
+    selfProbeForBatch(batch, np, keepCols)
+      .write.mode(SaveMode.Append).parquet(probePath)
+
+  private def probeRows(src: DataFrame, np: Int,
+      keepCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val rows = centroids
       .select(col("cell").cast("long"), col("cv").cast("array<double>"))
@@ -307,7 +338,7 @@ final class IvfIndex private (
     // candidate pair, 3× the pair flops (the v_topk_prenorm lesson;
     // sqrt(dotD(v,v)) here is the same fold, so scores stay
     // bit-identical)
-    cells
+    src
       .select(col(idCol).as("qid") +: col(vecCol).as("qv") +:
         normD(col(vecCol)).as("qn") +:
         keepCols.map(c => col(c).as(s"q_$c")) :+ kernel.as("_probes"): _*)
@@ -324,14 +355,22 @@ final class IvfIndex private (
     * Ann.knnJoinLsh: (qid, id, score, rk).
     *
     * Scale shape: both sides are corpus-sized, so the candidate join
-    * is a deliberate big-big SortMergeJoin on (cell, blockCols) — the
-    * only shuffle, and the per-key groups are bounded by cell
-    * population (√n under the nlist rule) intersected with the block.
-    * Candidates per query = np × |cell ∩ block|; the exact cosines
-    * feed TopKAgg directly (map-side partial heaps — ≤ k rows per
-    * (query × partition) reach the final shuffle), the round-12
-    * lesson that a partial-agg consumer makes the join itself
-    * optimal.
+    * shuffles both on (cell, blockCols) — the only shuffle. The
+    * physical strategy is a SHUFFLED-HASH join with the LAYOUT as
+    * the build side, not an SMJ: the probe side is np× the layout's
+    * rows and each row carries the full query vector, so the SMJ's
+    * sort of that side (plus sort-order-preserving row production
+    * across a ~100-rows-per-key join amplification) dominated the
+    * whole query — measured 10.6→6.5 s at the 100× corpus, np=16,
+    * with np=3 flat (round-14 A/B). Build-side memory is bounded by
+    * the same discipline as every shuffle: layout_rows/partitions per
+    * task (the np× smaller side, and spillable in Spark 4). Per-key
+    * groups are bounded by cell population (√n under the nlist rule)
+    * intersected with the block; candidates per query =
+    * np × |cell ∩ block|; the exact cosines feed TopKAgg directly
+    * (map-side partial heaps — ≤ k rows per (query × partition)
+    * reach the final shuffle), the round-12 lesson that a partial-agg
+    * consumer makes the join itself optimal.
     */
   def knnJoinSelf(probes: DataFrame, blockCols: Seq[String], k: Int): DataFrame = {
     val blockCond = blockCols
@@ -345,6 +384,7 @@ final class IvfIndex private (
     // one dot + one multiply instead of three dots
     cells
       .withColumn("_nb", normD(col(vecCol)))
+      .hint("shuffle_hash")
       .join(p, blockCond && col(idCol) =!= col("qid"))
       .withColumn("score_raw",
         cosinePreNorm(col(vecCol), col("_nb"), col("qv"), col("qn")))

@@ -463,17 +463,18 @@ object AnnQueries {
     // each vector's nprobe nearest cells via the NearestCentroids
     // narrow map (no n×nlist crossJoin; the probe list is a property
     // of the corpus version like every other ingest artifact). Per
-    // run: one big-big SortMergeJoin of probes against the layout on
-    // (cell, label) feeding exact cosines straight into the
-    // bounded-heap TopKAgg. Semantics are its OWN oracle below (IVF-
-    // probed label-blocked kNN replayed in SQL — assignment, probe
-    // ranking, tie orders, all bit-pinned); knn_join stays the
-    // recall-measured one-shot parent.
+    // run: one big-big shuffled-hash join of probes against the
+    // layout on (cell, label) feeding exact cosines straight into the
+    // bounded-heap TopKAgg. Probe width = [[KnnJoinProbe]] — the
+    // measured operating point (see the constant's curve). Semantics
+    // are its OWN oracle below (IVF-probed label-blocked kNN replayed
+    // in SQL — assignment, probe ranking, tie orders, all bit-
+    // pinned); knn_join stays the recall-measured one-shot parent.
     "knn_join_ivf" -> ((s, dir) => {
       val idx = graft.ann.IvfIndex.load(s, ivfLayoutPath(s, dir),
         "vec_id", "embedding")
       val probes = persistedTable(s, "ivfknnprobe", dir) { p =>
-        idx.selfProbeTable(np = 3, keepCols = Seq("label"))
+        idx.selfProbeTable(np = KnnJoinProbe, keepCols = Seq("label"))
           .write.mode("overwrite").parquet(p)
       }
       idx.knnJoinSelf(probes, Seq("label"), k = 3)
@@ -487,14 +488,14 @@ object AnnQueries {
     // (vec_id < 8, self excluded both sides) — the quality dial for
     // the (nlist, nprobe) coarse geometry on the corpus-join
     // workload, the role ann_ivf_pq_recall plays for the point-query
-    // index. Measures 8/24 on the synthetic near-uniform sphere —
-    // the coarse layer's documented worst case (ann_ivf_pq_coarse:
-    // nothing clusters, so nprobe/nlist of the space holds
-    // nprobe/nlist of the neighbors); real clustered embeddings sit
-    // far above it, and the dial is nprobe. The truth side is 8
-    // queries × their label's corpus share (bounded-heap TopKAgg,
-    // never a corpus×corpus brute). Oracle nests the knn_join_ivf
-    // oracle verbatim plus the exact CTE.
+    // index. Measures 23/24 at the shipped [[KnnJoinProbe]] width on
+    // the synthetic near-uniform sphere — the coarse layer's
+    // documented worst case (nothing clusters, so recall grows
+    // ~linearly with the probed fraction; the full measured curve
+    // lives at the constant). The truth side is 8 queries × their
+    // label's corpus share (bounded-heap TopKAgg, never a
+    // corpus×corpus brute). Oracle nests the knn_join_ivf oracle
+    // verbatim plus the exact CTE.
     "knn_join_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       import graft.functions.VectorFunctions.{cosine, topK}
@@ -510,7 +511,7 @@ object AnnQueries {
       val idx = graft.ann.IvfIndex.load(s, ivfLayoutPath(s, dir),
         "vec_id", "embedding")
       val probes = persistedTable(s, "ivfknnprobe", dir) { p =>
-        idx.selfProbeTable(np = 3, keepCols = Seq("label"))
+        idx.selfProbeTable(np = KnnJoinProbe, keepCols = Seq("label"))
           .write.mode("overwrite").parquet(p)
       }
       val got = idx.knnJoinSelf(probes.filter(col("qid") < 8),
@@ -578,6 +579,25 @@ object AnnQueries {
     * corpus grows at fixed probe width).
     */
   private val IvfPqProbe = 16
+
+  /** knn_join_ivf probe width — the measured operating point of the
+    * recall/cost curve (graft.KnnRecallCurve, round-14; the round-13
+    * default np=3 shipped with recall 8/24 — correct but not
+    * production quality). On the near-uniform synthetic sphere —
+    * the coarse layer's worst case, where recall grows ~linearly
+    * with the probed fraction because nothing clusters —
+    * the measured curve at sf0.01 (nlist 23, the correctness gate) is
+    * np 3/8/12/16 → recall@3 0.29/0.56/0.73/0.85 full-corpus and
+    * 0.33/0.63/0.88/0.96 on the oracled 8-query subset; 100× join
+    * time (200k vectors, nlist 445, warm quiet host) 3.4/5.3/6.5/7.4 s
+    * vs the LSH knn_join's 5.0 s on the same host. np=16 is the same
+    * operating point ann_ivf_pq ships (IvfPqProbe): recall ≥ 0.85
+    * at the gate for ~1.5× the one-shot join's quiet cost — and the
+    * probed fraction (np/√n) shrinks as the corpus grows, so at
+    * 100 TB the same width reads a vanishing corpus share while real
+    * clustered embeddings sit far above the sphere's recall floor.
+    */
+  private val KnnJoinProbe = 16
 
   /** The shared IVF×PQ geometry: √n seed-row centroids, query = vec
     * 0, nprobe=[[IvfPqProbe]] driver-side probe with the oracle's
@@ -1291,7 +1311,7 @@ object AnnQueries {
          |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), cent),
          |members AS (SELECT vec_id, label, v, cell FROM assign WHERE rn = 1),
          |probes AS (SELECT vec_id AS qid, label AS qlab, v AS qv, cell
-         |           FROM assign WHERE rn <= 3),
+         |           FROM assign WHERE rn <= $KnnJoinProbe),
          |scored AS (
          |  SELECT p.qid AS vec_id, c.vec_id AS nbr_id,
          |    ${sqlCos("c.v", "p.qv")} AS score_raw
@@ -1315,7 +1335,7 @@ object AnnQueries {
          |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), cent),
          |members AS (SELECT vec_id, label, v, cell FROM assign WHERE rn = 1),
          |probes AS (SELECT vec_id AS qid, label AS qlab, v AS qv, cell
-         |           FROM assign WHERE rn <= 3 AND vec_id < 8),
+         |           FROM assign WHERE rn <= $KnnJoinProbe AND vec_id < 8),
          |ivf AS (
          |  SELECT qid, nbr_id FROM (
          |    SELECT p.qid, c.vec_id AS nbr_id,
