@@ -20,16 +20,21 @@ import org.apache.spark.sql.functions._
   * time against a prebuilt probe table (the production shape: probe
   * artifact paid at ingest).
   *
-  * Usage: KnnRecallCurve <sfDir> [np,np,...] [timeonly]
+  * Usage: KnnRecallCurve <sfDir> [np,np,...] [timeonly] [coded=C,C,...]
   * (np default 3,8,16; `timeonly` skips the exact-truth recall sides —
   * the label-blocked exact kNN is quadratic per block, prohibitive at
-  * the 100× stress corpus where only the join TIMING is the question)
+  * the 100× stress corpus where only the join TIMING is the question;
+  * `coded=...` sweeps the knn_join_ivfpq SDC-candidate depth instead,
+  * at the FIRST np in the list — the KnnJoinRerank dial)
   */
 object KnnRecallCurve {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val timeOnly = args.contains("timeonly")
-    val nps = args.drop(1).filterNot(_ == "timeonly").headOption
+    val codedCs = args.find(_.startsWith("coded="))
+      .map(_.drop(6).split(',').map(_.toInt).toSeq)
+    val nps = args.drop(1).filterNot(a => a == "timeonly" || a.startsWith("coded="))
+      .headOption
       .map(_.split(',').map(_.toInt).toSeq)
       .getOrElse(Seq(3, 8, 16))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,6 +71,56 @@ object KnnRecallCurve {
     }
     val nTruth = truthOpt.map(_.count()).getOrElse(0L)
     println(s"[curve] sf=$sfDir n=$n nlist=$nlist truth_pairs=$nTruth")
+
+    codedCs.foreach { cs =>
+      // coded sweep: fit the flat-PQ books once (ann_pq geometry),
+      // build the coded probe artifact at the first np, then vary the
+      // SDC-candidate depth
+      val np = nps.head
+      val dimLen = emb.select(size(col("embedding"))).head().getInt(0)
+      // Pq.fit returns driver-materialized local relations — reuse free
+      val books = graft.ann.Pq.fit(emb, "vec_id", "embedding",
+        dim = dimLen, nSub = 8, seedMod = math.max(1L, n / 32), iters = 1)
+      val grid = graft.ann.Sq.fit(emb, "embedding", dimLen)
+      val probePath = s"$dir/codedprobe-np$np"
+      graft.ann.CodedKnnJoin.buildPqProbeTable(idx, books, dimLen,
+          np = np, blockCols = Seq("label"))
+        .write.mode("overwrite").parquet(probePath)
+      val sqProbePath = s"$dir/sqprobe-np$np"
+      graft.ann.CodedKnnJoin.buildSqProbeTable(idx, grid,
+          np = np, blockCols = Seq("label"))
+        .write.mode("overwrite").parquet(sqProbePath)
+      val probes = spark.read.parquet(probePath)
+      val sqProbes = spark.read.parquet(sqProbePath)
+      def measure(tag: String, c: Int,
+          run: () => org.apache.spark.sql.DataFrame): Unit = {
+        run().write.format("noop").mode("overwrite").save()
+        val t0 = System.nanoTime()
+        run().write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        truthOpt match {
+          case Some(truth) =>
+            val got = run().select(col("qid"), col("vec_id").as("nbr_id"))
+            val hits = truth.join(got, Seq("qid", "nbr_id"), "left_semi").count()
+            val got8 = got.filter(col("qid") < 8)
+            val hits8 = truth.filter(col("qid") < 8)
+              .join(got8, Seq("qid", "nbr_id"), "left_semi").count()
+            println(f"[curve] $tag%-7s np=$np C=$c%-3d " +
+              f"recall_full=${hits.toDouble / nTruth}%.4f ($hits/$nTruth)  " +
+              f"recall_8q=${hits8 / 24.0}%.4f ($hits8/24)  join_warm=$sec%.2f s")
+          case None =>
+            println(f"[curve] $tag%-7s np=$np C=$c%-3d join_warm=$sec%.2f s (timeonly)")
+        }
+      }
+      cs.foreach { c =>
+        measure("codedpq", c, () => graft.ann.CodedKnnJoin.knnJoinSelfPq(
+          idx, probes, books, Seq("label"), k = 3, candidates = c))
+        measure("codedsq", c, () => graft.ann.CodedKnnJoin.knnJoinSelfSq(
+          idx, sqProbes, grid, Seq("label"), k = 3, candidates = c))
+      }
+      spark.stop()
+      return
+    }
 
     nps.foreach { np =>
       val probePath = s"$dir/probe-np$np"

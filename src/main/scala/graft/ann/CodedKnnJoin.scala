@@ -1,0 +1,238 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** CODES-based corpus×corpus kNN against an IVF layout — the
+  * shuffle-lean composition of knnJoinSelf (round-13 verdict #4): the
+  * candidate join carries quantization CODES instead of dim×4 float
+  * bytes, scores pairs with a symmetric-distance kernel (both sides
+  * coded — no vector arithmetic in the hot join), cuts each query's
+  * np × |cell ∩ block| candidates down to a bounded `candidates`
+  * list, and only then pays exact cosines over n × candidates pairs
+  * (the FAISS refine shape graft's point queries already use).
+  *
+  * Two rungs of the measured compression ladder, both implemented —
+  * the same trade the point-query family documents (ann_pq vs
+  * ann_sq), replayed at join scale:
+  *
+  *   - PQ-SDC ([[knnJoinSelfPq]], kernel PqSdc): 8 BYTES per side
+  *     (codes packed into one long), per pair 8 table lookups — the
+  *     cheapest possible candidate stage, but two codebook
+  *     quantizations of noise mean the cut needs ~32 candidates to
+  *     hold the coarse ceiling on the bench sphere;
+  *   - SQ8-SDC ([[knnJoinSelfSq]], kernel SqSdc): dim bytes per side
+  *     (64 B at Dim 64 — still 4× under float), per pair the
+  *     dequantized-gap fold; 256 levels/dim track exact ordering so
+  *     closely that candidates = 6 already reproduces the coarse
+  *     ceiling EXACTLY on the bench corpus — the smaller cut is what
+  *     makes the bounded rerank's vector transport (n × candidates
+  *     rows) small, so this rung ships as knn_join's production twin.
+  *
+  * Why FLAT codes, not IvfPqIndex's residual ones: SDC compares two
+  * CODED vectors, so both must be quantized in the same coordinate
+  * frame — residual codes live in per-cell frames and a probe pair's
+  * two sides sit in different cells. The IVF layer contributes coarse
+  * BLOCKING (probe lists, member cells); the flat code space
+  * contributes comparability.
+  *
+  * Artifacts (corpus-version properties, built once at ingest): the
+  * shared IVF layout, the shared code model (the ann_pq codebooks /
+  * the ann_sq grid — one fit serving point queries AND the corpus
+  * join), and ONE coded probe table per rung from
+  * [[buildPqProbeTable]] / [[buildSqProbeTable]] — (qid, q_<block>…,
+  * prank, cell, <codes>) where prank ranks the query's np nearest
+  * cells. Its prank = 1 rows ARE the members side (NearestCentroids'
+  * rank-1 pick is the NearestCentroid assignment by construction —
+  * the np = 1 special case), so the per-run join reads one narrow
+  * artifact twice; this mirrors the oracle's `rn = 1 members /
+  * rn <= np probes` CTE pair literally.
+  *
+  * Determinism (SURVEY §5): SDC scores replay in SQL from the
+  * replayed fits; candidate cut orders by (sdc asc, id asc) — the
+  * TopKAgg tie law; final k by (exact cosine desc, id asc). Output
+  * mirrors knnJoinSelf: (qid, id, score, rk).
+  */
+object CodedKnnJoin {
+
+  /** The PQ-coded self-probe artifact: every layout row's np nearest
+    * cells (prank 1..np, rank 1 = the member cell) + its flat-PQ
+    * codes PACKED into one long (code s at bit 8s) + the block
+    * columns — ~(8 + 8 + 4 + 8 + 8·|block|) bytes per row × n×np rows.
+    */
+  def buildPqProbeTable(ivf: IvfIndex, books: Seq[DataFrame], dim: Int,
+      np: Int, blockCols: Seq[String] = Nil): DataFrame = {
+    require(books.size <= 8, s"PQ packing needs nSub <= 8, got ${books.size}")
+    val packed = books.indices
+      .map(s => shiftleft(col(s"code$s"), 8 * s))
+      .reduce(_.bitwiseOR(_))
+    probeTable(ivf, np, blockCols,
+      Pq.encode(ivf.cells, ivf.idCol, ivf.vecCol, books, dim),
+      packed.as("qpq"))
+  }
+
+  /** The SQ8-coded self-probe artifact: same shape with the dim-byte
+    * SQ8 code column (qsq, binary) instead of the packed PQ long.
+    */
+  def buildSqProbeTable(ivf: IvfIndex, grid: Sq.Grid,
+      np: Int, blockCols: Seq[String] = Nil): DataFrame =
+    probeTable(ivf, np, blockCols,
+      Sq.encode(ivf.cells, ivf.vecCol, grid, codeCol = "_sqc"),
+      col("_sqc").as("qsq"))
+
+  private def probeTable(ivf: IvfIndex, np: Int, blockCols: Seq[String],
+      coded: DataFrame, codeCol: Column): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val rows = ivf.centroids
+      .select(col("cell").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty && rows.length <= 65536,
+      s"CodedKnnJoin: ${rows.length} centroids (nlist rule bounds this)")
+    val sorted = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val kernel = ColumnBridge.column(graft.functions.expr.NearestCentroids(
+      ColumnBridge.expression(col(ivf.vecCol)), sorted.map(_._1), sorted.map(_._2), np))
+    coded
+      .select(col(ivf.idCol).as("qid") +:
+        blockCols.map(c => col(c).as(s"q_$c")) :+
+        codeCol.as("qcode") :+ kernel.as("_probes"): _*)
+      .select(col("qid") +: blockCols.map(c => col(s"q_$c")) :+
+        col("qcode") :+ posexplode(col("_probes")).as(Seq("_pos", "cell")): _*)
+      .select(col("qid") +: blockCols.map(c => col(s"q_$c")) :+
+        (col("_pos") + 1).cast("int").as("prank") :+ col("cell") :+
+        col("qcode"): _*)
+  }
+
+  /** PQ-SDC rung: candidate scores from the packed-long codes via the
+    * PqSdc lookup kernel. `probes` is a persisted
+    * [[buildPqProbeTable]] frame.
+    */
+  def knnJoinSelfPq(ivf: IvfIndex, probes: DataFrame, books: Seq[DataFrame],
+      blockCols: Seq[String], k: Int, candidates: Int,
+      queryPred: Column = lit(true)): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val (lut, kk) = sdcLut(books)
+    val sdc = ColumnBridge.column(graft.functions.expr.PqSdc(
+      ColumnBridge.expression(col("_mcode")),
+      ColumnBridge.expression(col("qcode")), lut, kk))
+    joinCore(ivf, probes, blockCols, k, candidates, queryPred, sdc)
+  }
+
+  /** SQ8-SDC rung: candidate scores from the dim-byte codes via the
+    * SqSdc dequantized-gap kernel. `probes` is a persisted
+    * [[buildSqProbeTable]] frame. This is the shipped production
+    * rung — see the object scaladoc for the measured trade.
+    */
+  /** `sdcDims` (0 = all) truncates the SDC fold to the FIRST D′
+    * dimensions — the polysemous-style prefix filter for
+    * high-dimension corpora where the full per-pair fold costs as
+    * much as the exact dot it replaces (SqSdc folds to
+    * min(codes, step2.length), so the truncated step² array IS the
+    * mechanism): a dimension prefix of an isotropic embedding is an
+    * unbiased distance subsample, `candidates` absorbs the added
+    * selection noise, and the exact rerank restores output scores.
+    */
+  def knnJoinSelfSq(ivf: IvfIndex, probes: DataFrame, grid: Sq.Grid,
+      blockCols: Seq[String], k: Int, candidates: Int,
+      queryPred: Column = lit(true), sdcDims: Int = 0): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    // step² precomputed once driver-side (one rounding per dim — the
+    // oracle mirrors it as step*step inside its fold)
+    val step2 = grid.step.map(s => s * s)
+    val sdc = ColumnBridge.column(graft.functions.expr.SqSdc(
+      ColumnBridge.expression(col("_mcode")),
+      ColumnBridge.expression(col("qcode")),
+      if (sdcDims > 0) step2.take(sdcDims) else step2))
+    joinCore(ivf, probes, blockCols, k, candidates, queryPred, sdc)
+  }
+
+  /** The shared join shape: codes-only candidate join (layout rows as
+    * the shuffled-hash build side — the knnJoinSelf round-14 lesson),
+    * (sdc asc, id asc) cut via the bounded-heap TopKAgg, then the
+    * bounded exact rerank fetching the two float vectors per
+    * surviving pair.
+    */
+  private def joinCore(ivf: IvfIndex, probes: DataFrame,
+      blockCols: Seq[String], k: Int, candidates: Int, queryPred: Column,
+      sdc: Column): DataFrame = {
+    require(candidates >= k, s"candidates $candidates must be >= k $k")
+    // members = the rank-1 rows of the SAME artifact (the member
+    // cell); NEVER filtered by queryPred — a query-subset evaluation
+    // still ranks against the full corpus
+    val members = probes.filter(col("prank") === 1)
+      .select(col("qid").as("_mid") +: col("cell").as("_mcell") +:
+        col("qcode").as("_mcode") +:
+        blockCols.map(c => col(s"q_$c").as(s"_m_$c")): _*)
+    val p = probes.filter(queryPred).select(
+      col("qid") +: col("cell").as("_pcell") +: col("qcode") +:
+        blockCols.map(c => col(s"q_$c")): _*)
+    val blockCond = blockCols
+      .map(c => col(s"_m_$c") === col(s"q_$c"))
+      .foldLeft(col("_mcell") === col("_pcell"))(_ && _)
+    val cands = members.hint("shuffle_hash")
+      .join(p, blockCond && col("_mid") =!= col("qid"))
+      .withColumn("_negsdc", -sdc)
+      .groupBy(col("qid"))
+      .agg(topK(col("_negsdc"), col("_mid"), candidates).as("_top"))
+      .select(col("qid"), explode(col("_top.id")).as(ivf.idCol))
+    // bounded exact rerank: n × candidates pairs move one float vector
+    // each (the candidate side joins on id first — narrow left — then
+    // the query side on qid); both corpus-sized fetches are
+    // shuffled-hash with the vector side as build
+    val vecs = ivf.cells
+      .select(col(ivf.idCol), col(ivf.vecCol))
+      .withColumn("_n", normD(col(ivf.vecCol)))
+    cands
+      .join(vecs.hint("shuffle_hash"), Seq(ivf.idCol))
+      .withColumnRenamed(ivf.vecCol, "_v").withColumnRenamed("_n", "_nb")
+      .join(vecs.withColumnRenamed(ivf.idCol, "qid").hint("shuffle_hash"),
+        Seq("qid"))
+      .withColumn("score_raw",
+        cosinePreNorm(col("_v"), col("_nb"), col(ivf.vecCol), col("_n")))
+      .groupBy(col("qid"))
+      .agg(topK(col("score_raw"), col(ivf.idCol), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), col("_t.id").as(ivf.idCol),
+        round(col("_t.score"), 6).as("score"),
+        (col("_pos") + 1).cast("long").as("rk"))
+  }
+
+  /** The nSub × (K×K) SDC tables from the fitted codebooks — the same
+    * left-to-right d² fold as NearestCentroid / the oracle's
+    * list_reduce, indexed lut(s)(codeA·K + codeB).
+    */
+  private def sdcLut(books: Seq[DataFrame]): (Array[Array[Double]], Int) = {
+    val local = books.map { b =>
+      val rows = b.select(col("cid").cast("long"), col("cv").cast("array<double>"))
+        .collect()
+      require(rows.nonEmpty && rows.length <= 256,
+        s"CodedKnnJoin: codebook has ${rows.length} codewords (byte packing caps K at 256)")
+      rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    }
+    val k = local.head.length
+    require(local.forall(_.length == k),
+      "CodedKnnJoin: all codebooks must have the same codeword count")
+    require(local.forall(b => b.indices.forall(i => b(i)._1 == i.toLong)),
+      "CodedKnnJoin: codebook ids must be the dense 0..K-1 relabel")
+    val lut = local.map { book =>
+      val t = new Array[Double](k * k)
+      var a = 0
+      while (a < k) {
+        val va = book(a)._2
+        var c = 0
+        while (c < k) {
+          val vc = book(c)._2
+          var d = 0.0
+          var j = 0
+          while (j < va.length) { val x = va(j) - vc(j); d += x * x; j += 1 }
+          t(a * k + c) = d
+          c += 1
+        }
+        a += 1
+      }
+      t
+    }.toArray
+    (lut, k)
+  }
+}

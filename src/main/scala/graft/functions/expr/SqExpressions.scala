@@ -155,3 +155,85 @@ case class SqAdc(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): SqAdc = copy(f, s, t)
 }
+
+/** codesA × codesB → Σ_d (cA_d − cB_d)²·step²_d — the SYMMETRIC-
+  * distance fold over two byte-code columns (round-14, the coded
+  * corpus kNN join's scorer): both sides quantized on the SAME global
+  * per-dimension grid, so unlike PQ-SDC there is no codebook table —
+  * the distance is the dequantized-gap fold itself, and with 256
+  * levels/dim its ordering tracks the exact one closely enough that a
+  * single-digit candidate cut loses nothing on the bench corpus
+  * (measured — see knn_join_ivfsq).
+  *
+  * The per-dimension step² factors ride as a PLAIN double[] codegen
+  * reference object, not a literal-array child: the first draft's
+  * `ArrayData.getDouble` per iteration defeated JIT vectorization and
+  * ran the 768-dim probe 2.7× SLOWER than the exact float dot it was
+  * replacing (KnnDimProbe round-14 A/B); with a primitive array the
+  * hot loop is int-subtract, int-multiply (exact — byte gaps square
+  * to ≤ 255², representable exactly in double), one double multiply,
+  * one add — left-to-right over d, so a SQL oracle replays it
+  * bit-for-bit as ((cA_d − cB_d)·(cA_d − cB_d))·(step_d·step_d)
+  * list-folded in d order (each side of the product carries exactly
+  * one rounding, same as the kernel).
+  */
+case class SqSdc(left: Expression, right: Expression, step2: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "sq_sdc"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, binary)")
+    }
+
+  override def nullSafeEval(codesA: Any, codesB: Any): Any =
+    SqSdc.compute(codesA.asInstanceOf[Array[Byte]],
+      codesB.asInstanceOf[Array[Byte]], step2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s2 = ctx.addReferenceObj("sqSdcStep2", step2, "double[]")
+    nullSafeCodeGen(ctx, ev, (codesA, codesB) =>
+      s"${ev.value} = graft.functions.expr.SqSdc.compute($codesA, $codesB, $s2);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqSdc =
+    copy(left = newLeft, right = newRight)
+
+  // content equality over the step² array (the NearestCentroids
+  // round-13-advice law) so semanticEquals / subexpression
+  // elimination recognize identical kernels
+  override def equals(other: Any): Boolean = other match {
+    case o: SqSdc =>
+      left == o.left && right == o.right &&
+        java.util.Arrays.equals(step2, o.step2)
+    case _ => false
+  }
+
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, left, right,
+    Integer.valueOf(java.util.Arrays.hashCode(step2)))
+}
+
+object SqSdc {
+
+  /** Static entry for interpreted eval and generated code (never name
+    * this `eval` — the round-12 codegen-fallback lesson).
+    */
+  def compute(a: Array[Byte], b: Array[Byte], step2: Array[Double]): Double = {
+    var n = math.min(a.length, b.length)
+    if (n > step2.length) n = step2.length
+    var acc = 0.0
+    var d = 0
+    while (d < n) {
+      val di = (a(d) & 0xff) - (b(d) & 0xff)
+      acc += (di * di).toDouble * step2(d)
+      d += 1
+    }
+    acc
+  }
+}

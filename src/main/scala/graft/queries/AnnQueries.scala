@@ -520,7 +520,140 @@ object AnnQueries {
       truth.join(broadcast(got), Seq("qid", "nbr_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(col("n_hits"), round(col("n_hits") / 24.0, 6).as("recall"))
+    }),
+
+    // The CODES-based corpus kNN join, PQ rung (round-13 verdict #4):
+    // same IVF coarse blocking as knn_join_ivf (shared layout, same
+    // np probe geometry), but the candidate join carries the flat-PQ
+    // codes PACKED INTO ONE LONG (8 bytes per side vs the
+    // np-replicated 256-byte float vectors), scores pairs with the
+    // PqSdc lookup kernel (8 codeword-table lookups — no vector
+    // arithmetic), cuts to KnnJoinRerankPq candidates per query, and
+    // only then pays exact cosines over the bounded survivor set
+    // (FAISS's refine shape at join scale). Flat codes — not the
+    // residual IvfPqIndex ones — because SDC needs both sides in ONE
+    // coordinate frame (see CodedKnnJoin scaladoc). The codebooks are
+    // the SAME fit the ann_pq family persists (one artifact, point
+    // queries + corpus join); the coded probe table is one narrow
+    // ingest artifact whose rank-1 rows double as the members side.
+    // Own oracle: the knn_join_ivf assignment/probe CTEs + the ann_pq
+    // fit replay + flattened per-subspace SDC tables + the candidate
+    // cut + exact rerank, tie orders bit-pinned at every stage.
+    "knn_join_ivfpq" -> ((s, dir) => {
+      val idx = graft.ann.IvfIndex.load(s, ivfLayoutPath(s, dir),
+        "vec_id", "embedding")
+      val books = graft.ann.PqIndex.load(s, pqIndexPath(s, dir),
+        "vec_id", "embedding", PqSub).books
+      val probes = persistedTable(s, "pqknnprobe", dir) { p =>
+        graft.ann.CodedKnnJoin.buildPqProbeTable(idx, books, Dim,
+            np = KnnJoinProbe, blockCols = Seq("label"))
+          .write.mode("overwrite").parquet(p)
+      }
+      graft.ann.CodedKnnJoin.knnJoinSelfPq(idx, probes, books,
+          Seq("label"), k = 3, candidates = KnnJoinRerankPq)
+        .select(col("qid").as("vec_id"), col("vec_id").as("nbr_id"),
+          col("score"), col("rk"))
+        .orderBy(col("vec_id"), col("rk"))
+    }),
+
+    // recall@3 of the PQ-coded join against the SAME exact
+    // label-blocked truth knn_join_ivf_recall charges (fixed 8-query
+    // subset, self excluded) — measures what the SDC candidate cut
+    // loses ON TOP of the shared coarse ceiling (a true neighbor in a
+    // probed cell can still miss if its two-sided code distance falls
+    // outside the KnnJoinRerankPq cut). Oracle nests the
+    // knn_join_ivfpq chain restricted to qid < 8 plus the exact CTE.
+    "knn_join_ivfpq_recall" -> ((s, dir) => {
+      val idx = graft.ann.IvfIndex.load(s, ivfLayoutPath(s, dir),
+        "vec_id", "embedding")
+      val books = graft.ann.PqIndex.load(s, pqIndexPath(s, dir),
+        "vec_id", "embedding", PqSub).books
+      val probes = persistedTable(s, "pqknnprobe", dir) { p =>
+        graft.ann.CodedKnnJoin.buildPqProbeTable(idx, books, Dim,
+            np = KnnJoinProbe, blockCols = Seq("label"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val got = graft.ann.CodedKnnJoin.knnJoinSelfPq(idx, probes, books,
+          Seq("label"), k = 3, candidates = KnnJoinRerankPq,
+          queryPred = col("qid") < 8)
+        .select(col("qid"), col("vec_id").as("nbr_id"))
+      knnRecallVsTruth(s, dir, got)
+    }),
+
+    // The CODES-based corpus kNN join, SQ8 rung — the SHIPPED
+    // production twin: the candidate join carries the dim-byte SQ8
+    // codes (64 B per side — 4× under float, one global grid so SDC
+    // is valid corpus-wide), scores pairs with the SqSdc
+    // dequantized-gap kernel, and cuts to just KnnJoinRerankSq = 6
+    // candidates before the exact rerank — measured to reproduce the
+    // np=16 coarse ceiling EXACTLY on the gate corpus (256 levels/dim
+    // track exact ordering; see the constants' curve), so the bounded
+    // rerank moves 6n vector rows where knn_join_ivf's exact join
+    // moves 16n. The grid is the SAME fit the ann_sq family persists.
+    // Own oracle: IVF chain + the ann_sq grid/encode replay + the
+    // per-pair d-ordered SDC fold + cut + exact rerank.
+    "knn_join_ivfsq" -> ((s, dir) => {
+      val idx = graft.ann.IvfIndex.load(s, ivfLayoutPath(s, dir),
+        "vec_id", "embedding")
+      val grid = graft.ann.SqIndex.load(s, sqIndexPath(s, dir),
+        "vec_id", "embedding").grid
+      val probes = persistedTable(s, "sqknnprobe", dir) { p =>
+        graft.ann.CodedKnnJoin.buildSqProbeTable(idx, grid,
+            np = KnnJoinProbe, blockCols = Seq("label"))
+          .write.mode("overwrite").parquet(p)
+      }
+      graft.ann.CodedKnnJoin.knnJoinSelfSq(idx, probes, grid,
+          Seq("label"), k = 3, candidates = KnnJoinRerankSq)
+        .select(col("qid").as("vec_id"), col("vec_id").as("nbr_id"),
+          col("score"), col("rk"))
+        .orderBy(col("vec_id"), col("rk"))
+    }),
+
+    // recall@3 of the SQ8-coded join vs the same exact truth — the
+    // quality evidence that candidates = 6 holds the coarse ceiling
+    // (23/24 at the gate, equal to knn_join_ivf's np=16 exact join).
+    // Oracle nests the knn_join_ivfsq chain restricted to qid < 8
+    // plus the exact CTE.
+    "knn_join_ivfsq_recall" -> ((s, dir) => {
+      val idx = graft.ann.IvfIndex.load(s, ivfLayoutPath(s, dir),
+        "vec_id", "embedding")
+      val grid = graft.ann.SqIndex.load(s, sqIndexPath(s, dir),
+        "vec_id", "embedding").grid
+      val probes = persistedTable(s, "sqknnprobe", dir) { p =>
+        graft.ann.CodedKnnJoin.buildSqProbeTable(idx, grid,
+            np = KnnJoinProbe, blockCols = Seq("label"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val got = graft.ann.CodedKnnJoin.knnJoinSelfSq(idx, probes, grid,
+          Seq("label"), k = 3, candidates = KnnJoinRerankSq,
+          queryPred = col("qid") < 8)
+        .select(col("qid"), col("vec_id").as("nbr_id"))
+      knnRecallVsTruth(s, dir, got)
     }))
+
+  /** recall@3 vs the exact label-blocked truth for the fixed 8-query
+    * subset — shared by the three knn-join recall entries (the truth
+    * side is 8 queries × their label's corpus share via the
+    * bounded-heap TopKAgg, never a corpus×corpus brute).
+    */
+  private def knnRecallVsTruth(s: org.apache.spark.sql.SparkSession,
+      dir: String, got: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    import graft.functions.VectorFunctions.{cosine, topK}
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlab"))
+    val truth = emb.join(broadcast(qs),
+        col("label") === col("qlab") && col("vec_id") =!= col("qid"))
+      .withColumn("_s", cosine(col("embedding"), col("qv")))
+      .groupBy(col("qid"))
+      .agg(topK(col("_s"), col("vec_id"), 3).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("nbr_id"))
+    truth.join(broadcast(got), Seq("qid", "nbr_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"), round(col("n_hits") / 24.0, 6).as("recall"))
+  }
 
   private lazy val LshOracleSql: String =
     s"""WITH planes AS (
@@ -598,6 +731,21 @@ object AnnQueries {
     * clustered embeddings sit far above the sphere's recall floor.
     */
   private val KnnJoinProbe = 16
+
+  /** Per-query SDC-candidate depths before the coded joins' exact
+    * rerank (k = 3 underneath). The dial trades rerank vector bytes
+    * (n × candidates pairs move one float vector each) against the
+    * SDC cut's recall loss on top of the shared coarse ceiling —
+    * measured on the sf0.01 gate corpus (KnnRecallCurve coded mode,
+    * round 14): PQ-SDC (two codebook quantizations of noise) needs
+    * C = 32 to reach the np=16 ceiling (C 8/12/16/24/32 → full recall
+    * 0.49/0.61/0.69/0.80/0.845 vs ceiling 0.853); SQ8-SDC (256
+    * levels/dim) reproduces the ceiling EXACTLY at C = 6 — the
+    * numerically finer code buys a 5× smaller rerank, which is why
+    * the SQ rung is the shipped production twin.
+    */
+  private val KnnJoinRerankPq = 32
+  private val KnnJoinRerankSq = 6
 
   /** The shared IVF×PQ geometry: √n seed-row centroids, query = vec
     * 0, nprobe=[[IvfPqProbe]] driver-side probe with the oracle's
@@ -751,8 +899,14 @@ object AnnQueries {
     * ann_bq / ann_ivf_pq) remain the transparency documentation of
     * the chains themselves.
     */
-  private def pqPersistedTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val idxPath = persistedArtifact("pq", dir) { p =>
+  /** The shared flat-PQ layout (ann_pq geometry): built once per JVM
+    * per corpus, probed by ann_pq_persisted / ann_pq_recall AND — its
+    * codebooks — by knn_join_ivfpq's SDC tables: one fit serving both
+    * the point-query and the corpus-join workload.
+    */
+  private def pqIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    persistedArtifact("pq", dir) { p =>
       val emb = t(s, dir, "embeddings")
       val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
         emb, "embedding", None).n
@@ -761,6 +915,9 @@ object AnnQueries {
       graft.ann.PqIndex.build(emb, "vec_id", "embedding", books, Dim, p)
       ()
     }
+
+  private def pqPersistedTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val idxPath = pqIndexPath(s, dir)
     val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
@@ -768,12 +925,21 @@ object AnnQueries {
       .search(qv, k = 10, candidates = PqRerank)
   }
 
-  private def sqPersistedTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val idxPath = persistedArtifact("sq8", dir) { p =>
+  /** The shared SQ8 layout (ann_sq geometry): built once per JVM per
+    * corpus, probed by ann_sq_persisted / ann_sq_recall AND — its
+    * grid — by knn_join_ivfsq's SDC scoring: one fit serving both the
+    * point-query and the corpus-join workload.
+    */
+  private def sqIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    persistedArtifact("sq8", dir) { p =>
       graft.ann.SqIndex.build(t(s, dir, "embeddings"),
         "vec_id", "embedding", Dim, p)
       ()
     }
+
+  private def sqPersistedTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val idxPath = sqIndexPath(s, dir)
     val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
@@ -1042,6 +1208,117 @@ object AnnQueries {
        |FROM cands s JOIN vv USING (vec_id), q
        |ORDER BY ${sqlCos("vv.v", "q.qv")} DESC, s.vec_id LIMIT 10""".stripMargin
   }
+
+  /** The IVF assignment + probe-list + member/probe CTE pair every
+    * knn-join oracle shares (members = rn 1, probes = rn <= np), plus
+    * the exact-rerank CTE applied to a `cand (qid, nbr_id)` CTE
+    * defined by the caller. `restrictQ` narrows the probe side to the
+    * recall entries' fixed qid < 8 subset (members stay full).
+    */
+  private def knnIvfBlockCtes(restrictQ: Boolean): String = {
+    val d2full = sqlD2(Dim) _
+    val qFilter = if (restrictQ) " AND vec_id < 8" else ""
+    s"""mivf AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(count(*))) AS BIGINT)) AS m FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, v AS cv FROM vv, mivf WHERE vec_id % mivf.m = 0),
+       |assign AS MATERIALIZED (
+       |  SELECT t.vec_id, t.label, t.cell, t.rn FROM (
+       |    SELECT vv.vec_id, e.label, c.cell,
+       |      row_number() OVER (PARTITION BY vv.vec_id
+       |        ORDER BY ${d2full("vv.v", "c.cv")}, c.cell) AS rn
+       |    FROM vv JOIN embeddings e USING (vec_id), cent c) t
+       |  WHERE t.rn <= $KnnJoinProbe),
+       |members AS (SELECT vec_id, label, cell FROM assign WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, label AS qlab, cell
+       |           FROM assign WHERE rn >= 1$qFilter)""".stripMargin
+  }
+
+  private def knnRerankCte(depth: Int): String =
+    s"""cand AS (
+       |  SELECT qid, nbr_id FROM (
+       |    SELECT qid, nbr_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sdc_raw, nbr_id) AS crk
+       |    FROM sdcscored) WHERE crk <= $depth),
+       |reranked AS (
+       |  SELECT c.qid, c.nbr_id,
+       |    round(${sqlCos("nv.v", "qv2.v")}, 6) AS score,
+       |    CAST(row_number() OVER (PARTITION BY c.qid
+       |      ORDER BY ${sqlCos("nv.v", "qv2.v")} DESC, c.nbr_id) AS BIGINT) AS rk
+       |  FROM cand c JOIN vv nv ON nv.vec_id = c.nbr_id
+       |    JOIN vv qv2 ON qv2.vec_id = c.qid)""".stripMargin
+
+  /** The knn_join_ivfpq chain replayed in SQL: the shared IVF block
+    * CTEs + the ann_pq fit replay (pqFitCtes over raw vectors — flat
+    * codes, the SDC requirement) + per-subspace codeword×codeword SDC
+    * tables FLATTENED to one ordered list each (indexed ca·K + cb —
+    * a positional lookup instead of an 8-way join, which DuckDB's
+    * optimizer cannot misplan into a cross-product; the first draft's
+    * join form spilled to disk exhaustion) + the (sdc asc, id asc)
+    * candidate cut + the exact-cosine rerank. Heavily-reused CTEs are
+    * MATERIALIZED — `codes` is referenced twice (query and member
+    * side) and each reference would otherwise re-run the whole
+    * replayed fit.
+    */
+  private def knnIvfPqChainSql(restrictQ: Boolean): String = {
+    val subDim = Dim / PqSub
+    val d2sub = sqlD2(subDim) _
+    val codeCols = (0 until PqSub).map(s => s"e$s.code AS c$s").mkString(", ")
+    val sdcCtes = (0 until PqSub).map { s =>
+      s"""sdc$s AS MATERIALIZED (
+         |  SELECT list(d ORDER BY ca, cb) AS l FROM (
+         |    SELECT x.cid AS ca, y.cid AS cb, ${d2sub("x.cv", "y.cv")} AS d
+         |    FROM c$s x, c$s y))""".stripMargin
+    }.mkString(",\n")
+    val sdcTabs = (0 until PqSub).map(s => s"sdc$s").mkString(", ")
+    val sdcSum = (0 until PqSub)
+      .map(s => s"sdc$s.l[cc.c$s * kk.k + qc.c$s + 1]").mkString(" + ")
+    s"""vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |md AS (SELECT GREATEST(1, CAST(FLOOR(count(*) / $PqK) AS BIGINT)) AS m FROM embeddings),
+       |${pqFitCtes("vv")},
+       |codes AS MATERIALIZED (SELECT e0.vec_id, $codeCols FROM e0 $PqEncJoins),
+       |kk AS (SELECT count(*) AS k FROM c0),
+       |$sdcCtes,
+       |${knnIvfBlockCtes(restrictQ)},
+       |sdcscored AS (
+       |  SELECT p.qid, mm.vec_id AS nbr_id, $sdcSum AS sdc_raw
+       |  FROM probes p
+       |  JOIN members mm ON mm.cell = p.cell AND mm.label = p.qlab
+       |    AND mm.vec_id <> p.qid
+       |  JOIN codes qc ON qc.vec_id = p.qid
+       |  JOIN codes cc ON cc.vec_id = mm.vec_id, $sdcTabs, kk),
+       |${knnRerankCte(KnnJoinRerankPq)}""".stripMargin
+  }
+
+  /** The knn_join_ivfsq chain: the shared IVF block CTEs + the ann_sq
+    * grid/encode replay (same CTE shapes as SqOracleSql) + the
+    * per-pair d-ordered SDC fold ((cA − cB)·step squared, list-folded
+    * so addition order matches the SqSdc kernel) + cut + rerank.
+    */
+  private def knnIvfSqChainSql(restrictQ: Boolean): String =
+    s"""vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |grid AS MATERIALIZED (
+       |  SELECT d, min(v[d]) AS lo, (max(v[d]) - min(v[d])) / 256.0 AS step
+       |  FROM vv, range(1, ${Dim + 1}) r(d) GROUP BY d),
+       |enc AS MATERIALIZED (
+       |  SELECT vv.vec_id, g.d, g.step,
+       |    CASE WHEN g.step = 0 THEN 0.0
+       |         ELSE GREATEST(0.0, LEAST(255.0, FLOOR((vv.v[g.d] - g.lo) / g.step))) END AS c
+       |  FROM vv, grid g),
+       |${knnIvfBlockCtes(restrictQ)},
+       |pairs AS (
+       |  SELECT p.qid, mm.vec_id AS nbr_id
+       |  FROM probes p
+       |  JOIN members mm ON mm.cell = p.cell AND mm.label = p.qlab
+       |    AND mm.vec_id <> p.qid),
+       |sdcscored AS (
+       |  SELECT pr.qid, pr.nbr_id,
+       |    list_reduce(list_prepend(0.0,
+       |      list(((qa.c - cb.c) * (qa.c - cb.c)) * (qa.step * qa.step) ORDER BY qa.d)),
+       |      (x, y) -> x + y) AS sdc_raw
+       |  FROM pairs pr
+       |  JOIN enc qa ON qa.vec_id = pr.qid
+       |  JOIN enc cb ON cb.vec_id = pr.nbr_id AND cb.d = qa.d
+       |  GROUP BY pr.qid, pr.nbr_id),
+       |${knnRerankCte(KnnJoinRerankSq)}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_brute_batch" -> BruteOracleSql,
@@ -1355,5 +1632,41 @@ object AnnQueries {
          |      ON e.label = q8.qlab AND e.vec_id <> q8.qid)
          |  WHERE rk <= 3)
          |SELECT count(*)::BIGINT AS n_hits, round(count(*) / 24.0, 6) AS recall
-         |FROM truth SEMI JOIN ivf USING (qid, nbr_id)""".stripMargin)
+         |FROM truth SEMI JOIN ivf USING (qid, nbr_id)""".stripMargin,
+
+    // the coded corpus kNN joins replayed end-to-end: IVF assignment +
+    // probe lists (the knn_join_ivf CTEs), the code-model fit replay
+    // (ann_pq codebooks / ann_sq grid), the SDC scoring, the (sdc, id)
+    // candidate cut, exact-cosine rerank — every tie order pinned
+    "knn_join_ivfpq" ->
+      s"""WITH ${knnIvfPqChainSql(restrictQ = false)}
+         |SELECT qid AS vec_id, nbr_id, score, rk
+         |FROM reranked WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+
+    "knn_join_ivfsq" ->
+      s"""WITH ${knnIvfSqChainSql(restrictQ = false)}
+         |SELECT qid AS vec_id, nbr_id, score, rk
+         |FROM reranked WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+
+    // the coded chains restricted to qid < 8 vs the exact
+    // label-blocked truth CTE — hits over the fixed 8 × 3 truth set,
+    // exactly the knn_join_ivf_recall accounting
+    "knn_join_ivfpq_recall" -> codedRecallOracle(knnIvfPqChainSql(restrictQ = true)),
+    "knn_join_ivfsq_recall" -> codedRecallOracle(knnIvfSqChainSql(restrictQ = true)))
+
+  private def codedRecallOracle(chain: String): String =
+    s"""WITH $chain,
+       |got AS (SELECT qid, nbr_id FROM reranked WHERE rk <= 3),
+       |q8 AS (SELECT vec_id AS qid, label AS qlab, CAST(embedding AS DOUBLE[]) AS qv
+       |       FROM embeddings WHERE vec_id < 8),
+       |truth AS (
+       |  SELECT qid, nbr_id FROM (
+       |    SELECT q8.qid, e.vec_id AS nbr_id,
+       |      row_number() OVER (PARTITION BY q8.qid
+       |        ORDER BY ${sqlCos("CAST(e.embedding AS DOUBLE[])", "q8.qv")} DESC, e.vec_id) AS rk
+       |    FROM embeddings e JOIN q8
+       |      ON e.label = q8.qlab AND e.vec_id <> q8.qid)
+       |  WHERE rk <= 3)
+       |SELECT count(*)::BIGINT AS n_hits, round(count(*) / 24.0, 6) AS recall
+       |FROM truth SEMI JOIN got USING (qid, nbr_id)""".stripMargin
 }

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.{CodedKnnJoin, IvfIndex, Pq, Sq}
+
+/** The coded corpus kNN joins (graft.ann.CodedKnnJoin) and their SDC
+  * kernels — the knn_join_ivfpq / knn_join_ivfsq operators.
+  */
+class CodedKnnJoinSpec extends SparkSpecBase {
+
+  private val Dim = 64
+
+  private def fixture() = {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = Files.createTempDirectory("codedknn").toString
+    val cents = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", cents, "cid", "cv", dir)
+    (emb, dir, idx)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("qid"), col("vec_id"), col("score"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+
+  test("with candidates >= every block, the SDC cut is a no-op and BOTH " +
+      "coded joins equal the exact knnJoinSelf row-for-row") {
+    val (emb, dir, idx) = fixture()
+    val n = emb.count().toInt
+    // exact side
+    val exactProbe = s"$dir/pe"
+    idx.selfProbeTable(np = 3, keepCols = Seq("label"))
+      .write.mode("overwrite").parquet(exactProbe)
+    val exact = rows(idx.knnJoinSelf(
+      spark.read.parquet(exactProbe), Seq("label"), k = 3))
+    // candidates = n bounds every per-query candidate set, so the cut
+    // keeps everything and the exact rerank IS the scorer
+    val books = Pq.fit(emb, "vec_id", "embedding",
+      dim = Dim, nSub = 8, seedMod = math.max(1L, n / 32L), iters = 1)
+    val pqProbe = s"$dir/pq"
+    CodedKnnJoin.buildPqProbeTable(idx, books, Dim, np = 3, Seq("label"))
+      .write.mode("overwrite").parquet(pqProbe)
+    val viaPq = rows(CodedKnnJoin.knnJoinSelfPq(idx,
+      spark.read.parquet(pqProbe), books, Seq("label"), k = 3, candidates = n))
+    assert(viaPq == exact)
+    val grid = Sq.fit(emb, "embedding", Dim)
+    val sqProbe = s"$dir/sq"
+    CodedKnnJoin.buildSqProbeTable(idx, grid, np = 3, Seq("label"))
+      .write.mode("overwrite").parquet(sqProbe)
+    val viaSq = rows(CodedKnnJoin.knnJoinSelfSq(idx,
+      spark.read.parquet(sqProbe), grid, Seq("label"), k = 3, candidates = n))
+    assert(viaSq == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("the coded probe table's rank-1 rows reproduce the layout's cell " +
+      "assignment (members side == the layout)") {
+    val (emb, dir, idx) = fixture()
+    val grid = Sq.fit(emb, "embedding", Dim)
+    val fromProbe = CodedKnnJoin.buildSqProbeTable(idx, grid, np = 3, Seq("label"))
+      .filter(col("prank") === 1)
+      .select(col("qid"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromLayout = idx.cells
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromProbe == fromLayout)
+  }
+
+  test("a query-subset evaluation still ranks against the FULL corpus " +
+      "(queryPred filters probes, never members)") {
+    val (emb, dir, idx) = fixture()
+    val grid = Sq.fit(emb, "embedding", Dim)
+    val sqProbe = s"$dir/sq"
+    CodedKnnJoin.buildSqProbeTable(idx, grid, np = 3, Seq("label"))
+      .write.mode("overwrite").parquet(sqProbe)
+    val probes = spark.read.parquet(sqProbe)
+    val full = rows(CodedKnnJoin.knnJoinSelfSq(idx, probes, grid,
+      Seq("label"), k = 3, candidates = 6))
+    val subset = rows(CodedKnnJoin.knnJoinSelfSq(idx, probes, grid,
+      Seq("label"), k = 3, candidates = 6, queryPred = col("qid") < 8))
+    assert(subset == full.filter(_._1 < 8))
+    assert(subset.nonEmpty)
+  }
+
+  test("SqSdc compute matches the brute dequantized-gap fold and " +
+      "truncates to the step2 prefix") {
+    val a = Array[Byte](0, 127.toByte, 255.toByte, 10)
+    val b = Array[Byte](3, 130.toByte, 250.toByte, 10)
+    val step = Array(0.5, 0.25, 2.0, 1.0)
+    val step2 = step.map(s => s * s)
+    def brute(n: Int): Double = (0 until n).map { d =>
+      val di = (a(d) & 0xff) - (b(d) & 0xff)
+      (di * di).toDouble * step2(d)
+    }.sum
+    assert(graft.functions.expr.SqSdc.compute(a, b, step2) == brute(4))
+    assert(graft.functions.expr.SqSdc.compute(a, b, step2.take(2)) == brute(2))
+    assert(graft.functions.expr.SqSdc.compute(a, a, step2) == 0.0)
+  }
+
+  test("PqSdc compute matches the brute codeword-table lookup over " +
+      "packed codes, and flags out-of-range codes as +Inf") {
+    // 2 subspaces, K = 3: lut(s)(ca*3+cb)
+    val lut = Array(
+      Array(0.0, 1.0, 4.0, 1.0, 0.0, 1.0, 4.0, 1.0, 0.0),
+      Array(0.0, 9.0, 16.0, 9.0, 0.0, 25.0, 16.0, 25.0, 0.0))
+    def pack(c0: Long, c1: Long): Long = c0 | (c1 << 8)
+    assert(graft.functions.expr.PqSdc.compute(pack(0, 2), pack(2, 1), lut, 3)
+      == 4.0 + 25.0)
+    assert(graft.functions.expr.PqSdc.compute(pack(1, 1), pack(1, 1), lut, 3) == 0.0)
+    assert(graft.functions.expr.PqSdc.compute(pack(3, 0), pack(0, 0), lut, 3)
+      .isPosInfinity)
+  }
+
+  test("SDC kernel instances with equal array CONTENT are equal " +
+      "(semanticEquals — the round-13 NearestCentroids law)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    val ba = BoundReference(0, BinaryType, nullable = true)
+    val bb = BoundReference(1, BinaryType, nullable = true)
+    val la = BoundReference(0, LongType, nullable = true)
+    val lb = BoundReference(1, LongType, nullable = true)
+    def sq(s: Array[Double]) = graft.functions.expr.SqSdc(ba, bb, s)
+    assert(sq(Array(1.0, 2.0)) == sq(Array(1.0, 2.0)))
+    assert(sq(Array(1.0, 2.0)).hashCode == sq(Array(1.0, 2.0)).hashCode)
+    assert(sq(Array(1.0, 2.0)) != sq(Array(1.0, 3.0)))
+    def pq(l: Array[Array[Double]]) = graft.functions.expr.PqSdc(la, lb, l, 1)
+    assert(pq(Array(Array(1.0))) == pq(Array(Array(1.0))))
+    assert(pq(Array(Array(1.0))) != pq(Array(Array(2.0))))
+  }
+}

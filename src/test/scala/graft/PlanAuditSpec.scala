@@ -52,7 +52,8 @@ class PlanAuditSpec extends SparkSpecBase {
   private val Kernels = Seq("vector_dot", "vector_l2sq", "word_shingles",
     "char_ngrams", "rolling_fp", "topk", "nearest_centroid", "redact_pii",
     "md5_hash64", "simhash64", "token_run_stats", "sq_encode", "sq_adc",
-    "ngram_minmax_hash", "bq_encode", "bq_hamming", "drop_span_tokens", "minhash_sig")
+    "ngram_minmax_hash", "bq_encode", "bq_hamming", "drop_span_tokens", "minhash_sig",
+    "pq_sdc", "sq_sdc")
 
   private case class Features(topk: String, joins: String, pushdown: String,
       kernels: String, shuffles: Int, fanout: Int, scanCols: Int,
