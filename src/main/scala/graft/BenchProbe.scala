@@ -21,6 +21,9 @@ object BenchProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench: the 100-entry default thrashes across multi-query
+      // runs (round-14 — every query re-compiles per sweep)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -33,6 +36,11 @@ object BenchProbe {
         Barrier.release(spark)
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        // A/B hook (round-14, the dd_embed_cosine floor/sweep gap):
+        // a heavy iterative neighbor (dd_groups) leaves dead round
+        // broadcasts/shuffle state that only a driver GC lets
+        // ContextCleaner reclaim — force one between queries to test
+        if (sys.env.contains("SPARK_GRAFT_PROBE_GC")) { System.gc(); Thread.sleep(300) }
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
         val t1 = System.nanoTime()
