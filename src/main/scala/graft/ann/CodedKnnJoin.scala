@@ -63,23 +63,53 @@ object CodedKnnJoin {
     * columns — ~(8 + 8 + 4 + 8 + 8·|block|) bytes per row × n×np rows.
     */
   def buildPqProbeTable(ivf: IvfIndex, books: Seq[DataFrame], dim: Int,
-      np: Int, blockCols: Seq[String] = Nil): DataFrame = {
-    require(books.size <= 8, s"PQ packing needs nSub <= 8, got ${books.size}")
-    val packed = books.indices
-      .map(s => shiftleft(col(s"code$s"), 8 * s))
-      .reduce(_.bitwiseOR(_))
-    probeTable(ivf, np, blockCols,
-      Pq.encode(ivf.cells, ivf.idCol, ivf.vecCol, books, dim),
-      packed.as("qpq"))
-  }
+      np: Int, blockCols: Seq[String] = Nil): DataFrame =
+    pqProbeRows(ivf, ivf.cells, books, dim, np, blockCols)
 
   /** The SQ8-coded self-probe artifact: same shape with the dim-byte
     * SQ8 code column (qsq, binary) instead of the packed PQ long.
     */
   def buildSqProbeTable(ivf: IvfIndex, grid: Sq.Grid,
       np: Int, blockCols: Seq[String] = Nil): DataFrame =
+    sqProbeRows(ivf, ivf.cells, grid, np, blockCols)
+
+  /** INCREMENTAL maintenance of the coded probe artifacts — the
+    * IvfIndex.appendSelfProbe discipline applied to the coded rungs:
+    * a batch tick encodes the new rows against the FROZEN code model
+    * (the corpus-version codebooks/grid — the same freeze contract as
+    * the centroids; FAISS trains once and encodes forever) and
+    * appends their probe rows, so append ≡ a rebuild that uses the
+    * same frozen model, by construction
+    * (CodedProbeMaintenanceSpec property-checks it). A model REFIT is
+    * a re-index (new artifact path), never an append.
+    */
+  def appendPqProbe(ivf: IvfIndex, batch: DataFrame, probePath: String,
+      books: Seq[DataFrame], dim: Int, np: Int,
+      blockCols: Seq[String] = Nil): Unit =
+    pqProbeRows(ivf, batch, books, dim, np, blockCols)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(probePath)
+
+  def appendSqProbe(ivf: IvfIndex, batch: DataFrame, probePath: String,
+      grid: Sq.Grid, np: Int, blockCols: Seq[String] = Nil): Unit =
+    sqProbeRows(ivf, batch, grid, np, blockCols)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(probePath)
+
+  private def pqProbeRows(ivf: IvfIndex, src: DataFrame,
+      books: Seq[DataFrame], dim: Int, np: Int,
+      blockCols: Seq[String]): DataFrame = {
+    require(books.size <= 8, s"PQ packing needs nSub <= 8, got ${books.size}")
+    val packed = books.indices
+      .map(s => shiftleft(col(s"code$s"), 8 * s))
+      .reduce(_.bitwiseOR(_))
     probeTable(ivf, np, blockCols,
-      Sq.encode(ivf.cells, ivf.vecCol, grid, codeCol = "_sqc"),
+      Pq.encode(src, ivf.idCol, ivf.vecCol, books, dim),
+      packed.as("qpq"))
+  }
+
+  private def sqProbeRows(ivf: IvfIndex, src: DataFrame, grid: Sq.Grid,
+      np: Int, blockCols: Seq[String]): DataFrame =
+    probeTable(ivf, np, blockCols,
+      Sq.encode(src, ivf.vecCol, grid, codeCol = "_sqc"),
       col("_sqc").as("qsq"))
 
   private def probeTable(ivf: IvfIndex, np: Int, blockCols: Seq[String],
