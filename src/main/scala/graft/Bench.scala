@@ -182,12 +182,26 @@ object Bench {
       .filter(n => SparkEntry.queries.contains(s"${n}_persisted")) ++
       twinAliases.collect {
         case (parent, twin) if SparkEntry.queries.contains(twin) => parent }
+    // GEOMETRY-GATED tier (round-14 verdict #3): operators that are
+    // correct and oracled here but whose own measurements say NOT to
+    // run them at the bench corpus's geometry — the coded kNN join
+    // rungs pay at dim ≥ 256 / np ≥ 16 (CodedKnnJoin.chooseJoinRung,
+    // BENCH_DIM_r15.json), while the bench corpus is dim 64 where the
+    // exact np=16 join (knn_join_ivf) is the shipped operator.
+    // production_total must mean "what a pipeline would actually run
+    // HERE", so these are excluded from it like the transparency tier,
+    // but listed separately: they're gated by geometry, not by having
+    // a persisted twin.
+    val geometryGated = Set("knn_join_ivfpq", "knn_join_ivfpq_recall",
+      "knn_join_ivfsq", "knn_join_ivfsq_recall")
+      .filter(SparkEntry.queries.contains)
     val prodTotal = results
-      .filter { case (n, v) => !transparency(n) && v.isFinite }
+      .filter { case (n, v) => !transparency(n) && !geometryGated(n) && v.isFinite }
       .map(_._2).sum
     val transparencyJson =
       s""","production_total":$prodTotal,"transparency_entries":${
-        transparency.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+        transparency.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"geometry_gated_entries":${
+        geometryGated.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     // Full-precision artifact (per-sweep spread, baseline + serve blocks):
     // the driver captures only the LAST 2000 chars of stdout, so the old
     // single all-in-one line (~3.5k chars at 88 entries) arrived
@@ -221,7 +235,7 @@ object Bench {
     * couldn't say so. Source dirt and bench-output dirt look the same
     * without the list; with it, the judge reads which it was.
     */
-  private lazy val gitSha: String =
+  private[graft] lazy val gitSha: String =
     sys.env.get("SPARK_GRAFT_GIT_SHA").getOrElse {
       try {
         import scala.sys.process._

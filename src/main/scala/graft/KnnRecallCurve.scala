@@ -10,20 +10,28 @@ import org.apache.spark.sql.functions._
   * shipped probe width (round-13 verdict #1: a production twin whose
   * quality at the default setting is unmeasured is half-done; the
   * ann_ivf_pq_recall precedent picked nprobe=16 off exactly this kind
-  * of curve).
+  * of curve) — plus the LSH parent (Ann.knnJoinLshTuned, the knn_join
+  * entry) measured on the same truth, so the exact-vs-LSH-vs-IVF
+  * ranking is one run's output (round-14 verdict #3 asked for that
+  * ranking on a CLUSTERED corpus, where the coarse layers should
+  * separate: the uniform bench sphere is IVF's documented worst case).
   *
   * For each np it reports BOTH the fixed-8-query recall@3 the oracled
   * knn_join_ivf_recall entry measures (24 truth pairs — cheap to
-  * replay in SQL, but quantized to 1/24 steps) and the full-corpus
-  * recall@3 (3n truth pairs — the statistic that actually
-  * characterizes the geometry), plus the per-run knnJoinSelf wall
-  * time against a prebuilt probe table (the production shape: probe
-  * artifact paid at ingest).
+  * replay in SQL, but quantized to 1/24 steps) and the recall@3 over
+  * the truth-query subset (default: FULL corpus — the statistic that
+  * actually characterizes the geometry), plus the per-run knnJoinSelf
+  * wall time against a prebuilt probe table (the production shape:
+  * probe artifact paid at ingest).
   *
-  * Usage: KnnRecallCurve <sfDir> [np,np,...] [timeonly] [coded=C,C,...]
+  * Usage: KnnRecallCurve <sfDir> [np,np,...] [timeonly] [qtruth=N]
+  *          [lsh] [coded=C,C,...]
   * (np default 3,8,16; `timeonly` skips the exact-truth recall sides —
   * the label-blocked exact kNN is quadratic per block, prohibitive at
   * the 100× stress corpus where only the join TIMING is the question;
+  * `qtruth=N` bounds the truth side to queries vec_id < N — N × block
+  * instead of block² pairs, the affordable recall statistic at corpus
+  * scale; `lsh` also measures the tuned-LSH join on the same truth;
   * `coded=...` sweeps the knn_join_ivfpq SDC-candidate depth instead,
   * at the FIRST np in the list — the KnnJoinRerank dial)
   */
@@ -31,9 +39,13 @@ object KnnRecallCurve {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val timeOnly = args.contains("timeonly")
+    val withLsh = args.contains("lsh")
+    val qTruth = args.find(_.startsWith("qtruth=")).map(_.drop(7).toLong)
     val codedCs = args.find(_.startsWith("coded="))
       .map(_.drop(6).split(',').map(_.toInt).toSeq)
-    val nps = args.drop(1).filterNot(a => a == "timeonly" || a.startsWith("coded="))
+    val nps = args.drop(1)
+      .filterNot(a => a == "timeonly" || a == "lsh" ||
+        a.startsWith("coded=") || a.startsWith("qtruth="))
       .headOption
       .map(_.split(',').map(_.toInt).toSeq)
       .getOrElse(Seq(3, 8, 16))
@@ -59,11 +71,13 @@ object KnnRecallCurve {
       cent, "cid", "cv", dir)
     val nlist = idx.centroids.count()
 
-    // exact label-blocked truth, FULL corpus: every vector is a query
-    // (bounded-heap TopKAgg per label block — never corpus×corpus)
+    // exact label-blocked truth over the query subset (bounded-heap
+    // TopKAgg per label block — never corpus×corpus; qtruth=N caps the
+    // pair count at N × block instead of block²)
     val truthOpt = if (timeOnly) None else Some {
-      val qs = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      val qsBase = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("label").as("qlab"))
+      val qs = qTruth.map(qn => qsBase.filter(col("qid") < qn)).getOrElse(qsBase)
       emb.join(qs,
           col("label") === col("qlab") && col("vec_id") =!= col("qid"))
         .withColumn("_s", cosine(col("embedding"), col("qv")))
@@ -73,7 +87,32 @@ object KnnRecallCurve {
         .cache()
     }
     val nTruth = truthOpt.map(_.count()).getOrElse(0L)
-    println(s"[curve] sf=$sfDir n=$n nlist=$nlist truth_pairs=$nTruth")
+    println(s"[curve] sf=$sfDir n=$n nlist=$nlist truth_pairs=$nTruth" +
+      qTruth.map(qn => s" (qtruth=$qn)").getOrElse(""))
+
+    /** warm, time, and (when truth is on) score a join variant whose
+      * output is (qid, nbr_id)-shaped after the select below.
+      */
+    def report(tag: String, run: () => org.apache.spark.sql.DataFrame): Unit = {
+      run().write.format("noop").mode("overwrite").save()
+      val t0 = System.nanoTime()
+      run().write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      truthOpt match {
+        case Some(truth) =>
+          val got = run()
+          val gotQ = qTruth.map(qn => got.filter(col("qid") < qn)).getOrElse(got)
+          val hits = truth.join(gotQ, Seq("qid", "nbr_id"), "left_semi").count()
+          val got8 = got.filter(col("qid") < 8)
+          val hits8 = truth.filter(col("qid") < 8)
+            .join(got8, Seq("qid", "nbr_id"), "left_semi").count()
+          println(f"[curve] $tag%-12s recall=${hits.toDouble / nTruth}%.4f " +
+            f"($hits/$nTruth)  recall_8q=${hits8 / 24.0}%.4f ($hits8/24)  " +
+            f"join_warm=$sec%.2f s")
+        case None =>
+          println(f"[curve] $tag%-12s join_warm=$sec%.2f s (timeonly)")
+      }
+    }
 
     codedCs.foreach { cs =>
       // coded sweep: fit the flat-PQ books once (ann_pq geometry),
@@ -95,34 +134,25 @@ object KnnRecallCurve {
         .write.mode("overwrite").parquet(sqProbePath)
       val probes = spark.read.parquet(probePath)
       val sqProbes = spark.read.parquet(sqProbePath)
-      def measure(tag: String, c: Int,
-          run: () => org.apache.spark.sql.DataFrame): Unit = {
-        run().write.format("noop").mode("overwrite").save()
-        val t0 = System.nanoTime()
-        run().write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        truthOpt match {
-          case Some(truth) =>
-            val got = run().select(col("qid"), col("vec_id").as("nbr_id"))
-            val hits = truth.join(got, Seq("qid", "nbr_id"), "left_semi").count()
-            val got8 = got.filter(col("qid") < 8)
-            val hits8 = truth.filter(col("qid") < 8)
-              .join(got8, Seq("qid", "nbr_id"), "left_semi").count()
-            println(f"[curve] $tag%-7s np=$np C=$c%-3d " +
-              f"recall_full=${hits.toDouble / nTruth}%.4f ($hits/$nTruth)  " +
-              f"recall_8q=${hits8 / 24.0}%.4f ($hits8/24)  join_warm=$sec%.2f s")
-          case None =>
-            println(f"[curve] $tag%-7s np=$np C=$c%-3d join_warm=$sec%.2f s (timeonly)")
-        }
-      }
       cs.foreach { c =>
-        measure("codedpq", c, () => graft.ann.CodedKnnJoin.knnJoinSelfPq(
-          idx, probes, books, Seq("label"), k = 3, candidates = c))
-        measure("codedsq", c, () => graft.ann.CodedKnnJoin.knnJoinSelfSq(
-          idx, sqProbes, grid, Seq("label"), k = 3, candidates = c))
+        report(f"codedpq np=$np C=$c", () => graft.ann.CodedKnnJoin.knnJoinSelfPq(
+            idx, probes, books, Seq("label"), k = 3, candidates = c)
+          .select(col("qid"), col("vec_id").as("nbr_id")))
+        report(f"codedsq np=$np C=$c", () => graft.ann.CodedKnnJoin.knnJoinSelfSq(
+            idx, sqProbes, grid, Seq("label"), k = 3, candidates = c)
+          .select(col("qid"), col("vec_id").as("nbr_id")))
       }
       spark.stop()
       return
+    }
+
+    if (withLsh) {
+      // the LSH parent, tuned exactly as the knn_join entry tunes it
+      // (AnnTuner's bucket-geometry rule) — one number, no np dial
+      report("lsh", () => graft.ann.Ann.knnJoinLshTuned(
+          emb, "vec_id", "embedding", blockCol = "label", k = 3,
+          targetCandidates = 64, statsKey = Some(s"$sfDir|embeddings"))
+        .select(col("vec_id").as("qid"), col("nbr_id")))
     }
 
     nps.foreach { np =>
@@ -130,25 +160,9 @@ object KnnRecallCurve {
       idx.selfProbeTable(np = np, keepCols = Seq("label"))
         .write.mode("overwrite").parquet(probePath)
       val probes = spark.read.parquet(probePath)
-      // warm once (plan/codegen), then time the per-run join
-      def run() = idx.knnJoinSelf(probes, Seq("label"), k = 3)
-      run().write.format("noop").mode("overwrite").save()
-      val t0 = System.nanoTime()
-      run().write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      truthOpt match {
-        case Some(truth) =>
-          val got = run().select(col("qid"), col("vec_id").as("nbr_id"))
-          val hits = truth.join(got, Seq("qid", "nbr_id"), "left_semi").count()
-          val got8 = got.filter(col("qid") < 8)
-          val hits8 = truth.filter(col("qid") < 8)
-            .join(got8, Seq("qid", "nbr_id"), "left_semi").count()
-          println(f"[curve] np=$np%-3d recall_full=${hits.toDouble / nTruth}%.4f " +
-            f"($hits/$nTruth)  recall_8q=${hits8 / 24.0}%.4f ($hits8/24)  " +
-            f"join_warm=$sec%.2f s")
-        case None =>
-          println(f"[curve] np=$np%-3d join_warm=$sec%.2f s (timeonly)")
-      }
+      report(f"ivf np=$np%-3d", () =>
+        idx.knnJoinSelf(probes, Seq("label"), k = 3)
+          .select(col("qid"), col("vec_id").as("nbr_id")))
     }
     spark.stop()
   }

@@ -44,18 +44,36 @@ object ShuffleProbe {
     names.foreach { name =>
       force(name) // warm: artifact builds + codegen, not charged
       Barrier.release(spark)
+      settle(bytes, rows) // drain warm-run stragglers before the reset
       bytes.set(0); rows.set(0)
       val t0 = System.nanoTime()
       force(name)
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events drain asynchronously — settle before reading
-      // (listenerBus is private[spark]; a short sleep after the action
-      // returns is enough for a diagnostic tool)
-      Thread.sleep(500)
+      settle(bytes, rows)
       println(f"[shuffle] $name%-22s ${bytes.get / 1e6}%10.1f MB " +
         f"${rows.get / 1e6}%8.2f M rows  warm=$sec%6.2f s")
       Barrier.release(spark)
     }
     spark.stop()
+  }
+
+  /** Wait for the async listener bus to drain: poll the counters until
+    * they hold still for `quiet` consecutive polls (capped at `maxMs`).
+    * A single fixed sleep drops late task-end events on a loaded host
+    * and lets one query's stragglers bleed into the next reset window
+    * (round-14 advice #3) — these numbers back the shuffle-byte claims
+    * quoted in the scaladocs, so they must be drained, not guessed.
+    */
+  def settle(bytes: java.util.concurrent.atomic.AtomicLong,
+      rows: java.util.concurrent.atomic.AtomicLong,
+      pollMs: Long = 100, quiet: Int = 3, maxMs: Long = 10000): Unit = {
+    val deadline = System.nanoTime() + maxMs * 1000000L
+    var last = (bytes.get, rows.get)
+    var still = 0
+    while (still < quiet && System.nanoTime() < deadline) {
+      Thread.sleep(pollMs)
+      val now = (bytes.get, rows.get)
+      if (now == last) still += 1 else { still = 0; last = now }
+    }
   }
 }

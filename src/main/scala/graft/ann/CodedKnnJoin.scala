@@ -27,9 +27,18 @@ import graft.functions.VectorFunctions._
   *     (64 B at Dim 64 — still 4× under float), per pair the
   *     dequantized-gap fold; 256 levels/dim track exact ordering so
   *     closely that candidates = 6 already reproduces the coarse
-  *     ceiling EXACTLY on the bench corpus — the smaller cut is what
-  *     makes the bounded rerank's vector transport (n × candidates
-  *     rows) small, so this rung ships as knn_join's production twin.
+  *     ceiling EXACTLY on the bench corpus — the smaller cut keeps
+  *     the bounded rerank's vector transport (n × candidates rows)
+  *     small.
+  *
+  * What SHIPS as knn_join's production twin is the EXACT np=16 join
+  * (knn_join_ivf / IvfIndex.knnJoinSelf — see Bench's twinAliases):
+  * the coded rungs are GEOMETRY-GATED alternatives whose advantage is
+  * measured to grow with dimension and probe width (see
+  * [[chooseJoinRung]] and BENCH_DIM_r15.json) — at the bench corpus's
+  * dim 64 a float vector costs about one shuffle row's key overhead,
+  * so codes don't cut bytes there; at dim 768 / np 48 coded-SQ cuts
+  * exchange bytes ~47%.
   *
   * Why FLAT codes, not IvfPqIndex's residual ones: SDC compares two
   * CODED vectors, so both must be quantized in the same coordinate
@@ -98,6 +107,13 @@ object CodedKnnJoin {
       books: Seq[DataFrame], dim: Int, np: Int,
       blockCols: Seq[String]): DataFrame = {
     require(books.size <= 8, s"PQ packing needs nSub <= 8, got ${books.size}")
+    // fail at ARTIFACT-BUILD time, not query time: the 8-bit packing
+    // below silently corrupts codes (bleed into neighboring bytes) if
+    // a codebook exceeds 256 codewords or ids aren't the dense
+    // relabel — sdcLut enforces this at join time, but by then the
+    // corrupt artifact is already on disk (round-14 advice #1).
+    // Cost: one ≤ 256×nSub-row collect per build/append.
+    collectBooks(books)
     val packed = books.indices
       .map(s => shiftleft(col(s"code$s"), 8 * s))
       .reduce(_.bitwiseOR(_))
@@ -151,8 +167,9 @@ object CodedKnnJoin {
 
   /** SQ8-SDC rung: candidate scores from the dim-byte codes via the
     * SqSdc dequantized-gap kernel. `probes` is a persisted
-    * [[buildSqProbeTable]] frame. This is the shipped production
-    * rung — see the object scaladoc for the measured trade.
+    * [[buildSqProbeTable]] frame. Geometry-gated: the byte advantage
+    * appears at production dims/wide probes (object scaladoc,
+    * [[chooseJoinRung]]); the exact np=16 join ships at dim 64.
     */
   /** `sdcDims` (0 = all) truncates the SDC fold to the FIRST D′
     * dimensions — the polysemous-style prefix filter for
@@ -233,18 +250,8 @@ object CodedKnnJoin {
     * list_reduce, indexed lut(s)(codeA·K + codeB).
     */
   private def sdcLut(books: Seq[DataFrame]): (Array[Array[Double]], Int) = {
-    val local = books.map { b =>
-      val rows = b.select(col("cid").cast("long"), col("cv").cast("array<double>"))
-        .collect()
-      require(rows.nonEmpty && rows.length <= 256,
-        s"CodedKnnJoin: codebook has ${rows.length} codewords (byte packing caps K at 256)")
-      rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    }
+    val local = collectBooks(books)
     val k = local.head.length
-    require(local.forall(_.length == k),
-      "CodedKnnJoin: all codebooks must have the same codeword count")
-    require(local.forall(b => b.indices.forall(i => b(i)._1 == i.toLong)),
-      "CodedKnnJoin: codebook ids must be the dense 0..K-1 relabel")
     val lut = local.map { book =>
       val t = new Array[Double](k * k)
       var a = 0
@@ -265,4 +272,56 @@ object CodedKnnJoin {
     }.toArray
     (lut, k)
   }
+
+  /** Collect + validate the fitted codebooks — the single place the
+    * byte-packing preconditions live (codeword count ≤ 256, ids the
+    * dense 0..K-1 relabel, equal K across subspaces), shared by the
+    * artifact BUILD path (pqProbeRows — so a bad fit fails before a
+    * corrupt packed-code table persists) and the join-time LUT.
+    */
+  private def collectBooks(books: Seq[DataFrame]): Seq[Array[(Long, Array[Double])]] = {
+    val local = books.map { b =>
+      val rows = b.select(col("cid").cast("long"), col("cv").cast("array<double>"))
+        .collect()
+      require(rows.nonEmpty && rows.length <= 256,
+        s"CodedKnnJoin: codebook has ${rows.length} codewords (byte packing caps K at 256)")
+      rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    }
+    val k = local.head.length
+    require(local.forall(_.length == k),
+      "CodedKnnJoin: all codebooks must have the same codeword count")
+    require(local.forall(b => b.indices.forall(i => b(i)._1 == i.toLong)),
+      "CodedKnnJoin: codebook ids must be the dense 0..K-1 relabel")
+    local
+  }
+
+  /** Rung selection by geometry, encoding the measured crossover
+    * (KnnDimProbe sweeps — BENCH_DIM_r15.json; round-14/15 protocol):
+    * candidate-stage bytes scale with code size vs dim×4 float bytes,
+    * but every coded rung also pays a bounded exact rerank that moves
+    * `candidates` float vectors per query, so codes only win once the
+    * vector is much wider than a shuffle row's key overhead AND the
+    * probe fan-out (np) is wide enough that the candidate stage
+    * dominates the rerank.
+    *
+    *   - dim 64 (bench gate), any np: exact join wins bytes AND time
+    *     (vector ≈ key overhead; PQ's C=32 rerank moves 2916 MB vs
+    *     exact's 812 MB at the 100× corpus).
+    *   - dim 768, np 16: coded-SQ −18% bytes but +31% time — marginal.
+    *   - dim 768, np 48: coded-SQ −47% bytes (prefix-SDC dial
+    *     recovers the fold time: −24% bytes at exact-join wall time).
+    *
+    * The rule ships the exact join until BOTH dim ≥ 256 (vector ≥
+    * 1 KB/row, 4× the long+key overhead) and np ≥ 16 (candidate stage
+    * ≥ np× the rerank rows); above that, SQ8-SDC — with the prefix
+    * fold (sdcDims = dim/4, candidates doubled) once dim ≥ 512, where
+    * the full per-pair fold costs as much as the exact dot it
+    * replaces. PQ-SDC is never auto-chosen: its 8-byte codes win the
+    * candidate stage but its wider cut (C≈32 to hold recall through
+    * two quantizations) loses the rerank at every measured geometry.
+    */
+  def chooseJoinRung(dim: Int, np: Int): String =
+    if (dim < 256 || np < 16) "exact"
+    else if (dim >= 512) "sq-prefix"
+    else "sq"
 }

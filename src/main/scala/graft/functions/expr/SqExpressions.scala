@@ -225,7 +225,17 @@ object SqSdc {
     * this `eval` — the round-12 codegen-fallback lesson).
     */
   def compute(a: Array[Byte], b: Array[Byte], step2: Array[Double]): Double = {
-    var n = math.min(a.length, b.length)
+    // the step2-length truncation below IS the sdcDims prefix dial;
+    // a length mismatch between the two CODE columns is never that —
+    // it means the probe artifact was encoded at a different dim than
+    // the member side (grid/corpus drift), and folding min() would
+    // return a plausible-but-wrong partial distance (round-14 advice
+    // #2). Fail loudly instead.
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"sq_sdc: code length mismatch (${a.length} vs ${b.length}) — " +
+          "probe artifact and member codes were encoded at different dims")
+    var n = a.length
     if (n > step2.length) n = step2.length
     var acc = 0.0
     var d = 0

@@ -102,6 +102,46 @@ class CodedKnnJoinSpec extends SparkSpecBase {
     assert(graft.functions.expr.SqSdc.compute(a, a, step2) == 0.0)
   }
 
+  test("SqSdc rejects mismatched code lengths (dim-drifted artifacts " +
+      "must fail loudly, not fold a truncated partial distance)") {
+    val a = Array[Byte](1, 2, 3, 4)
+    val b = Array[Byte](1, 2, 3)
+    val step2 = Array(1.0, 1.0, 1.0, 1.0)
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.expr.SqSdc.compute(a, b, step2)
+    }
+    assert(e.getMessage.contains("code length mismatch"))
+  }
+
+  test("chooseJoinRung encodes the measured BENCH_DIM crossover: exact " +
+      "below dim 256 or np 16, SQ8-SDC above, prefix fold from dim 512") {
+    import CodedKnnJoin.chooseJoinRung
+    assert(chooseJoinRung(dim = 64, np = 16) == "exact")   // bench gate geometry
+    assert(chooseJoinRung(dim = 768, np = 8) == "exact")   // narrow probes
+    assert(chooseJoinRung(dim = 256, np = 16) == "sq")
+    assert(chooseJoinRung(dim = 768, np = 48) == "sq-prefix") // the −47%-bytes point
+    assert(chooseJoinRung(dim = 4096, np = 64) == "sq-prefix")
+    // PQ-SDC is never auto-chosen: its C≈32 rerank loses bytes at
+    // every measured geometry (BENCH_DIM / NOTES_r14)
+    Seq((64, 16), (256, 16), (768, 48), (4096, 64)).foreach { case (d, p) =>
+      assert(chooseJoinRung(d, p) != "pq")
+    }
+  }
+
+  test("buildPqProbeTable validates codebooks at artifact-build time " +
+      "(a non-dense fit must fail BEFORE persisting corrupt packed codes)") {
+    val (emb, _, idx) = fixture()
+    val n = emb.count().toInt
+    val goodBooks = Pq.fit(emb, "vec_id", "embedding",
+      dim = Dim, nSub = 8, seedMod = math.max(1L, n / 32L), iters = 1)
+    // non-dense codeword ids: shift every cid up by 1
+    val badBooks = goodBooks.map(_.withColumn("cid", col("cid") + 1))
+    val e = intercept[IllegalArgumentException] {
+      CodedKnnJoin.buildPqProbeTable(idx, badBooks, Dim, np = 2).count()
+    }
+    assert(e.getMessage.contains("dense 0..K-1"))
+  }
+
   test("PqSdc compute matches the brute codeword-table lookup over " +
       "packed codes, and flags out-of-range codes as +Inf") {
     // 2 subspaces, K = 3: lut(s)(ca*3+cb)
