@@ -77,10 +77,19 @@ object KnnDimProbe {
       * timed runs; bytes from the median-bytes rep, sec as min+median
       * — the per-session stats the 2-session merge takes min/med over.
       */
+    // the Bench.clearPinned lesson, applied here: the probe-table and
+    // code-model BUILDS that precede each config leave dead broadcast/
+    // shuffle state that only a driver GC lets ContextCleaner reclaim —
+    // without this gap the FIRST measure after the builds ran 2.5× its
+    // own later-config time (np16 exact 101 s vs np48 exact 40 s in the
+    // same session, r15 session-1 artifact) while bytes matched exactly
+    def gcGap(): Unit = { System.gc(); Thread.sleep(200) }
     def measure(tag: String, run: () => org.apache.spark.sql.DataFrame): String = {
+      gcGap()
       run().write.format("noop").mode("overwrite").save() // warm
       ShuffleProbe.settle(bytes, rows)
       val ms = (1 to reps).map { _ =>
+        gcGap()
         bytes.set(0); rows.set(0)
         val t0 = System.nanoTime()
         run().write.format("noop").mode("overwrite").save()

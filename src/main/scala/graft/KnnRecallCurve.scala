@@ -91,9 +91,12 @@ object KnnRecallCurve {
       qTruth.map(qn => s" (qtruth=$qn)").getOrElse(""))
 
     /** warm, time, and (when truth is on) score a join variant whose
-      * output is (qid, nbr_id)-shaped after the select below.
+      * output is (qid, nbr_id)-shaped after the select below. Each
+      * report also accumulates into the session's final JSON line.
       */
+    val jsonRows = scala.collection.mutable.ArrayBuffer.empty[String]
     def report(tag: String, run: () => org.apache.spark.sql.DataFrame): Unit = {
+      System.gc() // the KnnDimProbe gcGap lesson: builds precede measures
       run().write.format("noop").mode("overwrite").save()
       val t0 = System.nanoTime()
       run().write.format("noop").mode("overwrite").save()
@@ -109,10 +112,16 @@ object KnnRecallCurve {
           println(f"[curve] $tag%-12s recall=${hits.toDouble / nTruth}%.4f " +
             f"($hits/$nTruth)  recall_8q=${hits8 / 24.0}%.4f ($hits8/24)  " +
             f"join_warm=$sec%.2f s")
+          jsonRows += f""""$tag":{"recall":${hits.toDouble / nTruth}%.4f,"hits":$hits,"recall_8q":${hits8 / 24.0}%.4f,"sec":$sec%.2f}"""
         case None =>
           println(f"[curve] $tag%-12s join_warm=$sec%.2f s (timeonly)")
+          jsonRows += f""""$tag":{"sec":$sec%.2f}"""
       }
     }
+    def emitJson(): Unit = println(
+      s"""{"metric":"knn_recall_curve","sf":"$sfDir","n":$n,"nlist":$nlist,""" +
+      s""""truth_pairs":$nTruth,"qtruth":${qTruth.getOrElse(-1L)},""" +
+      s""""git_sha":"${Bench.gitSha}","entries":{${jsonRows.mkString(",")}}}""")
 
     codedCs.foreach { cs =>
       // coded sweep: fit the flat-PQ books once (ann_pq geometry),
@@ -142,6 +151,7 @@ object KnnRecallCurve {
             idx, sqProbes, grid, Seq("label"), k = 3, candidates = c)
           .select(col("qid"), col("vec_id").as("nbr_id")))
       }
+      emitJson()
       spark.stop()
       return
     }
@@ -160,10 +170,11 @@ object KnnRecallCurve {
       idx.selfProbeTable(np = np, keepCols = Seq("label"))
         .write.mode("overwrite").parquet(probePath)
       val probes = spark.read.parquet(probePath)
-      report(f"ivf np=$np%-3d", () =>
+      report(s"ivf np=$np", () =>
         idx.knnJoinSelf(probes, Seq("label"), k = 3)
           .select(col("qid"), col("vec_id").as("nbr_id")))
     }
+    emitJson()
     spark.stop()
   }
 }
