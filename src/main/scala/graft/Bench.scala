@@ -185,7 +185,7 @@ object Bench {
     // GEOMETRY-GATED tier (round-14 verdict #3): operators that are
     // correct and oracled here but whose own measurements say NOT to
     // run them at the bench corpus's geometry — the coded kNN join
-    // rungs pay at dim ≥ 256 / np ≥ 16 (CodedKnnJoin.chooseJoinRung,
+    // rungs pay at dim ≥ 256 / np ≥ 32 (CodedKnnJoin.chooseJoinRung,
     // BENCH_DIM_r15.json), while the bench corpus is dim 64 where the
     // exact np=16 join (knn_join_ivf) is the shipped operator.
     // production_total must mean "what a pipeline would actually run

@@ -296,32 +296,41 @@ object CodedKnnJoin {
   }
 
   /** Rung selection by geometry, encoding the measured crossover
-    * (KnnDimProbe sweeps — BENCH_DIM_r15.json; round-14/15 protocol):
+    * (KnnDimProbe, 2 sessions × 3 reps — BENCH_DIM_r15.json):
     * candidate-stage bytes scale with code size vs dim×4 float bytes,
     * but every coded rung also pays a bounded exact rerank that moves
     * `candidates` float vectors per query, so codes only win once the
     * vector is much wider than a shuffle row's key overhead AND the
     * probe fan-out (np) is wide enough that the candidate stage
-    * dominates the rerank.
+    * dominates the rerank. The artifact's min-of-sessions numbers
+    * (50k × dim 768, nlist 225, k 3):
     *
-    *   - dim 64 (bench gate), any np: exact join wins bytes AND time
+    *   - dim 64 (bench gate), np 16: exact wins bytes AND time
     *     (vector ≈ key overhead; PQ's C=32 rerank moves 2916 MB vs
-    *     exact's 812 MB at the 100× corpus).
-    *   - dim 768, np 16: coded-SQ −18% bytes but +31% time — marginal.
-    *   - dim 768, np 48: coded-SQ −47% bytes (prefix-SDC dial
-    *     recovers the fold time: −24% bytes at exact-join wall time).
+    *     exact's 812 MB at the 100× corpus — NOTES_r14).
+    *   - dim 768, np 16: exact 23.2 s / 2215 MB still wins time;
+    *     coded-SQ −18% bytes at +28% time, prefix-SDC loses both.
+    *   - dim 768, np 48: the inversion — prefix-SDC (fold dim/4,
+    *     C doubled) beats exact on BOTH axes (25.0 vs 31.1 s, −24%
+    *     bytes); full-fold SQ8 buys the deepest byte cut (−47%) at
+    *     +15% time for exchange-bound clusters.
     *
     * The rule ships the exact join until BOTH dim ≥ 256 (vector ≥
-    * 1 KB/row, 4× the long+key overhead) and np ≥ 16 (candidate stage
-    * ≥ np× the rerank rows); above that, SQ8-SDC — with the prefix
-    * fold (sdcDims = dim/4, candidates doubled) once dim ≥ 512, where
-    * the full per-pair fold costs as much as the exact dot it
-    * replaces. PQ-SDC is never auto-chosen: its 8-byte codes win the
-    * candidate stage but its wider cut (C≈32 to hold recall through
-    * two quantizations) loses the rerank at every measured geometry.
+    * 1 KB/row, ~4× the key overhead where the np-16 measurement shows
+    * codes start paying for themselves) and np ≥ 32 (between the
+    * measured np-16 exact-wins and np-48 coded-wins points); above
+    * that, SQ8-SDC — with the prefix fold (sdcDims = dim/4,
+    * candidates doubled) once dim ≥ 512, where the full per-pair fold
+    * costs as much as the exact dot it replaces (the r14 kernel
+    * measurement) and the prefix is what makes the rung win wall time
+    * too. Exchange-byte-bound deployments can still pick full "sq"
+    * manually for the deeper cut. PQ-SDC is never auto-chosen: its
+    * 8-byte codes win the candidate stage but its wider cut (C≈32 to
+    * hold recall through two quantizations) loses total bytes at
+    * every measured geometry (+146% at np 16, +28% at np 48).
     */
   def chooseJoinRung(dim: Int, np: Int): String =
-    if (dim < 256 || np < 16) "exact"
+    if (dim < 256 || np < 32) "exact"
     else if (dim >= 512) "sq-prefix"
     else "sq"
 }

@@ -113,17 +113,17 @@ class CodedKnnJoinSpec extends SparkSpecBase {
     assert(e.getMessage.contains("code length mismatch"))
   }
 
-  test("chooseJoinRung encodes the measured BENCH_DIM crossover: exact " +
-      "below dim 256 or np 16, SQ8-SDC above, prefix fold from dim 512") {
+  test("chooseJoinRung encodes the measured BENCH_DIM_r15 crossover: " +
+      "exact below dim 256 or np 32, SQ8-SDC above, prefix fold from dim 512") {
     import CodedKnnJoin.chooseJoinRung
-    assert(chooseJoinRung(dim = 64, np = 16) == "exact")   // bench gate geometry
-    assert(chooseJoinRung(dim = 768, np = 8) == "exact")   // narrow probes
-    assert(chooseJoinRung(dim = 256, np = 16) == "sq")
-    assert(chooseJoinRung(dim = 768, np = 48) == "sq-prefix") // the −47%-bytes point
+    assert(chooseJoinRung(dim = 64, np = 16) == "exact")  // bench gate geometry
+    assert(chooseJoinRung(dim = 768, np = 16) == "exact") // measured: exact wins time, −18% bytes not worth it
+    assert(chooseJoinRung(dim = 256, np = 32) == "sq")
+    assert(chooseJoinRung(dim = 768, np = 48) == "sq-prefix") // measured: wins both axes
     assert(chooseJoinRung(dim = 4096, np = 64) == "sq-prefix")
     // PQ-SDC is never auto-chosen: its C≈32 rerank loses bytes at
-    // every measured geometry (BENCH_DIM / NOTES_r14)
-    Seq((64, 16), (256, 16), (768, 48), (4096, 64)).foreach { case (d, p) =>
+    // every measured geometry (BENCH_DIM_r15: +146% np16, +28% np48)
+    Seq((64, 16), (256, 32), (768, 48), (4096, 64)).foreach { case (d, p) =>
       assert(chooseJoinRung(d, p) != "pq")
     }
   }
