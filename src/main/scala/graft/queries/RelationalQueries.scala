@@ -144,11 +144,17 @@ object RelationalQueries {
     }),
 
     // grouping sets: rollup to (flag, status) → (flag) → grand total;
-    // group keys coalesced to 'ALL' so the oracle compare is null-free
+    // group keys coalesced to 'ALL' so the oracle compare is null-free.
+    // Two-level shape (operators.TwoLevelAgg): the corpus-sized stage
+    // is a plain partial-agg groupBy; rollup's Expand runs over the
+    // ~|flag×status| pre-aggregate instead of replicating every fact
+    // row ×3 — exact by decimal-sum associativity (TwoLevelAggSpec)
     "q_rollup" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      graft.operators.TwoLevelAgg.preSumCount(t(s, dir, "lineitem"),
+          Seq(col("l_returnflag"), col("l_linestatus")), col("l_quantity"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(graft.operators.TwoLevelAgg.sumOfPartials().as("sum_qty"),
+          graft.operators.TwoLevelAgg.countOfPartials.as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
@@ -193,13 +199,17 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
-    // CUBE: all 2^k grouping-set combinations in ONE pass (Spark
-    // expands the sets map-side — the corpus is still scanned once,
-    // unlike k separate GROUP BYs)
+    // CUBE: all 2^k grouping-set combinations in ONE pass — the
+    // corpus is scanned once, unlike k separate GROUP BYs — with the
+    // two-level shape (operators.TwoLevelAgg) keeping the ×2^k Expand
+    // off the fact table: it replicates the pre-aggregate's handful
+    // of rows, not 100 TB of corpus
     "q_cube" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      graft.operators.TwoLevelAgg.preSumCount(t(s, dir, "lineitem"),
+          Seq(col("l_returnflag"), col("l_linestatus")), col("l_quantity"))
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(graft.operators.TwoLevelAgg.sumOfPartials().as("sum_qty"),
+          graft.operators.TwoLevelAgg.countOfPartials.as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
@@ -257,14 +267,17 @@ object RelationalQueries {
     // arbitrary GROUPING SETS: an asymmetric set list —
     // ((flag,status),(status),()) — that neither ROLLUP (which would
     // drill (flag,status)→(flag)→()) nor CUBE (all 2^k sets) can
-    // express. Spark expands the sets map-side like rollup/cube: one
-    // corpus scan feeds every set, vs k separate GROUP BYs.
+    // express. One corpus scan feeds every set, and the two-level
+    // shape (operators.TwoLevelAgg) keeps the per-set Expand on the
+    // pre-aggregate rather than the fact rows.
     "q_grouping_sets" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      graft.operators.TwoLevelAgg.preSumCount(t(s, dir, "lineitem"),
+          Seq(col("l_returnflag"), col("l_linestatus")), col("l_quantity"))
         .groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq.empty),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(graft.operators.TwoLevelAgg.sumOfPartials().as("sum_qty"),
+          graft.operators.TwoLevelAgg.countOfPartials.as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
