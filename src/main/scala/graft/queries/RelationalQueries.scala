@@ -246,22 +246,45 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
-    // Z-order (Morton) layout keys (operators.ZOrder — the OPTIMIZE
-    // ZORDER analogue): bit-interleaved (l_partkey, l_suppkey) plus
-    // the deterministic top-bits file bucket. The VALUE is the
-    // layout: ZOrderSpec writes it and proves 2-D range scans
+    // Z-order (Morton) layout stats (operators.ZOrder — the OPTIMIZE
+    // ZORDER analogue): bit-interleaved (l_partkey, l_suppkey), rows
+    // bucketed by the z-value's top bits over the key range the data
+    // actually OCCUPIES (fixed 21-bit geometry would put every
+    // small-sf row in bucket 0 — a layout pass buckets the occupied
+    // range, exactly like a writer planning file splits). The VALUE
+    // is the layout: ZOrderSpec writes it and proves 2-D range scans
     // row-group-skip on both keys; this entry oracle-checks the curve
-    // arithmetic itself (fixed sum of disjoint-bit terms — no
-    // sampling, so layouts replay identically across runs/engines).
+    // arithmetic on EVERY row (order-insensitive bit_xor checksum of
+    // the z-values per bucket) and emits the per-bucket min/max boxes
+    // in both key dimensions — the tight boxes ARE what makes the
+    // layout prune. Shape note: this used to emit the whole z-valued
+    // corpus under a global (orderkey, linenumber) sort, which is a
+    // sort a real ZORDER pass never does (writeLayout shuffles by
+    // bucket + sorts WITHIN partitions) and was the entry's entire
+    // cost at 100× (23 s standalone, GC-bound); the per-bucket
+    // aggregate checks the same arithmetic row-for-row with a
+    // ZBuckets-row output and no global sort. The occupied-range
+    // probe is one bounded 1-row aggregate (the same class of stats
+    // pass AQE itself runs); its exact integer bit-length
+    // (64 − nlz(mx)) is replicated in the oracle as length(bin(mx)).
     "q_zorder" -> ((s, dir) => {
       import graft.operators.ZOrder
+      val li = t(s, dir, "lineitem")
+      val mx = li.agg(max(greatest(col("l_partkey"), col("l_suppkey")))
+        .cast("long")).head().getLong(0)
+      val eBits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(mx))
+      require(eBits <= ZBits, s"keys outgrew the $ZBits-bit curve (need $eBits)")
+      val shift = math.max(0, 2 * eBits - Integer.numberOfTrailingZeros(ZBuckets))
       val z = ZOrder.zValue(col("l_partkey"), col("l_suppkey"), bits = ZBits)
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"),
-          z.as("zval"),
-          ZOrder.zBucket(z, ZBits, ZBuckets).as("zbucket"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      li.select(col("l_partkey"), col("l_suppkey"), z.as("zval"))
+        .withColumn("zbucket", shiftright(col("zval"), shift))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("zval")).as("zmin"), max(col("zval")).as("zmax"),
+          expr("bit_xor(zval)").as("zxor"),
+          min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+          min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+        .orderBy(col("zbucket"))
     }),
 
     // arbitrary GROUPING SETS: an asymmetric set list —
@@ -607,13 +630,21 @@ object RelationalQueries {
         Seq(s"(((l_partkey >> $j) & 1) << ${2 * j})",
           s"(((l_suppkey >> $j) & 1) << ${2 * j + 1})")
       }.mkString(" + ")
-      val shift = 2 * ZBits - Integer.numberOfTrailingZeros(ZBuckets)
-      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-         |  l_partkey, l_suppkey,
-         |  ($terms) AS zval,
-         |  (($terms) >> $shift) AS zbucket
-         |FROM lineitem
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      val bshift = Integer.numberOfTrailingZeros(ZBuckets)
+      s"""WITH mx AS (
+         |  SELECT greatest(2 * length(bin(CAST(max(greatest(l_partkey, l_suppkey)) AS BIGINT))) - $bshift, 0) AS shft
+         |  FROM lineitem),
+         |zed AS (
+         |  SELECT l_partkey, l_suppkey, ($terms) AS zval
+         |  FROM lineitem)
+         |SELECT (zval >> shft) AS zbucket, count(*) AS n,
+         |  min(zval) AS zmin, max(zval) AS zmax,
+         |  bit_xor(zval) AS zxor,
+         |  min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |  min(l_suppkey) AS smin, max(l_suppkey) AS smax
+         |FROM zed, mx
+         |GROUP BY 1
+         |ORDER BY zbucket""".stripMargin
     },
 
     "q_grouping_sets" ->
