@@ -25,13 +25,18 @@ import org.apache.spark.sql.functions._
   * probe artifact paid at ingest).
   *
   * Usage: KnnRecallCurve <sfDir> [np,np,...] [timeonly] [qtruth=N]
-  *          [lsh] [coded=C,C,...]
+  *          [lsh] [kmeans] [coded=C,C,...]
   * (np default 3,8,16; `timeonly` skips the exact-truth recall sides —
   * the label-blocked exact kNN is quadratic per block, prohibitive at
   * the 100× stress corpus where only the join TIMING is the question;
   * `qtruth=N` bounds the truth side to queries vec_id < N — N × block
   * instead of block² pairs, the affordable recall statistic at corpus
   * scale; `lsh` also measures the tuned-LSH join on the same truth;
+  * `kmeans` ALSO builds a k-means-coarse layout (IvfIndex
+  * .buildWithKMeans, same nlist) and reports `ivfkm np=` rungs — the
+  * paired seed-row-vs-learned-centroid comparison, which matters on
+  * CLUSTERED corpora where seed-row centroids land ∝ cluster mass and
+  * leave sparse regions coarsely covered;
   * `coded=...` sweeps the knn_join_ivfpq SDC-candidate depth instead,
   * at the FIRST np in the list — the KnnJoinRerank dial)
   */
@@ -40,11 +45,21 @@ object KnnRecallCurve {
     val sfDir = args(0)
     val timeOnly = args.contains("timeonly")
     val withLsh = args.contains("lsh")
+    // `kmeans` or `kmeans=ITERS` (default 5 — MLlib buildWithKMeans's
+    // default; at nlist in the hundreds Lloyd's may need more passes)
+    val kMeansIters = args.find(a => a == "kmeans" || a.startsWith("kmeans="))
+      .map(a => if (a == "kmeans") 5 else a.drop(7).toInt)
+    // `lloyd=ITERS`: the ORACLE-REPLAYABLE refinement (graft.ann
+    // .KMeans.lloyd from the same √n seed rows — no RNG, decimal-exact
+    // means), the quantizer a SQL-oracled entry can actually ship
+    val lloydIters = args.find(_.startsWith("lloyd="))
+      .map(_.drop(6).split(',').map(_.toInt).toSeq).getOrElse(Nil)
     val qTruth = args.find(_.startsWith("qtruth=")).map(_.drop(7).toLong)
     val codedCs = args.find(_.startsWith("coded="))
       .map(_.drop(6).split(',').map(_.toInt).toSeq)
     val nps = args.drop(1)
       .filterNot(a => a == "timeonly" || a == "lsh" ||
+        a.startsWith("kmeans") || a.startsWith("lloyd=") ||
         a.startsWith("coded=") || a.startsWith("qtruth="))
       .headOption
       .map(_.split(',').map(_.toInt).toSeq)
@@ -95,7 +110,24 @@ object KnnRecallCurve {
       * report also accumulates into the session's final JSON line.
       */
     val jsonRows = scala.collection.mutable.ArrayBuffer.empty[String]
-    def report(tag: String, run: () => org.apache.spark.sql.DataFrame): Unit = {
+
+    /** deterministic candidate-pair count for an IVF probe join:
+      * Σ over (cell, label) of probes × members — the host-noise-free
+      * cost statistic behind the wall time (join work AND shuffle
+      * bytes scale with it), and the direct view of cell skew: a hot
+      * cell contributes quadratically.
+      */
+    def candidatePairs(index: graft.ann.IvfIndex,
+                       probes: org.apache.spark.sql.DataFrame): Long = {
+      val p = probes.groupBy(col("cell"), col("q_label").as("label"))
+        .agg(count(lit(1)).as("n_p"))
+      val m = index.cells.groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n_m"))
+      p.join(m, Seq("cell", "label"))
+        .agg(sum(col("n_p") * col("n_m"))).head().getLong(0)
+    }
+
+    def report(tag: String, run: () => org.apache.spark.sql.DataFrame,
+               cand: Option[Long] = None): Unit = {
       System.gc() // the KnnDimProbe gcGap lesson: builds precede measures
       run().write.format("noop").mode("overwrite").save()
       val t0 = System.nanoTime()
@@ -109,13 +141,17 @@ object KnnRecallCurve {
           val got8 = got.filter(col("qid") < 8)
           val hits8 = truth.filter(col("qid") < 8)
             .join(got8, Seq("qid", "nbr_id"), "left_semi").count()
+          val candS = cand.map(c => f"  cand_pairs=$c").getOrElse("")
+          val candJ = cand.map(c => s""","cand_pairs":$c""").getOrElse("")
           println(f"[curve] $tag%-12s recall=${hits.toDouble / nTruth}%.4f " +
             f"($hits/$nTruth)  recall_8q=${hits8 / 24.0}%.4f ($hits8/24)  " +
-            f"join_warm=$sec%.2f s")
-          jsonRows += f""""$tag":{"recall":${hits.toDouble / nTruth}%.4f,"hits":$hits,"recall_8q":${hits8 / 24.0}%.4f,"sec":$sec%.2f}"""
+            f"join_warm=$sec%.2f s$candS")
+          jsonRows += f""""$tag":{"recall":${hits.toDouble / nTruth}%.4f,"hits":$hits,"recall_8q":${hits8 / 24.0}%.4f,"sec":$sec%.2f$candJ}"""
         case None =>
-          println(f"[curve] $tag%-12s join_warm=$sec%.2f s (timeonly)")
-          jsonRows += f""""$tag":{"sec":$sec%.2f}"""
+          val candS = cand.map(c => f"  cand_pairs=$c").getOrElse("")
+          val candJ = cand.map(c => s""","cand_pairs":$c""").getOrElse("")
+          println(f"[curve] $tag%-12s join_warm=$sec%.2f s (timeonly)$candS")
+          jsonRows += f""""$tag":{"sec":$sec%.2f$candJ}"""
       }
     }
     def emitJson(): Unit = println(
@@ -172,7 +208,41 @@ object KnnRecallCurve {
       val probes = spark.read.parquet(probePath)
       report(s"ivf np=$np", () =>
         idx.knnJoinSelf(probes, Seq("label"), k = 3)
-          .select(col("qid"), col("vec_id").as("nbr_id")))
+          .select(col("qid"), col("vec_id").as("nbr_id")),
+        cand = Some(candidatePairs(idx, probes)))
+    }
+    lloydIters.foreach { iters =>
+      val seeds = cent.select(col("cid"), col("cv"))
+      val lcents = graft.ann.KMeans.lloyd(emb, "vec_id", "embedding",
+        seeds, iters = iters)
+      val lIdx = graft.ann.IvfIndex.build(emb, "vec_id", "embedding",
+        lcents, "cid", "cv", s"$dir/lloyd$iters")
+      nps.foreach { np =>
+        val probePath = s"$dir/lloyd$iters-probe-np$np"
+        lIdx.selfProbeTable(np = np, keepCols = Seq("label"))
+          .write.mode("overwrite").parquet(probePath)
+        val probes = spark.read.parquet(probePath)
+        report(s"lloyd$iters np=$np", () =>
+          lIdx.knnJoinSelf(probes, Seq("label"), k = 3)
+            .select(col("qid"), col("vec_id").as("nbr_id")),
+          cand = Some(candidatePairs(lIdx, probes)))
+      }
+    }
+    kMeansIters.foreach { iters =>
+      // paired comparison: the learned-centroid layout at the SAME
+      // nlist — only the coarse quantizer differs
+      val kmIdx = graft.ann.IvfIndex.buildWithKMeans(emb, "vec_id",
+        "embedding", nlist.toInt, s"$dir/km", maxIter = iters)
+      nps.foreach { np =>
+        val probePath = s"$dir/kmprobe-np$np"
+        kmIdx.selfProbeTable(np = np, keepCols = Seq("label"))
+          .write.mode("overwrite").parquet(probePath)
+        val probes = spark.read.parquet(probePath)
+        report(s"ivfkm np=$np", () =>
+          kmIdx.knnJoinSelf(probes, Seq("label"), k = 3)
+            .select(col("qid"), col("vec_id").as("nbr_id")),
+          cand = Some(candidatePairs(kmIdx, probes)))
+      }
     }
     emitJson()
     spark.stop()

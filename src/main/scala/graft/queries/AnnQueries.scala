@@ -729,6 +729,23 @@ object AnnQueries {
     * probed fraction (np/√n) shrinks as the corpus grows, so at
     * 100 TB the same width reads a vanishing corpus share while real
     * clustered embeddings sit far above the sphere's recall floor.
+    *
+    * Round-15 size curve (KnnRecallCurve, uniform sphere, 512-query
+    * truth): recall@3 at np=8 is 0.56 / 0.976 / 0.976 at n = 2k /
+    * 20k / 200k — fixed-np recall RISES with corpus size (nlist = √n
+    * grows, cells tighten), so np=8 would suffice on the uniform
+    * bench corpora above the gate. np=16 stays shipped anyway
+    * because the CLUSTERED corpora (BENCH_CLUSTERED_r15.json — the
+    * shape real embeddings have) measure np=8 at only 0.868 recall
+    * at 200k vs np=16's 0.939: halving the width would tune the
+    * operator to the synthetic sphere at the expense of realistic
+    * data. On clustered corpora the bigger lever is the quantizer,
+    * not the width: the learned-init k-means layout
+    * (IvfIndex.buildWithKMeans — the serving/streaming build path)
+    * reaches 0.968 at np=16 with 14% fewer candidate pairs
+    * (BENCH_KMEANS_r15.json); this oracled entry keeps seed-row
+    * centroids because kmeans|| init is not SQL-replayable and the
+    * replayable Lloyd refinement measurably cannot close the gap.
     */
   private val KnnJoinProbe = 16
 
