@@ -21,7 +21,7 @@ final class BqIndex private (
     val idCol: String,
     val vecCol: String) {
 
-  def codes: DataFrame = spark.read.parquet(s"$path/codes")
+  lazy val codes: DataFrame = spark.read.parquet(s"$path/codes")
 
   /** The persisted midpoint thresholds, driver-loaded (dim doubles). */
   lazy val thresholds: Bq.Thresholds = {

@@ -453,7 +453,9 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell", "slot")
       .parquet(s"$path/cells")
-    cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    // tiny frame (≤ 65536 rows): one file, so every later centroid
+    // read/collect is a single-task job
+    cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     // persist the resolved slot count so append/compact reuse the
     // build's layout geometry instead of a caller-remembered constant
     spark.range(1).select(lit(fpc).as("files_per_cell"))

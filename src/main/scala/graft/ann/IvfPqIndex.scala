@@ -38,8 +38,25 @@ final class IvfPqIndex private (
 
   def cells: DataFrame = spark.read.parquet(s"$path/cells")
 
-  def books: Seq[DataFrame] =
-    (0 until nSub).map(s => spark.read.parquet(s"$path/book$s"))
+  /** Driver-local codebooks, loaded in ONE job (Pq.loadBooksLocal) and
+    * cached on the instance — downstream ADC-table collects are
+    * jobless. The layout is immutable (IvfPqIndex has no maintenance
+    * mutators), so the cache cannot go stale.
+    */
+  lazy val books: Seq[DataFrame] = Pq.loadBooksLocal(spark, path, nSub)
+
+  /** The bounded centroid frame, collected ONCE per instance —
+    * [[probeCells]] and [[searchCells]] both need it, and the previous
+    * per-call collect paid two scan jobs per query.
+    */
+  private lazy val centroidsLocal: Seq[(Long, Array[Double])] = {
+    val rows = centroids
+      .select(col("cell").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty && rows.length <= 65536,
+      s"IvfPqIndex: ${rows.length} centroids (nlist rule bounds this)")
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+  }
 
   /** The nprobe cells nearest to the query, ranked by the raw
     * left-to-right squared-L2 fold with a (d², cell) tiebreak —
@@ -48,13 +65,7 @@ final class IvfPqIndex private (
     * class as Pq's ADC tables).
     */
   def probeCells(queryVec: Array[Double], nprobe: Int): Seq[Long] = {
-    val rows = centroids
-      .select(col("cell").cast("long"), col("cv").cast("array<double>"))
-      .collect()
-    require(rows.nonEmpty && rows.length <= 65536,
-      s"probeCells: ${rows.length} centroids (nlist rule bounds this)")
-    rows.map { r =>
-      val cv = r.getSeq[Double](1)
+    centroidsLocal.map { case (c, cv) =>
       var d = 0.0
       var j = 0
       while (j < queryVec.length) {
@@ -62,8 +73,8 @@ final class IvfPqIndex private (
         d += diff * diff
         j += 1
       }
-      (r.getLong(0), d)
-    }.sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1).toSeq
+      (c, d)
+    }.sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1)
   }
 
   /** ADC top-k inside the driver-known probed cells: the cell filter
@@ -77,12 +88,7 @@ final class IvfPqIndex private (
     */
   def searchCells(cellIds: Seq[Long], queryVec: Array[Double],
       k: Int, candidates: Int = 0): DataFrame = {
-    val probedCents = centroids
-      .select(col("cell").cast("long"), col("cv").cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .filter { case (c, _) => cellIds.contains(c) }
-      .toSeq
+    val probedCents = centroidsLocal.filter { case (c, _) => cellIds.contains(c) }
     Pq.adcTopKPerCell(
       cells.filter(col("cell").isin(cellIds: _*)),
       idCol, vecCol, "cell", books, queryVec, probedCents,
@@ -136,10 +142,13 @@ object IvfPqIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell", "slot")
       .parquet(s"$path/cells")
+    // tiny side frames (≤ 65536 rows each): one file apiece so loads
+    // and collects are single-task instead of one task per slice of
+    // the build-side partitioning
     centroids.select(col(cidCol).as("cell"), col(cvecCol).as("cv"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     books.zipWithIndex.foreach { case (b, s) =>
-      b.write.mode(SaveMode.Overwrite).parquet(s"$path/book$s")
+      b.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/book$s")
     }
     // same layout-geometry meta as IvfIndex.build — uniform across
     // the index family, ready for a future PQ append path

@@ -139,6 +139,39 @@ object Pq {
     rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
   }
 
+  /** Load every `book0..book{nSub-1}` dir of a persisted layout in ONE
+    * scan job and rebuild each codebook as a driver-LOCAL relation —
+    * the same "downstream collects are free" property [[fit]]'s output
+    * has. The previous shape (one `spark.read.parquet` + collect per
+    * book) cost nSub separate driver jobs per query against a loaded
+    * index; at sf0.1 those fixed job floors dominated the PQ entries'
+    * wall clock. Bounded by the same 65536-codeword rule as
+    * [[collectBook]] (≤ nSub × 65536 tiny rows on the driver).
+    */
+  def loadBooksLocal(spark: org.apache.spark.sql.SparkSession,
+      path: String, nSub: Int): Seq[DataFrame] = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val rows = spark.read.parquet((0 until nSub).map(s => s"$path/book$s"): _*)
+      .select(regexp_extract(input_file_name(), "book([0-9]+)/", 1)
+          .cast("int").as("_s"),
+        col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+    require(rows.length <= nSub * 65536,
+      s"loadBooksLocal: ${rows.length} codewords across $nSub books (bounds)")
+    val schema = StructType(Seq(StructField("cid", LongType),
+      StructField("cv", ArrayType(DoubleType))))
+    val bySub = rows.groupBy(_.getInt(0))
+    (0 until nSub).map { s =>
+      val rs = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+      require(rs.nonEmpty, s"loadBooksLocal: book$s at $path is empty")
+      spark.createDataFrame(
+        rs.sortBy(_.getLong(1))
+          .map(r => org.apache.spark.sql.Row(r.getLong(1), r.getSeq[Double](2)))
+          .toSeq.asJava, schema)
+    }
+  }
+
   private def encodeLocal(corpus: DataFrame, vecCol: String,
       books: Seq[Array[(Long, Array[Double])]], dim: Int): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge

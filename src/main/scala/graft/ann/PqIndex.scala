@@ -33,10 +33,15 @@ final class PqIndex private (
     val vecCol: String,
     val nSub: Int) {
 
-  def codes: DataFrame = spark.read.parquet(s"$path/codes")
+  lazy val codes: DataFrame = spark.read.parquet(s"$path/codes")
 
-  def books: Seq[DataFrame] =
-    (0 until nSub).map(s => spark.read.parquet(s"$path/book$s"))
+  /** Driver-local codebooks, loaded in ONE job (Pq.loadBooksLocal) and
+    * cached on the instance — downstream encode/ADC collects are
+    * jobless, like Pq.fit's own output. The layout is immutable
+    * (PqIndex has no maintenance mutators), so the cache cannot go
+    * stale.
+    */
+  lazy val books: Seq[DataFrame] = Pq.loadBooksLocal(spark, path, nSub)
 
   /** ADC candidate scan over the code columns + exact rerank —
     * Pq.adcTopK's two-phase shape against the on-disk layout.
@@ -59,8 +64,11 @@ object PqIndex {
     Pq.encode(corpus, idCol, vecCol, books, dim)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$path/codes")
+    // tiny frames (≤ 65536 rows): one file each, so the load-side
+    // combined scan costs one task per book instead of one per
+    // empty local-relation slice
     books.zipWithIndex.foreach { case (b, s) =>
-      b.write.mode(SaveMode.Overwrite).parquet(s"$path/book$s")
+      b.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/book$s")
     }
     new PqIndex(spark, path, idCol, vecCol, books.size)
   }

@@ -23,7 +23,7 @@ final class SqIndex private (
     val idCol: String,
     val vecCol: String) {
 
-  def codes: DataFrame = spark.read.parquet(s"$path/codes")
+  lazy val codes: DataFrame = spark.read.parquet(s"$path/codes")
 
   /** The persisted (lo, step) grid, driver-loaded (2×dim doubles). */
   lazy val grid: Sq.Grid = {

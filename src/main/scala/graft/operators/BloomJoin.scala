@@ -85,4 +85,33 @@ object BloomJoin {
     val bloom = buildBloom(build, buildKey, mBits, k)
     fact.filter(mightContain(lit(bloom), col(factKey), mBits, k))
   }
+
+  /** [[pruneFact]] with the filter SIZED from the measured build-side
+    * row count instead of a fixed constant — the optimization guide's
+    * expectedNumItems rule (≥ the true key count; ~12 bits/key ≈ 1%
+    * false positives at k = 3). The count is one narrow aggregate over
+    * the build side, which is by contract the SELECTIVE side, so the
+    * extra pass is bounded; row count ≥ distinct key count, so the
+    * sizing only ever over-provisions.
+    *
+    * Why sizing matters beyond memory: the serialized filter is
+    * embedded as a plan LITERAL, and a literal fixed at the
+    * corpus-scale worst case taxes every plan pass — measured at
+    * sf0.1, a 4 MiB bloom cost ta_contaminate ~2.2 s/run of
+    * driver-side plan work (AQE re-optimizes after each stage and
+    * each pass walks the literal) for a filter whose build side held
+    * a few hundred keys. Sized from the data it is KiB at test scale
+    * and grows to `maxMBits` exactly when the keys do. False-positive
+    * rate only affects how many fact rows the later equi-join must
+    * drop — the join result is identical at any size.
+    */
+  def pruneFactSized(fact: DataFrame, factKey: String,
+      build: DataFrame, buildKey: String,
+      bitsPerKey: Int = 12, k: Int = DefaultK,
+      maxMBits: Int = 1 << 27): DataFrame = {
+    val n = build.count()
+    val want = math.min(maxMBits.toLong, math.max(1L << 14, n * bitsPerKey))
+    val mBits = ((want + 63) / 64 * 64).toInt
+    pruneFact(fact, factKey, build, buildKey, mBits, k)
+  }
 }

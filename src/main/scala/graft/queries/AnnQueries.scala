@@ -542,8 +542,8 @@ object AnnQueries {
     "knn_join_ivfpq" -> ((s, dir) => {
       val idx = graft.ann.IvfIndex.load(s, ivfLayoutPath(s, dir),
         "vec_id", "embedding")
-      val books = graft.ann.PqIndex.load(s, pqIndexPath(s, dir),
-        "vec_id", "embedding", PqSub).books
+      val books = cachedIndex(s, "pqidx", dir)(graft.ann.PqIndex.load(
+        s, pqIndexPath(s, dir), "vec_id", "embedding", PqSub)).books
       val probes = persistedTable(s, "pqknnprobe", dir) { p =>
         graft.ann.CodedKnnJoin.buildPqProbeTable(idx, books, Dim,
             np = KnnJoinProbe, blockCols = Seq("label"))
@@ -566,8 +566,8 @@ object AnnQueries {
     "knn_join_ivfpq_recall" -> ((s, dir) => {
       val idx = graft.ann.IvfIndex.load(s, ivfLayoutPath(s, dir),
         "vec_id", "embedding")
-      val books = graft.ann.PqIndex.load(s, pqIndexPath(s, dir),
-        "vec_id", "embedding", PqSub).books
+      val books = cachedIndex(s, "pqidx", dir)(graft.ann.PqIndex.load(
+        s, pqIndexPath(s, dir), "vec_id", "embedding", PqSub)).books
       val probes = persistedTable(s, "pqknnprobe", dir) { p =>
         graft.ann.CodedKnnJoin.buildPqProbeTable(idx, books, Dim,
             np = KnnJoinProbe, blockCols = Seq("label"))
@@ -595,8 +595,8 @@ object AnnQueries {
     "knn_join_ivfsq" -> ((s, dir) => {
       val idx = graft.ann.IvfIndex.load(s, ivfLayoutPath(s, dir),
         "vec_id", "embedding")
-      val grid = graft.ann.SqIndex.load(s, sqIndexPath(s, dir),
-        "vec_id", "embedding").grid
+      val grid = cachedIndex(s, "sqidx", dir)(graft.ann.SqIndex.load(
+        s, sqIndexPath(s, dir), "vec_id", "embedding")).grid
       val probes = persistedTable(s, "sqknnprobe", dir) { p =>
         graft.ann.CodedKnnJoin.buildSqProbeTable(idx, grid,
             np = KnnJoinProbe, blockCols = Seq("label"))
@@ -617,8 +617,8 @@ object AnnQueries {
     "knn_join_ivfsq_recall" -> ((s, dir) => {
       val idx = graft.ann.IvfIndex.load(s, ivfLayoutPath(s, dir),
         "vec_id", "embedding")
-      val grid = graft.ann.SqIndex.load(s, sqIndexPath(s, dir),
-        "vec_id", "embedding").grid
+      val grid = cachedIndex(s, "sqidx", dir)(graft.ann.SqIndex.load(
+        s, sqIndexPath(s, dir), "vec_id", "embedding")).grid
       val probes = persistedTable(s, "sqknnprobe", dir) { p =>
         graft.ann.CodedKnnJoin.buildSqProbeTable(idx, grid,
             np = KnnJoinProbe, blockCols = Seq("label"))
@@ -938,7 +938,8 @@ object AnnQueries {
     val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
-    graft.ann.PqIndex.load(s, idxPath, "vec_id", "embedding", PqSub)
+    cachedIndex(s, "pqidx", dir)(
+        graft.ann.PqIndex.load(s, idxPath, "vec_id", "embedding", PqSub))
       .search(qv, k = 10, candidates = PqRerank)
   }
 
@@ -960,7 +961,8 @@ object AnnQueries {
     val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
-    graft.ann.SqIndex.load(s, idxPath, "vec_id", "embedding")
+    cachedIndex(s, "sqidx", dir)(
+        graft.ann.SqIndex.load(s, idxPath, "vec_id", "embedding"))
       .search(qv, k = 10, candidates = SqRerank)
   }
 
@@ -973,7 +975,8 @@ object AnnQueries {
     val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
-    graft.ann.BqIndex.load(s, idxPath, "vec_id", "embedding")
+    cachedIndex(s, "bqidx", dir)(
+        graft.ann.BqIndex.load(s, idxPath, "vec_id", "embedding"))
       .search(qv, k = 10, candidates = BqRerank)
   }
 
@@ -994,7 +997,8 @@ object AnnQueries {
         cent, "cid", "cv", books, Dim, p)
       ()
     }
-    graft.ann.IvfPqIndex.load(s, idxPath, "vec_id", "embedding", PqSub)
+    cachedIndex(s, "ivfpqidx", dir)(
+      graft.ann.IvfPqIndex.load(s, idxPath, "vec_id", "embedding", PqSub))
   }
 
   private def ivfPqPersistedTopK(s: org.apache.spark.sql.SparkSession, dir: String) = {

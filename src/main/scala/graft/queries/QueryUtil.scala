@@ -57,6 +57,33 @@ object QueryUtil {
 
   graft.Tables.onInvalidate(() => artifactHandles.clear())
 
+  /** Session-scoped handle cache for loaded INDEX objects over
+    * [[persistedArtifact]] paths — the persistedTable discipline
+    * generalized beyond DataFrames: a loaded index instance carries
+    * lazily-collected bounded artifacts (codebooks, centroids, grids)
+    * whose driver copies a standing deployment holds in memory for
+    * the artifact's life; re-loading per query construction paid
+    * those collect jobs (and their parquet re-listing) on every run.
+    * Same staleness contract as persistedTable: entries drop on
+    * Tables.invalidate, stopped sessions are purged on access, and
+    * artifact paths are immutable within a JVM (pid-keyed).
+    */
+  private val indexHandles =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  graft.Tables.onInvalidate(() => indexHandles.clear())
+
+  def cachedIndex[T <: AnyRef](s: SparkSession, kind: String, corpusDir: String)(
+      make: => T): T = {
+    indexHandles.keySet.removeIf(k => k.sparkContext.isStopped)
+    indexHandles
+      .computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, AnyRef]())
+      .computeIfAbsent(s"$kind|$corpusDir", _ => make)
+      .asInstanceOf[T]
+  }
+
   /** [[persistedArtifact]] plus a session-scoped DataFrame handle —
     * the Tables.load discipline applied to artifact reads: a bare
     * `spark.read.parquet(path)` re-lists the directory and re-reads

@@ -200,11 +200,14 @@ object TextQueries {
       // keys) while train is the 100-TB corpus — without the bloom the
       // SMJ shuffles EVERY train shingle; with it only might-match
       // candidates reach the exchange (no false negatives, so the join
-      // result — and the oracle hash — is identical). 2^25 bits / 4 MiB
-      // broadcast holds ~3M bench keys at ~1% FP.
-      val train = graft.operators.BloomJoin.pruneFact(
+      // result — and the oracle hash — is identical). The filter is
+      // SIZED from the counted bench side (12 bits/key ≈ 1% FP,
+      // capped at 2^25 bits / 4 MiB ≈ the previous fixed size at ~3M
+      // keys): a constant-4-MiB literal taxed every driver plan pass
+      // regardless of data size — measured ~2.2 s/run at sf0.1.
+      val train = graft.operators.BloomJoin.pruneFactSized(
         shingles(docs.filter(col("doc_id") % 100 =!= 0)), "g",
-        bench.select(col("g")), "g", mBits = 1 << 25)
+        bench.select(col("g")), "g", maxMBits = 1 << 25)
       val sizes = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("n_shingles"))
       val hits = bench.join(train, "g")
         .groupBy(col("bench_id"))
