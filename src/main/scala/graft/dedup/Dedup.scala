@@ -933,7 +933,11 @@ object Dedup {
     // round. Shuffle joins keep every round exactly ONE driver job.
     val overrides = Seq(
       "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // placeholder: connectedGroupsImpl re-sets this to the
+      // edge-count-derived width (saved/restored here with the rest)
+      "spark.sql.shuffle.partitions" ->
+        spark.conf.get("spark.sql.shuffle.partitions"))
     val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
     overrides.foreach { case (k, v) => spark.conf.set(k, v) }
     try connectedGroupsImpl(spark, pairs, aCol, bCol, idOut, maxIters)
@@ -949,12 +953,40 @@ object Dedup {
     */
   private val BroadcastChangedMax = 2000000L
 
+  /** Target edge rows per iteration partition — edges are two longs
+    * (~16 B serialized), so 1M rows ≈ 16 MB per task: small enough to
+    * aggregate in memory, large enough that the per-task scheduling
+    * floor never dominates. The iteration width derives from the
+    * MEASURED edge count (below), not from the session's shuffle
+    * constant: a 32-partition round over a few hundred sf0.1 edges ran
+    * 150+ near-empty tasks per round (measured 1125 tasks/query), and
+    * a cluster constant would equally misfit a 100 TB pair set.
+    */
+  private val CcEdgesPerPartition = 1000000L
+
   private def connectedGroupsImpl(spark: org.apache.spark.sql.SparkSession,
       pairs: DataFrame, aCol: String, bCol: String,
       idOut: String, maxIters: Int): DataFrame = {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val edges0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .transform(graft.Barrier.checkpoint)
+    // scale-adaptive iteration width (the AQE coalescing this scope
+    // turns off, done once from the materialized edge count): capped
+    // by the session's configured width so cluster deployments keep
+    // their ceiling, floored at 1
+    val nEdges = edges0.count()
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val np = math.max(1L, math.min(sessionWidth.toLong,
+      (nEdges + CcEdgesPerPartition - 1) / CcEdgesPerPartition)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", np)
+    // edges partitioned ONCE on the probe key: every round's neighbor
+    // join reads this layout co-partitioned (localCheckpoint preserves
+    // outputPartitioning), so the corpus-sized edge frame never
+    // re-exchanges per round — only the shrinking label/changed side
+    // moves (guide §2.4: operations keyed the same way share one
+    // exchange)
+    val edges = graft.Barrier.checkpoint(
+      edges0.repartition(np, col("v")))
     var labels = edges.select(col("u")).distinct()
       .select(col("u"), col("u").as("lbl"))
       .transform(graft.Barrier.checkpoint)
@@ -997,22 +1029,34 @@ object Dedup {
         .agg(min(col("cand")).as("lbl"), min(col("old")).as("old"))
         .withColumn("_shrunk", col("lbl") < col("old"))
       // ONE job materializes the round AND carries the convergence
-      // accumulator; rebuilding the frame from the persisted RDD
-      // truncates lineage (this plan references `labels` three times,
-      // so without truncation the logical plan grows 3^rounds and the
-      // ANALYZER becomes the bottleneck — the 100× sweep hung there)
-      val rdd = next.rdd.persist()
+      // accumulator, over a rebuilt frame that (a) is a LEAF — this
+      // plan references `labels` three times, so without truncation
+      // the logical plan grows 3^rounds and the ANALYZER becomes the
+      // bottleneck (the 100× sweep hung there) — and (b) in the
+      // shuffle-join regime KEEPS the groupBy's
+      // hashpartitioning(u, np), so next round's label-side joins on
+      // u read it co-partitioned instead of re-exchanging the full
+      // label frame per round (the old createDataFrame rebuild
+      // dropped partitioning). In the broadcast regime the
+      // partitioning is deliberately NOT kept: co-partitioning buys
+      // nothing under a broadcast join, and a non-Unknown
+      // partitioning breaks broadcast-exchange REUSE between the
+      // changed frame's two u-keyed builds (see RddBridge) — one
+      // extra broadcast job per round.
+      val (rdd, mkFrame) = org.apache.spark.sql.graftshim.RddBridge
+        .persistDeferred(next)
+      val shrunkOrd = next.schema.fieldIndex("_shrunk")
       shrunk.reset()
-      rdd.foreach(r => if (r.getAs[Boolean]("_shrunk")) shrunk.add(1L))
-      converged = shrunk.value == 0L
+      rdd.foreach(r => if (r.getBoolean(shrunkOrd)) shrunk.add(1L))
       changedCount = shrunk.value
+      converged = changedCount == 0L
       pinnedRounds += rdd
-      labels = spark.createDataFrame(rdd, next.schema).select(col("u"), col("lbl"))
-      changed = spark.createDataFrame(rdd, next.schema)
-        .filter(col("_shrunk")).select(col("u"), col("lbl"))
+      val chk = mkFrame(changedCount > BroadcastChangedMax)
+      labels = chk.select(col("u"), col("lbl"))
+      changed = chk.filter(col("_shrunk")).select(col("u"), col("lbl"))
       iter += 1
       if (ccDebug) System.err.println(
-        f"[cc] round $iter%2d shrunk=${shrunk.value}%8d ${(System.nanoTime() - tRound) / 1e9}%6.2f s")
+        f"[cc] round $iter%2d shrunk=$changedCount%8d ${(System.nanoTime() - tRound) / 1e9}%6.2f s")
     }
     lastCcRounds = iter
     require(converged,
