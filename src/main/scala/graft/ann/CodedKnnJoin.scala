@@ -123,10 +123,18 @@ object CodedKnnJoin {
   }
 
   private def sqProbeRows(ivf: IvfIndex, src: DataFrame, grid: Sq.Grid,
-      np: Int, blockCols: Seq[String]): DataFrame =
+      np: Int, blockCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    // codes packed into ceil(dim/8) longs (SqPack): the SDC join reads
+    // them zero-copy per pair, where the binary column's per-access
+    // copy dominated the candidate stage at join pair counts
+    val packed = ColumnBridge.column(graft.functions.expr.SqPack(
+      ColumnBridge.expression(col("_sqc"))))
     probeTable(ivf, np, blockCols,
-      Sq.encode(src, ivf.vecCol, grid, codeCol = "_sqc"),
-      col("_sqc").as("qsq"))
+      Sq.encode(src, ivf.vecCol, grid, codeCol = "_sqc")
+        .withColumn("_sqp", packed).drop("_sqc"),
+      col("_sqp").as("qsq"))
+  }
 
   private def probeTable(ivf: IvfIndex, np: Int, blockCols: Seq[String],
       coded: DataFrame, codeCol: Column): DataFrame = {
@@ -190,7 +198,8 @@ object CodedKnnJoin {
     val sdc = ColumnBridge.column(graft.functions.expr.SqSdc(
       ColumnBridge.expression(col("_mcode")),
       ColumnBridge.expression(col("qcode")),
-      if (sdcDims > 0) step2.take(sdcDims) else step2))
+      if (sdcDims > 0) step2.take(sdcDims) else step2,
+      grid.step.length))
     joinCore(ivf, probes, blockCols, k, candidates, queryPred, sdc)
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst kernels for scalar quantization (the FAISS SQ8
   * shape): per-dimension uint8 codes against a (lo, step) grid.
@@ -177,7 +177,56 @@ case class SqAdc(first: Expression, second: Expression, third: Expression)
   * list-folded in d order (each side of the product carries exactly
   * one rounding, same as the kernel).
   */
-case class SqSdc(left: Expression, right: Expression, step2: Array[Double])
+/** dim uint8 codes (one binary value) packed little-endian into
+  * ceil(dim/8) longs: code d sits at byte (d & 7) of word (d >>> 3),
+  * zero-padded tail. This is the JOIN-side representation of the SQ
+  * codes: UnsafeArrayData.getLong reads elements zero-copy, while a
+  * BinaryType column's getBinary allocates and copies the whole byte
+  * array on EVERY access — at SDC-join pair counts (~1e8 pairs × 2
+  * sides × dim bytes per query at the 100× corpus) those per-pair
+  * allocations dominated the candidate stage (measured ~2.7 µs/pair
+  * over the packed-long PQ rung's cost on the same join shape). The
+  * disk/shuffle density is unchanged: 8 codes per long.
+  */
+case class SqPack(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "sq_pack"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(codes: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      SqPack.pack(codes.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.expr.SqPack.pack($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): SqPack =
+    copy(child = newChild)
+}
+
+object SqPack {
+  def pack(b: Array[Byte]): Array[Long] = {
+    val out = new Array[Long]((b.length + 7) >>> 3)
+    var d = 0
+    while (d < b.length) {
+      out(d >>> 3) |= (b(d) & 0xffL) << ((d & 7) << 3)
+      d += 1
+    }
+    out
+  }
+}
+
+case class SqSdc(left: Expression, right: Expression, step2: Array[Double],
+    dims: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def prettyName: String = "sq_sdc"
@@ -185,19 +234,20 @@ case class SqSdc(left: Expression, right: Expression, step2: Array[Double])
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (binary, binary)")
+        s"$prettyName requires (array<bigint>, array<bigint>) packed codes")
     }
 
   override def nullSafeEval(codesA: Any, codesB: Any): Any =
-    SqSdc.compute(codesA.asInstanceOf[Array[Byte]],
-      codesB.asInstanceOf[Array[Byte]], step2)
+    SqSdc.compute(codesA.asInstanceOf[ArrayData],
+      codesB.asInstanceOf[ArrayData], step2, dims)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val s2 = ctx.addReferenceObj("sqSdcStep2", step2, "double[]")
     nullSafeCodeGen(ctx, ev, (codesA, codesB) =>
-      s"${ev.value} = graft.functions.expr.SqSdc.compute($codesA, $codesB, $s2);")
+      s"${ev.value} = graft.functions.expr.SqSdc.compute($codesA, $codesB, $s2, $dims);")
   }
 
   override protected def withNewChildrenInternal(
@@ -209,38 +259,53 @@ case class SqSdc(left: Expression, right: Expression, step2: Array[Double])
   // elimination recognize identical kernels
   override def equals(other: Any): Boolean = other match {
     case o: SqSdc =>
-      left == o.left && right == o.right &&
+      left == o.left && right == o.right && dims == o.dims &&
         java.util.Arrays.equals(step2, o.step2)
     case _ => false
   }
 
   override def hashCode(): Int = java.util.Objects.hash(
-    getClass, left, right,
+    getClass, left, right, Integer.valueOf(dims),
     Integer.valueOf(java.util.Arrays.hashCode(step2)))
 }
 
 object SqSdc {
 
   /** Static entry for interpreted eval and generated code (never name
-    * this `eval` — the round-12 codegen-fallback lesson).
+    * this `eval` — the round-12 codegen-fallback lesson). `dims` is
+    * the encoded dimension of the CURRENT grid; both packed columns
+    * must hold exactly ceil(dims/8) words — a word-count mismatch
+    * means the probe artifact was encoded at a different dim than the
+    * member side (grid/corpus drift), and folding a partial distance
+    * would be plausible-but-wrong (round-14 advice #2). Fail loudly
+    * instead. (Drift WITHIN one 8-code word is not detectable from
+    * the packed layout; the guard targets the real drift class —
+    * different embedding models, e.g. 64 vs 768 dims.) The
+    * step2-length truncation below IS the sdcDims prefix dial; byte
+    * extraction is in dimension order, so the prefix fold is
+    * bit-identical to the unpacked formulation.
     */
-  def compute(a: Array[Byte], b: Array[Byte], step2: Array[Double]): Double = {
-    // the step2-length truncation below IS the sdcDims prefix dial;
-    // a length mismatch between the two CODE columns is never that —
-    // it means the probe artifact was encoded at a different dim than
-    // the member side (grid/corpus drift), and folding min() would
-    // return a plausible-but-wrong partial distance (round-14 advice
-    // #2). Fail loudly instead.
-    if (a.length != b.length)
+  def compute(a: ArrayData, b: ArrayData, step2: Array[Double],
+      dims: Int): Double = {
+    val words = (dims + 7) >>> 3
+    if (a.numElements() != words || b.numElements() != words)
       throw new IllegalArgumentException(
-        s"sq_sdc: code length mismatch (${a.length} vs ${b.length}) — " +
+        s"sq_sdc: packed code length mismatch (${a.numElements()} vs " +
+          s"${b.numElements()} words, expected $words for dim $dims) — " +
           "probe artifact and member codes were encoded at different dims")
-    var n = a.length
+    var n = dims
     if (n > step2.length) n = step2.length
     var acc = 0.0
     var d = 0
+    var wa = 0L
+    var wb = 0L
     while (d < n) {
-      val di = (a(d) & 0xff) - (b(d) & 0xff)
+      if ((d & 7) == 0) {
+        wa = a.getLong(d >>> 3)
+        wb = b.getLong(d >>> 3)
+      }
+      val sh = (d & 7) << 3
+      val di = ((wa >>> sh) & 0xffL).toInt - ((wb >>> sh) & 0xffL).toInt
       acc += (di * di).toDouble * step2(d)
       d += 1
     }

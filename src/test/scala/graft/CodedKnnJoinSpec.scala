@@ -87,28 +87,46 @@ class CodedKnnJoinSpec extends SparkSpecBase {
     assert(subset.nonEmpty)
   }
 
-  test("SqSdc compute matches the brute dequantized-gap fold and " +
-      "truncates to the step2 prefix") {
-    val a = Array[Byte](0, 127.toByte, 255.toByte, 10)
-    val b = Array[Byte](3, 130.toByte, 250.toByte, 10)
-    val step = Array(0.5, 0.25, 2.0, 1.0)
+  test("SqSdc compute over packed codes matches the brute " +
+      "dequantized-gap fold and truncates to the step2 prefix") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val a = Array[Byte](0, 127.toByte, 255.toByte, 10, 9, 8, 7, 6, 5)
+    val b = Array[Byte](3, 130.toByte, 250.toByte, 10, 9, 7, 7, 6, 4)
+    val pa = new GenericArrayData(graft.functions.expr.SqPack.pack(a))
+    val pb = new GenericArrayData(graft.functions.expr.SqPack.pack(b))
+    val step = Array(0.5, 0.25, 2.0, 1.0, 0.5, 1.5, 2.5, 0.75, 1.25)
     val step2 = step.map(s => s * s)
     def brute(n: Int): Double = (0 until n).map { d =>
       val di = (a(d) & 0xff) - (b(d) & 0xff)
       (di * di).toDouble * step2(d)
     }.sum
-    assert(graft.functions.expr.SqSdc.compute(a, b, step2) == brute(4))
-    assert(graft.functions.expr.SqSdc.compute(a, b, step2.take(2)) == brute(2))
-    assert(graft.functions.expr.SqSdc.compute(a, a, step2) == 0.0)
+    assert(graft.functions.expr.SqSdc.compute(pa, pb, step2, 9) == brute(9))
+    assert(graft.functions.expr.SqSdc.compute(pa, pb, step2.take(2), 9) == brute(2))
+    assert(graft.functions.expr.SqSdc.compute(pa, pa, step2, 9) == 0.0)
   }
 
-  test("SqSdc rejects mismatched code lengths (dim-drifted artifacts " +
-      "must fail loudly, not fold a truncated partial distance)") {
-    val a = Array[Byte](1, 2, 3, 4)
-    val b = Array[Byte](1, 2, 3)
-    val step2 = Array(1.0, 1.0, 1.0, 1.0)
+  test("SqPack round-trips codes little-endian with a zero-padded tail") {
+    val b = Array[Byte](1, 2, 255.toByte, 0, 4, 5, 6, 7, 8, 9)
+    val packed = graft.functions.expr.SqPack.pack(b)
+    assert(packed.length == 2)
+    b.indices.foreach { d =>
+      val got = ((packed(d >>> 3) >>> ((d & 7) << 3)) & 0xffL).toInt
+      assert(got == (b(d) & 0xff), s"byte $d")
+    }
+    // pad bytes beyond the input are zero
+    assert(((packed(1) >>> 16) & 0xffffffffffffL) == 0L)
+  }
+
+  test("SqSdc rejects mismatched packed code lengths (dim-drifted " +
+      "artifacts must fail loudly, not fold a truncated partial distance)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val a = new GenericArrayData(
+      graft.functions.expr.SqPack.pack(Array.fill[Byte](16)(1)))
+    val b = new GenericArrayData(
+      graft.functions.expr.SqPack.pack(Array.fill[Byte](8)(1)))
+    val step2 = Array.fill(16)(1.0)
     val e = intercept[IllegalArgumentException] {
-      graft.functions.expr.SqSdc.compute(a, b, step2)
+      graft.functions.expr.SqSdc.compute(a, b, step2, 16)
     }
     assert(e.getMessage.contains("code length mismatch"))
   }
@@ -159,12 +177,12 @@ class CodedKnnJoinSpec extends SparkSpecBase {
   test("SDC kernel instances with equal array CONTENT are equal " +
       "(semanticEquals — the round-13 NearestCentroids law)") {
     import org.apache.spark.sql.catalyst.expressions.BoundReference
-    import org.apache.spark.sql.types.{BinaryType, LongType}
-    val ba = BoundReference(0, BinaryType, nullable = true)
-    val bb = BoundReference(1, BinaryType, nullable = true)
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val ba = BoundReference(0, ArrayType(LongType), nullable = true)
+    val bb = BoundReference(1, ArrayType(LongType), nullable = true)
     val la = BoundReference(0, LongType, nullable = true)
     val lb = BoundReference(1, LongType, nullable = true)
-    def sq(s: Array[Double]) = graft.functions.expr.SqSdc(ba, bb, s)
+    def sq(s: Array[Double]) = graft.functions.expr.SqSdc(ba, bb, s, s.length)
     assert(sq(Array(1.0, 2.0)) == sq(Array(1.0, 2.0)))
     assert(sq(Array(1.0, 2.0)).hashCode == sq(Array(1.0, 2.0)).hashCode)
     assert(sq(Array(1.0, 2.0)) != sq(Array(1.0, 3.0)))

@@ -38,8 +38,9 @@ class CodedProbeMaintenanceSpec extends SparkSpecBase {
         r.getLong(3), r.getLong(4))).toSet
 
   private def sqRows(df: DataFrame) =
+    // qcode is the packed-long code array (SqPack); canon as a csv
     df.select(col("qid"), col("q_label").cast("long"), col("prank"),
-        col("cell"), hex(col("qcode")))
+        col("cell"), concat_ws(",", col("qcode")))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
         r.getLong(3), r.getString(4))).toSet
 
