@@ -741,11 +741,23 @@ object Dedup {
     */
   def buildSpanDupHashTable(wins: DataFrame, idCol: String,
       path: String): Unit =
-    wins.groupBy(col("h"))
-      .agg(countDistinct(col(idCol)).as("_nd"))
-      .filter(col("_nd") >= 2)
-      .select(col("h"))
+    dupHashSet(wins, idCol)
       .write.mode("overwrite").parquet(path)
+
+  /** Window hashes occurring in ≥ 2 DISTINCT documents. The predicate
+    * is computed as min(id) ≠ max(id) — the identical set to
+    * countDistinct(id) ≥ 2, but min/max partial-aggregate map-side to
+    * one (h, lo, hi) row per hash per partition, where countDistinct
+    * expands to (and shuffles) every distinct (h, id) pair first: on
+    * a duplicate-heavy corpus (the operator's whole reason to exist)
+    * that is the difference between shuffling O(distinct h) and
+    * O(window) rows.
+    */
+  private def dupHashSet(wins: DataFrame, idCol: String): DataFrame =
+    wins.groupBy(col("h"))
+      .agg(min(col(idCol)).as("_lo"), max(col(idCol)).as("_hi"))
+      .filter(col("_lo") =!= col("_hi"))
+      .select(col("h"))
 
   /** The aggregation half of [[duplicateSpans]] over a prebuilt
     * positional window frame (id, h) or (id, p, h) — the
@@ -761,10 +773,7 @@ object Dedup {
   def duplicateSpansFromWindows(wins0: DataFrame, idCol: String,
       dupHashes: Option[DataFrame] = None): DataFrame = {
     val wins = wins0.select(col(idCol), col("h"))
-    val dup = dupHashes.getOrElse(wins.groupBy(col("h"))
-      .agg(countDistinct(col(idCol)).as("_nd"))
-      .filter(col("_nd") >= 2)
-      .select(col("h")))
+    val dup = dupHashes.getOrElse(dupHashSet(wins, idCol))
     val totals = wins.groupBy(col(idCol)).agg(count(lit(1)).as("n_windows"))
     val dups = wins.join(dup, "h")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
@@ -837,10 +846,7 @@ object Dedup {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val toks = wsTokens(normText(col(textCol)))
     val base = graft.Tables.fanOut(docs).filter(col(textCol).isNotNull)
-    val dup = dupHashes.getOrElse(wins.groupBy(col("h"))
-      .agg(countDistinct(col(idCol)).as("_nd"))
-      .filter(col("_nd") >= 2)
-      .select(col("h")))
+    val dup = dupHashes.getOrElse(dupHashSet(wins, idCol))
     // covered window starts, one row per (doc, start) — barriered so
     // the broadcast-vs-shuffle row count does not recompute the join
     val covered = wins.join(dup, "h").select(col(idCol), col("p"))

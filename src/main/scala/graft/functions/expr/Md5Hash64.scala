@@ -50,6 +50,19 @@ object Md5Hash64 {
     val md = digests.get()
     md.reset()
     val d = md.digest(s.getBytes)
+    fold(d)
+  }
+
+  /** The thread's digest instance, for kernels that hash many byte
+    * RANGES of one buffer (CharShingleSimHash) without a per-range
+    * UTF8String/array copy. Callers must reset() before each use.
+    */
+  private[expr] def localDigest(): MessageDigest = digests.get()
+
+  /** First 8 digest bytes big-endian as one signed long — the shared
+    * tail of every md5-derived 64-bit hash here.
+    */
+  private[expr] def fold(d: Array[Byte]): Long = {
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }

@@ -49,6 +49,99 @@ case class SimHash64(child: Expression, portable: Boolean) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** [[SimHash64]] over the CHARACTER n-grams of one string, fused into
+  * a single kernel pass — bit-identical to
+  * `simhash64(transform(sequence(1, greatest(length(s)-(n-1), 0)),
+  * i -> substring(s, i, n)))` but without materializing the gram
+  * array: Catalyst evaluates higher-order-function lambdas per
+  * element outside whole-stage codegen, and the substring chain
+  * allocates one UTF8String per gram — at media-corpus scale
+  * (~payload-length grams per row) that interpretation layer
+  * dominated the signature pass. Here char→byte offsets are scanned
+  * once per row and each gram's UTF8 byte range is hashed in place
+  * (same md5/xxhash64 input bytes as the substring formulation, so
+  * fingerprints are bit-identical and the shared oracles hold).
+  */
+case class CharShingleSimHash(child: Expression, n: Int, portable: Boolean)
+    extends UnaryExpression {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def prettyName: String = "char_shingle_simhash64"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharShingleSimHash.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, portable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expr.CharShingleSimHash.compute($c, $n, $portable)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleSimHash =
+    copy(child = newChild)
+}
+
+object CharShingleSimHash {
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String,
+      n: Int, portable: Boolean): Long = {
+    val bytes = s.getBytes
+    // char-start byte offsets (UTF-8 continuation bytes have the top
+    // two bits 10): charOff(c) = byte offset of char c, plus the
+    // terminal offset so gram c spans [charOff(c), charOff(c + n))
+    var numChars = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) numChars += 1
+      i += 1
+    }
+    val charOff = new Array[Int](numChars + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { charOff(c) = i; c += 1 }
+      i += 1
+    }
+    charOff(numChars) = bytes.length
+    val grams = math.max(numChars - (n - 1), 0)
+    val counts = new Array[Int](64)
+    val md = if (portable) Md5Hash64.localDigest() else null
+    var g = 0
+    while (g < grams) {
+      val from = charOff(g)
+      val until = charOff(g + n)
+      val h =
+        if (portable) {
+          md.reset()
+          md.update(bytes, from, until - from)
+          Md5Hash64.fold(md.digest())
+        } else XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+          until - from, 42L)
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      g += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (2L * counts(b) > grams) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+}
+
 object SimHash64 {
 
   /** Static entry for both interpreted eval and generated code. */

@@ -92,14 +92,16 @@ object Multimodal {
     */
   private[graft] def withPhash(media: DataFrame, outCol: String): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
-    val shingles = expr(
-      "transform(sequence(1, greatest(length(_txt) - 3, 0))," +
-        " i -> substring(_txt, i, 4))")
-    val fp = ColumnBridge.column(graft.functions.expr.SimHash64(
-      ColumnBridge.expression(shingles), portable = true))
-    media.withColumn("_txt", col("payload").cast("string"))
-      .withColumn(outCol, fp)
-      .drop("_txt")
+    // fused char-4-gram SimHash kernel: bit-identical to the earlier
+    // transform(sequence…substring) + simhash64 chain (same md5 input
+    // bytes per gram, same majority fold) but one codegen'd pass with
+    // no per-gram UTF8String materialization — the HOF lambda layer
+    // evaluated interpreted per gram and dominated the signature pass
+    // at media-corpus scale (see CharShingleSimHash scaladoc).
+    val fp = ColumnBridge.column(graft.functions.expr.CharShingleSimHash(
+      ColumnBridge.expression(col("payload").cast("string")),
+      n = 4, portable = true))
+    media.withColumn(outCol, fp)
   }
 
   /** Perceptual near-dup pairs with hamming ≤ maxHamming over the
