@@ -138,7 +138,21 @@ object Dedup {
       ColumnBridge.column(graft.functions.expr.SortedIntersectCount(
         ColumnBridge.expression(col("sa")), ColumnBridge.expression(col("sb"))))
     }
-    estOk
+    // The estimate-passing pair set is usually TINY next to the corpus
+    // (that is the prefilter's whole point), but it reaches the verify
+    // join as an opaque mapGroups output the planner cannot size — so
+    // both id-joins planned shuffled and moved the corpus-wide SORTED
+    // SHINGLE ARRAYS through an exchange twice (measured 1.35 GB of
+    // shuffle at the 100× corpus for a 6-row result). Materialize the
+    // narrow pair frame, count it, and broadcast it under the cap
+    // (~16 B/pair → tens of MB at 2M pairs, the BroadcastChangedMax
+    // sizing rationale): the shingle frame then streams into both
+    // joins with no exchange. Above the cap (a duplicate-saturated
+    // corpus) the shuffled join remains, unchanged.
+    val cand = graft.Barrier.checkpoint(estOk)
+    val candSide =
+      if (cand.count() <= BroadcastCandidatePairsMax) broadcast(cand) else cand
+    candSide
       .join(sh.select(col(idCol).as("ida"), col(blockCol).as("blk_a"), col("sh").as("sa")), "ida")
       .join(sh.select(col(idCol).as("idb"), col(blockCol).as("blk_b"), col("sh").as("sb")), "idb")
       .filter(col("blk_a") === col("blk_b"))
@@ -157,6 +171,12 @@ object Dedup {
     ColumnBridge.column(graft.functions.expr.ShingleHashes(
       ColumnBridge.expression(tokens), n))
   }
+
+  /** Above this many estimate-passing candidate pairs the verify join
+    * stays a shuffle join; below it the pair frame broadcasts
+    * (~16 B/row — the BroadcastChangedMax sizing rationale).
+    */
+  private val BroadcastCandidatePairsMax = 2000000L
 
   /** Modulus and mixing constant of the portable universal hash family
     * h_s(x) = (base(x)·(2s+1) + 7919·s) mod P, base(x) = md5-hash(x)
@@ -357,14 +377,19 @@ object Dedup {
       md5(concat_ws(",", slots: _*))
     }
     val needEst = minEst > 0.0
+    // signature slots ride the 8×-replicated band shuffle as INTs:
+    // every h_s is a mod-MinHashP residue (< 2^27), so the int cast is
+    // lossless and slot equality is unchanged — at the 100× corpus the
+    // banded signature arrays were the bulk of a 1.1 GB exchange, and
+    // this halves their payload (4 B/slot vs 8)
     val banded = sigs.select(
         col(idCol).cast("long").as("_id"),
-        (if (needEst) array((0 until nHashes).map(i => col(s"h$i")): _*)
-         else array().cast("array<bigint>")).as("_hs"),
+        (if (needEst) array((0 until nHashes).map(i => col(s"h$i").cast("int")): _*)
+         else array().cast("array<int>")).as("_hs"),
         posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
       .select(concat_ws("|", col("band").cast("string"), col("bkey")).as("_bucket"),
         col("_id"), col("_hs"))
-      .as[(String, Long, Array[Long])]
+      .as[(String, Long, Array[Int])]
     banded.groupByKey(_._1).flatMapGroups { (_, it) =>
       val m = it.toArray
       if (m.length > maxBucketSize) Iterator.empty // dropped bucket (old HAVING)
