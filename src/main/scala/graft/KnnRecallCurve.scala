@@ -59,7 +59,7 @@ object KnnRecallCurve {
       .map(_.drop(6).split(',').map(_.toInt).toSeq)
     val nps = args.drop(1)
       .filterNot(a => a == "timeonly" || a == "lsh" ||
-        a.startsWith("kmeans") || a.startsWith("lloyd=") ||
+        a.startsWith("kmeans") || a.startsWith("lloyd") ||
         a.startsWith("coded=") || a.startsWith("qtruth="))
       .headOption
       .map(_.split(',').map(_.toInt).toSeq)
@@ -122,8 +122,13 @@ object KnnRecallCurve {
       val p = probes.groupBy(col("cell"), col("q_label").as("label"))
         .agg(count(lit(1)).as("n_p"))
       val m = index.cells.groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n_m"))
-      p.join(m, Seq("cell", "label"))
-        .agg(sum(col("n_p") * col("n_m"))).head().getLong(0)
+      val raw = p.join(m, Seq("cell", "label"))
+        .agg(sum(col("n_p") * col("n_m"))).head()
+      val total = if (raw.isNullAt(0)) 0L else raw.getLong(0)
+      // knnJoinSelf excludes vec_id =!= qid, and each row's own cell is
+      // always among its probes, so the raw product over-counts by
+      // exactly one self-pair per corpus row (round-15 advice)
+      math.max(0L, total - index.cells.count())
     }
 
     def report(tag: String, run: () => org.apache.spark.sql.DataFrame,

@@ -264,7 +264,13 @@ final class IvfIndex private (
     else {
       val corpus = cells.drop("cell", "slot")
       val nlist = AnnTuner.ivfNlist(corpus.count())
-      IvfIndex.buildWithKMeans(corpus, idCol, vecCol, nlist, newPath, seed)
+      // maxIter pinned at the pre-round-15 5: this is the periodic
+      // MAINTENANCE rebuild, where latency matters more than the last
+      // 1.5 recall points buildWithKMeans's new default (25) buys —
+      // callers wanting the deeper fit pass it explicitly
+      // (round-15 advice: the default change silently ~5×'d this path)
+      IvfIndex.buildWithKMeans(corpus, idCol, vecCol, nlist, newPath, seed,
+        maxIter = 5)
     }
   }
 
