@@ -122,6 +122,17 @@ object CodedKnnJoin {
       packed.as("qpq"))
   }
 
+  /** Schema-metadata key carrying the ENCODE-TIME dim on the packed
+    * SQ code column: the packed-long layout can only word-count-check
+    * dim drift (ceil(dim/8) granularity), so the exact dim rides in
+    * the parquet footer's schema metadata — zero extra rows or jobs —
+    * and [[knnJoinSelfSq]] requires it to equal the current grid's
+    * (round-16 advice: drift WITHIN one 8-code word, e.g. a probe
+    * encoded at 63 dims against a 64-dim grid, otherwise folds pad
+    * bytes as code 0 — plausible-but-wrong partial distances).
+    */
+  private[graft] val SqEncDimKey = "graft.sq.encDim"
+
   private def sqProbeRows(ivf: IvfIndex, src: DataFrame, grid: Sq.Grid,
       np: Int, blockCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
@@ -130,9 +141,12 @@ object CodedKnnJoin {
     // copy dominated the candidate stage at join pair counts
     val packed = ColumnBridge.column(graft.functions.expr.SqPack(
       ColumnBridge.expression(col("_sqc"))))
+    val encDimMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SqEncDimKey, grid.step.length.toLong).build()
+    val coded = Sq.encode(src, ivf.vecCol, grid, codeCol = "_sqc")
     probeTable(ivf, np, blockCols,
-      Sq.encode(src, ivf.vecCol, grid, codeCol = "_sqc")
-        .withColumn("_sqp", packed).drop("_sqc"),
+      coded.select(coded.columns.filter(_ != "_sqc").map(col) :+
+        packed.as("_sqp", encDimMeta): _*),
       col("_sqp").as("qsq"))
   }
 
@@ -192,6 +206,17 @@ object CodedKnnJoin {
       blockCols: Seq[String], k: Int, candidates: Int,
       queryPred: Column = lit(true), sdcDims: Int = 0): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
+    // exact dim-drift gate (round-16 advice): the encode-time dim the
+    // probe artifact carries in its schema metadata must equal the
+    // current grid's — the SqSdc word-count check alone cannot see
+    // drift within one 8-code word. Schema-only: no job, no collect.
+    val qmeta = probes.schema("qcode").metadata
+    if (qmeta.contains(SqEncDimKey))
+      require(qmeta.getLong(SqEncDimKey) == grid.step.length.toLong,
+        s"knnJoinSelfSq: probe artifact encoded at dim " +
+          s"${qmeta.getLong(SqEncDimKey)} but the grid has " +
+          s"${grid.step.length} dims — rebuild the probe table " +
+          "against the current grid (grid/corpus drift)")
     // step² precomputed once driver-side (one rounding per dim — the
     // oracle mirrors it as step*step inside its fold)
     val step2 = grid.step.map(s => s * s)

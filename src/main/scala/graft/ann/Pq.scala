@@ -152,8 +152,12 @@ object Pq {
       path: String, nSub: Int): Seq[DataFrame] = {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
+    // subspace tag anchored to the file's IMMEDIATE parent dir: an
+    // unanchored "book([0-9]+)/" matches the FIRST occurrence anywhere
+    // in the path, so an index rooted under e.g. .../notebook1/... got
+    // every row tagged subspace 1 (round-16 advice)
     val rows = spark.read.parquet((0 until nSub).map(s => s"$path/book$s"): _*)
-      .select(regexp_extract(input_file_name(), "book([0-9]+)/", 1)
+      .select(regexp_extract(input_file_name(), "/book([0-9]+)/[^/]*$", 1)
           .cast("int").as("_s"),
         col("cid").cast("long"), col("cv").cast("array<double>"))
       .collect()

@@ -150,11 +150,31 @@ object Dedup {
     // joins with no exchange. Above the cap (a duplicate-saturated
     // corpus) the shuffled join remains, unchanged.
     val cand = graft.Barrier.checkpoint(estOk)
-    val candSide =
-      if (cand.count() <= BroadcastCandidatePairsMax) broadcast(cand) else cand
+    val inBroadcastRegime = cand.count() <= BroadcastCandidatePairsMax
+    val candSide = if (inBroadcastRegime) broadcast(cand) else cand
+    val shA = sh.select(col(idCol).as("ida"), col(blockCol).as("blk_a"),
+      col("sh").as("sa"))
+    // The broadcast hint above only reaches the FIRST join (ida); the
+    // second join's left side is the joined intermediate, which the
+    // planner may size-estimate large and shuffle the corpus-wide
+    // shingle frame for (round-16 advice — AQE usually converts it,
+    // but AQE-off sessions or inflated estimates must not regress to
+    // a corpus exchange). Broadcasting the intermediate itself is NOT
+    // bounded (cap pairs × one shingle ARRAY each), so instead the idb
+    // side is left-semi-reduced by the broadcast candidate id set —
+    // the shingle frame streams through the semi join with no
+    // exchange, and whatever join strategy follows touches at most
+    // |pairs| shingle rows. Above the cap the shuffled plan stays.
+    val shB0 = sh.select(col(idCol).as("idb"), col(blockCol).as("blk_b"),
+      col("sh").as("sb"))
+    val shB =
+      if (inBroadcastRegime)
+        shB0.join(broadcast(cand.select(col("idb")).distinct()),
+          Seq("idb"), "left_semi")
+      else shB0
     candSide
-      .join(sh.select(col(idCol).as("ida"), col(blockCol).as("blk_a"), col("sh").as("sa")), "ida")
-      .join(sh.select(col(idCol).as("idb"), col(blockCol).as("blk_b"), col("sh").as("sb")), "idb")
+      .join(shA, "ida")
+      .join(shB, "idb")
       .filter(col("blk_a") === col("blk_b"))
       .withColumn("i", iCnt)
       .withColumn("jaccard",
@@ -955,27 +975,32 @@ object Dedup {
   def connectedGroups(pairs: DataFrame, aCol: String, bCol: String,
       idOut: String, maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
-    // For the iteration, AQE and broadcast joins are OFF (restored in
-    // finally): each round's frames are materialized label RDDs with
-    // fixed partitioning, so adaptive re-planning buys nothing and
-    // costs ~5 extra stage-jobs per round, and a broadcast of the
-    // label frame — corpus-sized at scale — would both OOM the driver
-    // at 100 TB and cost a separate broadcast-materialization job per
-    // round. Shuffle joins keep every round exactly ONE driver job.
-    val overrides = Seq(
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      // placeholder: connectedGroupsImpl re-sets this to the
-      // edge-count-derived width (saved/restored here with the rest)
-      "spark.sql.shuffle.partitions" ->
-        spark.conf.get("spark.sql.shuffle.partitions"))
-    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
-    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
-    try connectedGroupsImpl(spark, pairs, aCol, bCol, idOut, maxIters)
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+    // For the iteration, AQE and broadcast joins are OFF: each round's
+    // frames are materialized label RDDs with fixed partitioning, so
+    // adaptive re-planning buys nothing and costs ~5 extra stage-jobs
+    // per round, and a broadcast of the label frame — corpus-sized at
+    // scale — would both OOM the driver at 100 TB and cost a separate
+    // broadcast-materialization job per round. Shuffle joins keep
+    // every round exactly ONE driver job.
+    //
+    // The overrides (and the edge-count-derived iteration width set in
+    // connectedGroupsImpl) live on a CLONED session, never the
+    // caller's: the old save/set/restore on the shared session leaked
+    // the iteration's width (possibly 1) into any CONCURRENT query
+    // planned mid-run — the serving tier, a ShardedVector refresh
+    // (round-16 verdict #8). newSession shares the SparkContext (the
+    // checkpointed RDDs, accumulators and broadcasts are
+    // context-level) but isolates SQLConf; the caller's runtime conf
+    // is cloned first so the iteration inherits everything else
+    // (static/core entries reject the set — context-wide already).
+    val iterS = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try iterS.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
+    iterS.conf.set("spark.sql.adaptive.enabled", "false")
+    iterS.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    connectedGroupsImpl(spark, iterS, pairs, aCol, bCol, idOut, maxIters)
   }
 
   /** Above this many changed labels the delta joins stay shuffle
@@ -996,20 +1021,26 @@ object Dedup {
   private val CcEdgesPerPartition = 1000000L
 
   private def connectedGroupsImpl(spark: org.apache.spark.sql.SparkSession,
+      iterS: org.apache.spark.sql.SparkSession,
       pairs: DataFrame, aCol: String, bCol: String,
       idOut: String, maxIters: Int): DataFrame = {
+    // built and counted on the CALLER's session (narrow ops + one
+    // barrier job), then re-anchored onto the iteration session
     val edges0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .transform(graft.Barrier.checkpoint)
     // scale-adaptive iteration width (the AQE coalescing this scope
     // turns off, done once from the materialized edge count): capped
-    // by the session's configured width so cluster deployments keep
-    // their ceiling, floored at 1
+    // by the caller session's configured width so cluster deployments
+    // keep their ceiling, floored at 1. Set on the ITERATION session
+    // only — the groupBy/join exchanges below pick it up from there
+    // (an explicit repartition before the aggregate would instead
+    // defeat its map-side partials).
     val nEdges = edges0.count()
     val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val np = math.max(1L, math.min(sessionWidth.toLong,
       (nEdges + CcEdgesPerPartition - 1) / CcEdgesPerPartition)).toInt
-    spark.conf.set("spark.sql.shuffle.partitions", np)
+    iterS.conf.set("spark.sql.shuffle.partitions", np)
     // edges partitioned ONCE on the probe key: every round's neighbor
     // join reads this layout co-partitioned (localCheckpoint preserves
     // outputPartitioning), so the corpus-sized edge frame never
@@ -1017,7 +1048,8 @@ object Dedup {
     // moves (guide §2.4: operations keyed the same way share one
     // exchange)
     val edges = graft.Barrier.checkpoint(
-      edges0.repartition(np, col("v")))
+      org.apache.spark.sql.graftshim.RddBridge.transfer(edges0, iterS)
+        .repartition(np, col("v")))
     var labels = edges.select(col("u")).distinct()
       .select(col("u"), col("u").as("lbl"))
       .transform(graft.Barrier.checkpoint)
@@ -1094,8 +1126,12 @@ object Dedup {
       s"connectedGroups: not converged after $maxIters rounds — component " +
         "diameter exceeds the near-dup-clique assumption; raise maxIters " +
         "or check the pair generator")
-    // truncate once more past the RDD pins, then drop them
-    labels = graft.Barrier.checkpoint(labels)
+    // truncate once more past the RDD pins, then drop them; the final
+    // sizes aggregate + join are re-anchored onto the CALLER's session
+    // (they execute lazily after this returns, under the caller's own
+    // planner conf — exactly as the old save/restore scoping behaved)
+    labels = org.apache.spark.sql.graftshim.RddBridge.transfer(
+      graft.Barrier.checkpoint(labels), spark)
     pinnedRounds.foreach(_.unpersist(blocking = false))
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("group_size"))
     labels.join(sizes, "lbl")

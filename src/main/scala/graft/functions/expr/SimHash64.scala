@@ -50,7 +50,8 @@ case class SimHash64(child: Expression, portable: Boolean) extends UnaryExpressi
 }
 
 /** [[SimHash64]] over the CHARACTER n-grams of one string, fused into
-  * a single kernel pass — bit-identical to
+  * a single kernel pass — for strings of at least n chars,
+  * bit-identical to
   * `simhash64(transform(sequence(1, greatest(length(s)-(n-1), 0)),
   * i -> substring(s, i, n)))` but without materializing the gram
   * array: Catalyst evaluates higher-order-function lambdas per
@@ -61,6 +62,15 @@ case class SimHash64(child: Expression, portable: Boolean) extends UnaryExpressi
   * once per row and each gram's UTF8 byte range is hashed in place
   * (same md5/xxhash64 input bytes as the substring formulation, so
   * fingerprints are bit-identical and the shared oracles hold).
+  *
+  * SUB-n-CHAR strings carry zero grams and return the empty majority
+  * vote 0 — NOT what the transform(sequence…) chain computed
+  * (Spark's sequence(1, 0) is the DESCENDING [1, 0], so that
+  * formulation hashed the whole sub-n string twice — round-16
+  * advice). 0 is a sentinel with no perceptual content: callers must
+  * exclude sub-n-char rows from pairing (Multimodal.contentSignatures
+  * filters them, matching the mm_dedup oracle, which emits no
+  * signature for them).
   */
 case class CharShingleSimHash(child: Expression, n: Int, portable: Boolean)
     extends UnaryExpression {

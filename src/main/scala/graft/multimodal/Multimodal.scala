@@ -79,11 +79,24 @@ object Multimodal {
     * downsampled-pixel features; a real codec would mapPartitions a
     * decode first and feed its feature strings to the same kernel —
     * the hashing/pairing plumbing downstream is unchanged.
+    *
+    * Payloads with FEWER THAN 4 CHARS carry zero 4-grams, so no
+    * perceptual signal exists: they emit NO signature row — exactly
+    * the mm_dedup oracle, whose gram unnest drops such docs from its
+    * `sig` CTE (round-16 advice: the kernel's would-be fp for them is
+    * the empty majority vote 0, and pairing every sub-4-char payload
+    * at hamming 0 via that shared sentinel is a spurious dup, not a
+    * perceptual match).
     */
   def contentSignatures(media: DataFrame, idCol: String): DataFrame =
     withPhash(media, "_ph")
+      .filter(char_length(col("payload").cast("string")) >= PhashGram)
       .select(col(idCol), md5(col("payload")).as("content_key"),
         col("_ph").as("phash"))
+
+  /** Char-gram width of the perceptual fingerprint (and therefore the
+    * minimum payload length that HAS a fingerprint). */
+  private[graft] val PhashGram = 4
 
   /** Append the perceptual byte-shingle fingerprint of `payload` as
     * `outCol` — a stateless narrow projection (streaming-safe, like
@@ -100,7 +113,7 @@ object Multimodal {
     // at media-corpus scale (see CharShingleSimHash scaladoc).
     val fp = ColumnBridge.column(graft.functions.expr.CharShingleSimHash(
       ColumnBridge.expression(col("payload").cast("string")),
-      n = 4, portable = true))
+      n = PhashGram, portable = true))
     media.withColumn(outCol, fp)
   }
 

@@ -38,6 +38,29 @@ object RddBridge {
     * partitioning for the shuffle-join regime, Unknown for the
     * broadcast regime. The caller owns the RDD's lifecycle.
     */
+  /** Re-anchor an already-MATERIALIZED frame (a LogicalRDD leaf, i.e.
+    * the output of a localCheckpoint/Barrier.checkpoint) onto another
+    * session of the same SparkContext, preserving its output
+    * partitioning. This is what lets an iterative operator run its
+    * rounds in a CLONED session carrying iteration-only planner
+    * overrides (width, AQE, broadcast threshold) without ever mutating
+    * the caller's session conf (round-16 verdict #8: a concurrent
+    * query planned mid-iteration must not inherit the iteration's
+    * width). No job, no copy — the pinned rows are context-level.
+    */
+  def transfer(df: Dataset[Row], to: SparkSession): Dataset[Row] = {
+    val target = to.asInstanceOf[classic.SparkSession]
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        classic.Dataset.ofRows(target,
+          LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming, None)(target, None, None))
+      case other => throw new IllegalArgumentException(
+        "RddBridge.transfer needs a materialized LogicalRDD frame " +
+          s"(checkpoint it first), got ${other.nodeName}")
+    }
+  }
+
   def persistDeferred(df: Dataset[Row]): (RDD[InternalRow], Boolean => Dataset[Row]) = {
     val qe = df.queryExecution
     val session = df.sparkSession.asInstanceOf[classic.SparkSession]

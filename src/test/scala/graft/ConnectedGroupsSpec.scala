@@ -51,6 +51,48 @@ class ConnectedGroupsSpec extends SparkSpecBase {
     }
   }
 
+  test("iteration never mutates the caller session's planner conf " +
+      "(round-16 verdict #8: a concurrent query must keep its width)") {
+    import spark.implicits._
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    // poll the caller session's conf from a concurrent thread for the
+    // whole call — the old save/set/restore pattern would be caught
+    // here (it held shuffle.partitions at the iteration width, often
+    // 1, for the entire run)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stop = false
+    val poller = new Thread(() => {
+      while (!stop) {
+        val w = spark.conf.get("spark.sql.shuffle.partitions")
+        val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        seen.add(s"$w|$aqe")
+        Thread.sleep(5)
+      }
+    })
+    val expected = s"${spark.conf.get("spark.sql.shuffle.partitions")}|" +
+      spark.conf.get("spark.sql.adaptive.enabled")
+    poller.start()
+    try {
+      val n = 4000
+      val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+        .toDF("a", "b").repartition(8)
+      val rows = Dedup.connectedGroups(pairs, "a", "b", "id").collect()
+      assert(rows.length == n)
+    } finally {
+      stop = true
+      poller.join()
+      Barrier.release(spark)
+    }
+    import scala.jdk.CollectionConverters._
+    val drifted = seen.asScala.filterNot(_ == expected).toSeq.distinct
+    assert(drifted.isEmpty,
+      s"caller session conf drifted mid-iteration: $drifted (expected $expected)")
+    val after = keys.map(k => k -> spark.conf.getOption(k))
+    assert(after == before, s"conf not left intact: $after vs $before")
+  }
+
   test("near-clique pair groups still converge in a couple of rounds") {
     import spark.implicits._
     // two 4-cliques (all pairs emitted) + an isolated pair
