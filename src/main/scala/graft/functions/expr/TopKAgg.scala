@@ -2,8 +2,6 @@ package graft.functions.expr
 
 import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
@@ -11,31 +9,85 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer: keeps the k strongest (score, id) pairs,
-  * strongest = highest score, ties broken by lowest id. The heap
-  * dequeues the WEAKEST entry so insertion is O(log k).
+  * strongest = highest score, ties broken by lowest id. A binary heap
+  * ordered by WEAKNESS (root = weakest kept entry) over two PRIMITIVE
+  * parallel arrays — the previous scala PriorityQueue[(Double, Long)]
+  * boxed both fields per insert and its `Ordering.by` allocated a
+  * tuple on EVERY sift comparison; at knn-join pair counts (~1.4e8
+  * update calls per 100× query, most of them rejections) that
+  * allocation traffic was a measurable slice of the candidate stage
+  * (round-17). The kept SET is defined by the strict total order
+  * (score desc, id asc) alone, so it is insertion-order-independent
+  * and bit-identical to the old buffer; the common case — a pair
+  * weaker than the current k-th best — is now two primitive compares
+  * and no allocation.
   */
 final class TopKBuffer(val k: Int) {
-  // dequeue-max ordering on (weakness): lowest score / highest id first
-  val heap: mutable.PriorityQueue[(Double, Long)] =
-    mutable.PriorityQueue.empty(Ordering.by((t: (Double, Long)) => (-t._1, t._2)))
+  private val scores = new Array[Double](k)
+  private val ids = new Array[Long](k)
+  private var n = 0
+
+  /** (s1, i1) strictly weaker than (s2, i2): lower score, ties to the
+    * HIGHER id (the weakest of two equal scores is the one top-k's
+    * (score desc, id asc) law would emit later).
+    */
+  @inline private def weaker(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
 
   def insert(score: Double, id: Long): Unit = {
-    if (heap.size < k) heap.enqueue((score, id))
-    else {
-      val (ws, wid) = heap.head
-      if (score > ws || (score == ws && id < wid)) {
-        heap.dequeue()
-        heap.enqueue((score, id))
+    if (n < k) {
+      var c = n
+      scores(c) = score; ids(c) = id
+      n += 1
+      // sift up while weaker than the parent
+      while (c > 0 && weaker(scores(c), ids(c), scores((c - 1) >> 1), ids((c - 1) >> 1))) {
+        val p = (c - 1) >> 1
+        val ts = scores(c); val ti = ids(c)
+        scores(c) = scores(p); ids(c) = ids(p)
+        scores(p) = ts; ids(p) = ti
+        c = p
+      }
+    } else if (weaker(scores(0), ids(0), score, id)) {
+      // beats the weakest kept entry: replace the root, sift down
+      scores(0) = score; ids(0) = id
+      var c = 0
+      var done = false
+      while (!done) {
+        val l = 2 * c + 1
+        val r = l + 1
+        var w = c // weakest of parent and children
+        if (l < n && weaker(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < n && weaker(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == c) done = true
+        else {
+          val ts = scores(c); val ti = ids(c)
+          scores(c) = scores(w); ids(c) = ids(w)
+          scores(w) = ts; ids(w) = ti
+          c = w
+        }
       }
     }
   }
 
+  def size: Int = n
+
+  /** Iterate kept entries in internal (heap) order. */
+  def foreachEntry(f: (Double, Long) => Unit): Unit = {
+    var i = 0
+    while (i < n) { f(scores(i), ids(i)); i += 1 }
+  }
+
   def mergeFrom(other: TopKBuffer): Unit =
-    other.heap.foreach { case (s, i) => insert(s, i) }
+    other.foreachEntry((s, i) => insert(s, i))
 
   /** Strongest-first, deterministic. */
-  def sorted: Seq[(Double, Long)] =
-    heap.toSeq.sortBy(t => (-t._1, t._2))
+  def sorted: Seq[(Double, Long)] = {
+    val out = new Array[(Double, Long)](n)
+    var i = 0
+    while (i < n) { out(i) = (scores(i), ids(i)); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      .sortBy(t => (-t._1, t._2))
+  }
 }
 
 /** Per-group top-k as a TypedImperativeAggregate
@@ -91,8 +143,8 @@ case class TopKAgg(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.k)
-    out.writeInt(buffer.heap.size)
-    buffer.heap.foreach { case (s, i) => out.writeDouble(s); out.writeLong(i) }
+    out.writeInt(buffer.size)
+    buffer.foreachEntry { (s, i) => out.writeDouble(s); out.writeLong(i) }
     out.flush()
     bos.toByteArray
   }
