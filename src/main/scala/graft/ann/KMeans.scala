@@ -2,7 +2,6 @@ package graft.ann
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic, oracle-replayable Lloyd's k-means.
   *
@@ -55,16 +54,35 @@ object KMeans {
   /** Per-cluster element-wise mean — exact decimal accumulation (see
     * scaladoc above), rounded to 9 decimals so the emitted centroid
     * doubles are engine-portable.
+    *
+    * One VecSumDecAgg pass over the n vector rows (round 17): the
+    * previous `posexplode → groupBy(cell, j) → groupBy(cell)`
+    * formulation pushed n×dim exploded rows through a hash aggregate
+    * and TWO exchanges per Lloyd iteration; the vector-state aggregate
+    * consumes rows whole and combines map-side, so an iteration is ONE
+    * exchange of (cells × dim) decimal partials. Values are
+    * bit-identical by construction: the aggregate replays
+    * cast(x as decimal(28,10)) per element and exact decimal addition
+    * (order-independent), and the division + round(…, 9) below are
+    * Spark's own expressions — the same code paths the exploded
+    * formulation (and the DuckDB oracle) evaluates. Per-position
+    * counts keep the exploded form's ragged/null-element semantics:
+    * count(j) counts rows HAVING element j, a null element is counted
+    * but not summed, and a cell whose every vector is null/empty emits
+    * no centroid row (it had no (cell, j) groups before).
     */
-  private def meanCentroids(assigned: DataFrame, vecCol: String): DataFrame =
+  private def meanCentroids(assigned: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val vecSum = ColumnBridge.column(
+      graft.functions.expr.VecSumDecAgg(
+        ColumnBridge.expression(col(vecCol).cast("array<double>")))
+        .toAggregateExpression())
     assigned
-      .select(col("cell"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "x")))
-      .groupBy(col("cell"), col("j"))
-      .agg(round(sum(col("x").cast(DecimalType(28, 10))).cast("double") /
-        count(lit(1)), 9).as("m"))
       .groupBy(col("cell"))
-      .agg(collect_list(struct(col("j"), col("m"))).as("_jm"))
+      .agg(vecSum.as("_sc"))
       .select(col("cell").as("cid"),
-        transform(array_sort(col("_jm")), e => e.getField("m")).as("cv"))
+        zip_with(col("_sc.sums"), col("_sc.counts"),
+          (s, c) => round(s.cast("double") / c, 9)).as("cv"))
+      .filter(size(col("cv")) > 0)
+  }
 }

@@ -94,30 +94,50 @@ object Pq {
   private def lloydStepAll(corpus: DataFrame, vecCol: String,
       books: Seq[Array[(Long, Array[Double])]],
       dim: Int): Seq[Array[(Long, Array[Double])]] = {
-    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.graftshim.ColumnBridge
     val nSub = books.size
     val subDim = dim / nSub
     val enc = encodeLocal(corpus, vecCol, books, dim)
-    val sCol = floor(col("_jf") / subDim).cast("int")
-    val agg = enc
-      .select(array((0 until nSub).map(s => col(s"code$s")): _*).as("_codes"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("_jf", "_x")))
-      .select(sCol.as("s"),
-        element_at(col("_codes"), sCol + 1).as("cell"),
-        (col("_jf") % subDim).as("j"),
-        col("_x"))
-      .groupBy(col("s"), col("cell"), col("j"))
-      .agg(round(sum(col("_x").cast(DecimalType(28, 10))).cast("double") /
-        count(lit(1)), 9).as("m"))
+    // one (s, cell, subvector) row per subspace — nSub rows per input
+    // row — consumed whole by the decimal-exact vector-state aggregate
+    // (VecSumDecAgg, round 17): the previous posexplode formulation
+    // pushed n×dim VALUE rows through a (s, cell, j)-keyed hash
+    // aggregate; this is n×nSub rows through a (s, cell)-keyed one
+    // with the identical per-element cast/sum/round arithmetic (the
+    // replayed-fit oracles pin it; KMeansSpec pins the aggregate
+    // against the exploded formulation element-for-element).
+    val sub = enc
+      .select(explode(array((0 until nSub).map(s =>
+        struct(lit(s).as("s"), col(s"code$s").as("cell"),
+          slice(col(vecCol).cast("array<double>"),
+            s * subDim + 1, subDim).as("sv"))): _*)).as("_r"))
+      .select(col("_r.s").as("s"), col("_r.cell").as("cell"),
+        col("_r.sv").as("sv"))
+    val vecSum = ColumnBridge.column(
+      graft.functions.expr.VecSumDecAgg(
+        ColumnBridge.expression(col("sv")))
+        .toAggregateExpression())
+    val agg = sub.groupBy(col("s"), col("cell"))
+      .agg(vecSum.as("_sc"))
+      .select(col("s"), col("cell"),
+        zip_with(col("_sc.sums"), col("_sc.counts"),
+          (x, c) => round(x.cast("double") / c, 9)).as("mv"))
       .collect()
     val bySub = agg.groupBy(_.getInt(0))
     (0 until nSub).map { s =>
       bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
-        .groupBy(_.getLong(1))
-        .map { case (cell, rows) =>
+        .map { r =>
+          val mv = r.getSeq[java.lang.Double](2)
+          // same fill the per-(s, cell, j) row loop produced: missing
+          // trailing positions and null means stay 0.0
           val cv = new Array[Double](subDim)
-          rows.foreach(r => cv(r.getInt(2)) = r.getDouble(3))
-          (cell, cv)
+          var j = 0
+          while (j < mv.length && j < subDim) {
+            val x = mv(j)
+            if (x != null) cv(j) = x.doubleValue()
+            j += 1
+          }
+          (r.getLong(1), cv)
         }
         .toArray.sortBy(_._1)
     }

@@ -1334,41 +1334,70 @@ object Dedup {
             s"(> maxBlockSize=$maxBlockSize); quadratic join refused. " +
             "Compose the block key with an LSH bucket or IVF cell.")
       val n = members.length
+      // parallel primitive arrays + one explicit lookahead iterator
+      // (round 17): the nested Iterator.range().flatMap formulation
+      // allocated 1-2 iterator objects and a closure frame PER PAIR —
+      // at ~45M within-cell pairs per 100× dd_semantic run that
+      // allocation traffic, not the cosine flops, dominated the
+      // stage. The pair SET, the per-pair arithmetic (same fold, same
+      // 1e-6-slack pre-filter) and the emission order (a asc, b asc)
+      // are unchanged; only emitted pairs allocate.
+      val ids = new Array[Long](n)
+      val vs = new Array[Array[Double]](n)
       val norms = new Array[Double](n)
       var i = 0
       while (i < n) {
+        ids(i) = members(i)._2
         val v = members(i)._3
+        vs(i) = v
         var acc = 0.0
         var j = 0
         while (j < v.length) { acc += v(j) * v(j); j += 1 }
         norms(i) = math.sqrt(acc)
         i += 1
       }
-      val out = Iterator.range(0, n).flatMap { a =>
-        Iterator.range(a + 1, n).flatMap { b =>
-          val ia = members(a)._2
-          val ib = members(b)._2
-          if (ia == ib) Iterator.empty
-          else {
-            val va = members(a)._3
-            val vb = members(b)._3
-            val denom = norms(a) * norms(b)
-            val cos =
-              if (denom == 0.0) 0.0
-              else {
-                val m = math.min(va.length, vb.length)
-                var acc = 0.0
-                var j = 0
-                while (j < m) { acc += va(j) * vb(j); j += 1 }
-                acc / denom
+      new Iterator[(Long, Long, Double)] {
+        private var a = 0
+        private var b = 1
+        private var done = false
+        private var pending: (Long, Long, Double) = null
+        private def advance(): Unit = {
+          pending = null
+          while (pending == null) {
+            if (a >= n - 1) { done = true; return }
+            val ia = ids(a)
+            val va = vs(a)
+            val na = norms(a)
+            while (b < n && pending == null) {
+              val ib = ids(b)
+              if (ia != ib) {
+                val denom = na * norms(b)
+                val cos =
+                  if (denom == 0.0) 0.0
+                  else {
+                    val vb = vs(b)
+                    val m = math.min(va.length, vb.length)
+                    var acc = 0.0
+                    var j = 0
+                    while (j < m) { acc += va(j) * vb(j); j += 1 }
+                    acc / denom
+                  }
+                if (cos >= threshold - 1e-6)
+                  pending = (math.min(ia, ib), math.max(ia, ib), cos)
               }
-            if (cos >= threshold - 1e-6)
-              Iterator.single((math.min(ia, ib), math.max(ia, ib), cos))
-            else Iterator.empty
+              b += 1
+            }
+            if (pending == null) { a += 1; b = a + 1 }
           }
         }
+        advance()
+        override def hasNext: Boolean = !done
+        override def next(): (Long, Long, Double) = {
+          val r = pending
+          advance()
+          r
+        }
       }
-      out
     }.toDF("ida", "idb", "_cosRaw")
     pre.withColumn("cos", round(col("_cosRaw"), 6))
       .filter(col("cos") >= threshold)

@@ -336,7 +336,11 @@ object DedupQueries {
     // means make the two engines' Lloyd iterations bit-identical.
     "dd_semantic" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val m = math.max(1L, math.floor(math.sqrt(emb.count().toDouble)).toLong)
+      // corpus size via the session-cached planning stats (the same
+      // key the ann_* family uses) instead of a per-build count() job
+      val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+        emb, "embedding", None).n
+      val m = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
       val seeds = emb.filter(pmod(col("vec_id"), lit(m)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       Dedup.semanticPairs(emb, "vec_id", "embedding", seeds,
@@ -357,7 +361,9 @@ object DedupQueries {
     "dd_semantic_persisted" -> ((s, dir) => {
       val assigned = persistedTable(s, "semassign", dir) { p =>
         val emb = t(s, dir, "embeddings")
-        val m = math.max(1L, math.floor(math.sqrt(emb.count().toDouble)).toLong)
+        val n = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+          emb, "embedding", None).n
+        val m = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
         val seeds = emb.filter(pmod(col("vec_id"), lit(m)) === 0)
           .select(col("vec_id").as("cid"), col("embedding").as("cv"))
         val base = graft.Tables.fanOut(emb)

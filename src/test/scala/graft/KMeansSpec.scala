@@ -55,6 +55,56 @@ class KMeansSpec extends SparkSpecBase {
     assert(fit(1) == fit(7))
   }
 
+  test("vector-state mean update equals the exploded formulation " +
+      "(ragged rows, null elements, null vectors, any partitioning)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val rnd = new scala.util.Random(7)
+    // ragged lengths, occasional null elements / null vectors, values
+    // at awkward decimal boundaries
+    val rows = (0 until 400).map { i =>
+      val cell = (i % 7).toLong
+      if (rnd.nextInt(20) == 0) (cell, null: Array[java.lang.Double])
+      else {
+        val len = 1 + rnd.nextInt(5)
+        val v = Array.tabulate[java.lang.Double](len) { _ =>
+          if (rnd.nextInt(15) == 0) null
+          else java.lang.Double.valueOf(
+            (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(6) - 3))
+        }
+        (cell, v)
+      }
+    }
+    val df = rows.toDF("cell", "v").repartition(5)
+    // the pre-round-17 exploded formulation, verbatim
+    val old = df
+      .select(col("cell"), posexplode(col("v").cast("array<double>")).as(Seq("j", "x")))
+      .groupBy(col("cell"), col("j"))
+      .agg(round(sum(col("x").cast(DecimalType(28, 10))).cast("double") /
+        count(lit(1)), 9).as("m"))
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("j"), col("m"))).as("_jm"))
+      .select(col("cell").as("cid"),
+        transform(array_sort(col("_jm")), e => e.getField("m")).as("cv"))
+      .orderBy(col("cid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[java.lang.Double](1).toList)).toList
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val vecSum = ColumnBridge.column(
+      graft.functions.expr.VecSumDecAgg(
+        ColumnBridge.expression(col("v").cast("array<double>")))
+        .toAggregateExpression())
+    val nw = df
+      .groupBy(col("cell"))
+      .agg(vecSum.as("_sc"))
+      .select(col("cell").as("cid"),
+        zip_with(col("_sc.sums"), col("_sc.counts"),
+          (s, c) => round(s.cast("double") / c, 9)).as("cv"))
+      .filter(size(col("cv")) > 0)
+      .orderBy(col("cid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[java.lang.Double](1).toList)).toList
+    assert(nw == old)
+  }
+
   test("clusters that lose all members drop out") {
     import spark.implicits._
     // both seeds sit in blob A's territory except one that captures all
