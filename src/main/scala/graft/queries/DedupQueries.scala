@@ -226,7 +226,11 @@ object DedupQueries {
     // corpus stats in SQL.
     "dd_embed_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val st = graft.ann.AnnTuner.stats(emb, "embedding", Some("label"))
+      // session-cached (round 17): the per-label block stats are a
+      // corpus-version property; the uncached call re-ran a grouped
+      // count + dim job on every build
+      val st = graft.ann.AnnTuner.statsCached(s"$dir|embeddings",
+        emb, "embedding", Some("label"))
       val np = graft.ann.AnnTuner.lshPlanes(st.maxBlock, targetCandidates = 64)
       val blocked = emb.withColumn("blk",
         concat(col("label").cast("string"), lit("|"),
