@@ -90,7 +90,15 @@ object Multimodal {
     */
   def contentSignatures(media: DataFrame, idCol: String): DataFrame =
     withPhash(media, "_ph")
-      .filter(char_length(col("payload").cast("string")) >= PhashGram)
+      // byte-length short-circuit (round 17): char_length walks every
+      // payload byte, and the 100× sweep charged that extra corpus
+      // pass ~15% of mm_dedup. octet_length on the binary payload is
+      // O(1), and a UTF-8 code point spans at most 6 bytes under the
+      // permissive lead-byte widths UTF8String steps by, so ≥ 6·n
+      // bytes GUARANTEES ≥ n chars — only 4..23-byte payloads (none
+      // at media scale) pay the exact char count. Same kept set.
+      .filter(octet_length(col("payload")) >= PhashGram * 6 ||
+        char_length(col("payload").cast("string")) >= PhashGram)
       .select(col(idCol), md5(col("payload")).as("content_key"),
         col("_ph").as("phash"))
 
